@@ -1,0 +1,347 @@
+"""Relational operators: joins, dedup, grouped fusion, stat tables, CDC diff.
+
+Reference parity citations (relative to /root/reference):
+
+- ``join_lookup``   → ``f_join``/``f_sjoin`` (traitement_alpha.py:876-1000):
+  equi hash join whose build side is a preloaded file/store — here a
+  broadcast left join (build side small by construction in the reference,
+  since it had to fit in a Python dict).
+- ``semi_join``/``anti_join`` → ``in:mem`` condition (traitement_conditions.py:335-369)
+  and the ``compare`` leftover branch.
+- ``unique``        → ``f_uniq`` (traitement_divers.py:137-165).
+- ``unique_n``      → ``f_uniqcnt`` (traitement_divers.py:168-198) — first N
+  per key with occurrence counter; the LWW-dedup shape.
+- ``merge_rows``    → ``f_merge`` (traitement_divers.py:201-310): group-by-key
+  row fusion with per-column reducers add/set/list/min/max/first/last.
+- ``objgroup``      → traitement_divers.py:807-915 (collect attrs per key).
+- ``stat``          → the compteur/statistics engine (traitement_aux.py:259-326,
+  formats/interne/stats.py:16-533): declarative agg table with functions
+  cnt somme min max moy minc maxc val valtri val_uniq cnt_val_uniq; the
+  indirect-column mode is ``groupBy().pivot()``.
+- ``compare``       → ``f_compare`` (traitement_divers.py:675-759): full-outer
+  CDC classifier new/diff/unchanged/supp — the table-state diff verifier.
+- ``multiplex``     → ``filter`` routing command (traitement_workflow.py:940-985).
+- ``topk``          → compose of sort + unique;N (SURVEY §2.6).
+- ``getkey``        → dense incremental key (traitement_divers.py:770-790).
+- ``changed``       → ``<>:`` changed-since-last-row condition
+  (traitement_conditions.py:372-381) — made order-explicit with a Window.
+- ``sessionize``    → ``merge`` seq adjacency mode (traitement_divers.py:289-309).
+
+Scale notes: every operator is expressed on built-in DataFrame ops so
+Catalyst/AQE pick physical strategies (broadcast vs sort-merge, skew split,
+partial aggregation). ``unique``/LWW use ``max_by`` aggregation rather than a
+global window where possible — hash aggregation gets map-side partial
+combine, which is the scalable form of "salting": each input partition
+pre-reduces its own duplicates before the shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _keys(keys: str | Sequence[str]) -> list[str]:
+    return [keys] if isinstance(keys, str) else list(keys)
+
+
+# --------------------------------------------------------------------- joins
+
+
+def join_lookup(
+    df: DataFrame,
+    ref: DataFrame,
+    keys: str | Sequence[str],
+    select: dict[str, str] | None = None,
+    how: str = "left",
+    broadcast: bool = True,
+    defaults: dict[str, str] | None = None,
+) -> DataFrame:
+    """Equi join against a lookup table, pulling selected attrs.
+
+    ``select`` maps ref-column → output name (the reference pulls chosen
+    fields out of the joined dict, traitement_alpha.py:930-960); ``defaults``
+    fill non-matching rows (left join semantics with defaut field).
+    """
+    keys = _keys(keys)
+    if select:
+        ref = ref.select(*keys, *[F.col(src).alias(dst) for src, dst in select.items()])
+    right = F.broadcast(ref) if broadcast else ref
+    out = df.join(right, on=keys, how=how)
+    for col, dflt in (defaults or {}).items():
+        out = out.withColumn(col, F.coalesce(F.col(col), F.lit(dflt)))
+    return out
+
+
+def semi_join(df: DataFrame, ref: DataFrame, keys: str | Sequence[str], broadcast: bool = True) -> DataFrame:
+    """keep rows whose key exists in ref (``in:mem`` semi join)."""
+    right = F.broadcast(ref) if broadcast else ref
+    return df.join(right, on=_keys(keys), how="left_semi")
+
+
+def anti_join(df: DataFrame, ref: DataFrame, keys: str | Sequence[str], broadcast: bool = True) -> DataFrame:
+    """keep rows whose key does NOT exist in ref (except / NOT EXISTS)."""
+    right = F.broadcast(ref) if broadcast else ref
+    return df.join(right, on=_keys(keys), how="left_anti")
+
+
+# --------------------------------------------------------------------- dedup
+
+
+def unique(df: DataFrame, keys: str | Sequence[str]) -> DataFrame:
+    """dedup on key list, arbitrary survivor — ``f_uniq``. Spark's
+    ``dropDuplicates`` (hash-agg based, map-side partial combine)."""
+    return df.dropDuplicates(_keys(keys))
+
+
+def unique_n(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    order: str | Column,
+    n: int = 1,
+    desc: bool = True,
+    counter: str | None = "occurrence",
+) -> DataFrame:
+    """first N rows per key in explicit order, with occurrence counter —
+    ``f_uniqcnt``. The reference relied on stream order; Spark needs the
+    explicit ``order`` column (SURVEY §2.8)."""
+    ocol = F.col(order) if isinstance(order, str) else order
+    w = Window.partitionBy(*_keys(keys)).orderBy(ocol.desc() if desc else ocol.asc())
+    out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= n)
+    if counter:
+        out = out.withColumnRenamed("__rn", counter)
+    else:
+        out = out.drop("__rn")
+    return out
+
+
+# ------------------------------------------------------------- grouped fusion
+
+_REDUCERS = {
+    "add": F.sum,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "moy": F.avg,
+    "avg": F.avg,
+    "first": F.first,
+    "last": F.last,
+    "set": F.first,  # reference 'set': any single value
+    "list": F.collect_list,
+    "uniq": F.collect_set,
+    "cnt": F.count,
+}
+
+
+def merge_rows(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    reducers: dict[str, str],
+    order: str | None = None,
+) -> DataFrame:
+    """group-by-key row fusion with per-column reducers — ``f_merge``.
+
+    ``reducers``: column → one of add/sum/min/max/moy/first/last/set/list/
+    uniq/cnt. With ``order`` given, first/last/list respect that order
+    (implemented via ``min_by``/``max_by``/sorted ``collect_list`` so the
+    aggregation stays hash-based and partially combinable).
+    """
+    keys = _keys(keys)
+    aggs: list[Column] = []
+    for col, red in reducers.items():
+        if order and red in ("first", "last"):
+            fn = F.min_by if red == "first" else F.max_by
+            aggs.append(fn(F.col(col), F.col(order)).alias(col))
+        elif order and red == "list":
+            aggs.append(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col(order).alias("o"), F.col(col).alias("v")))),
+                    lambda s: s["v"],
+                ).alias(col)
+            )
+        else:
+            aggs.append(_REDUCERS[red](F.col(col)).alias(col))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def objgroup(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    attrs: Sequence[str],
+    as_struct: bool = False,
+    order: str | None = None,
+) -> DataFrame:
+    """accumulate attrs into arrays per key — traitement_divers.py:807-915."""
+    keys = _keys(keys)
+    if as_struct:
+        inner = F.struct(*[F.col(a) for a in attrs])
+        if order:
+            lst = F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col(order).alias("o"), inner.alias("v")))),
+                lambda s: s["v"],
+            )
+        else:
+            lst = F.collect_list(inner)
+        return df.groupBy(*keys).agg(lst.alias("items"))
+    aggs = [F.collect_list(F.col(a)).alias(a) for a in attrs]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+# ----------------------------------------------------------------- stat table
+
+_STAT_FNS = {
+    "cnt": lambda c: F.count(c),
+    "somme": lambda c: F.sum(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+    "moy": lambda c: F.avg(c),
+    "minc": lambda c: F.min(c),  # min over string compare
+    "maxc": lambda c: F.max(c),
+    "val": lambda c: F.collect_list(c),
+    "valtri": lambda c: F.sort_array(F.collect_list(c)),
+    "val_uniq": lambda c: F.sort_array(F.collect_set(c)),
+    "cnt_val_uniq": lambda c: F.count_distinct(c),
+    "approx_cnt_uniq": lambda c: F.approx_count_distinct(c),  # scale extension
+}
+
+
+def stat(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    stats: dict[str, tuple[str, str]],
+    pivot: str | None = None,
+    pivot_values: Sequence[str] | None = None,
+) -> DataFrame:
+    """declarative aggregate table — the compteur/``stat`` engine.
+
+    ``stats``: output column → (function, input column); functions per
+    ``formats/interne/stats.py:277-329`` plus ``approx_cnt_uniq``.
+    ``pivot``: the reference's indirect ``[attr]`` columns (one stat column
+    per observed value) → ``groupBy().pivot()``; pass ``pivot_values`` at
+    scale so Spark skips the distinct-value pre-pass.
+    """
+    keys = _keys(keys)
+    gb = df.groupBy(*keys)
+    if pivot:
+        gb = gb.pivot(pivot, list(pivot_values) if pivot_values else None)
+        if len(stats) == 1:
+            name, (fn, col) = next(iter(stats.items()))
+            return gb.agg(_STAT_FNS[fn](F.col(col)).alias(name))
+    aggs = [_STAT_FNS[fn](F.col(col)).alias(name) for name, (fn, col) in stats.items()]
+    return gb.agg(*aggs)
+
+
+# ----------------------------------------------------------------- CDC diff
+
+
+def compare(
+    df: DataFrame,
+    ref: DataFrame,
+    keys: str | Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+    status_col: str = "cdc_status",
+) -> DataFrame:
+    """full-outer CDC classifier — ``f_compare`` traitement_divers.py:675-759.
+
+    Routes each key to ``new`` (only in df), ``supp`` (only in ref),
+    ``diff`` (both, payload differs) or ``unchanged``. Comparison covers
+    ``compare_cols`` or all shared non-key columns. Null-safe equality via a
+    struct comparison (eqNullSafe over a packed struct). Rows carry df's
+    payload except ``supp`` rows, which carry ref's.
+
+    This operator doubles as the engine's table-state equality checker
+    (SURVEY §5): two tables match iff every status is ``unchanged``.
+    """
+    keys = _keys(keys)
+    if compare_cols is None:
+        compare_cols = [c for c in df.columns if c in set(ref.columns) and c not in keys]
+    # presence flags guard against genuinely-null key columns
+    df2 = df.alias("l").withColumn("__lpresent", F.lit(True))
+    ref2 = ref.alias("r").withColumn("__rpresent", F.lit(True))
+    joined = df2.join(
+        ref2,
+        on=[df2[k].eqNullSafe(ref2[k]) for k in keys],
+        how="full_outer",
+    )
+    in_l = F.col("__lpresent").isNotNull()
+    in_r = F.col("__rpresent").isNotNull()
+    same = F.struct(*[df2[c] for c in compare_cols]).eqNullSafe(
+        F.struct(*[ref2[c] for c in compare_cols])
+    )
+    status = (
+        F.when(in_l & ~in_r, F.lit("new"))
+        .when(~in_l & in_r, F.lit("supp"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("diff"))
+    )
+    key_cols = [F.coalesce(df2[k], ref2[k]).alias(k) for k in keys]
+    payload = [
+        F.when(in_l, df2[c]).otherwise(ref2[c]).alias(c) for c in compare_cols
+    ]
+    return joined.select(*key_cols, *payload, status.alias(status_col))
+
+
+# ------------------------------------------------------------------- routing
+
+
+def multiplex(df: DataFrame, col: str, values: Sequence[str], other: str = "#autre") -> dict[str, DataFrame]:
+    """route rows to named branches by attr value — ``filter`` command
+    (traitement_workflow.py:940-985) with the ``#autre`` fallback branch."""
+    out = {v: df.filter(F.col(col) == v) for v in values}
+    out[other] = df.filter(~F.col(col).isin(list(values)) | F.col(col).isNull())
+    return out
+
+
+# --------------------------------------------------------- window-ish helpers
+
+
+def topk(df: DataFrame, keys: str | Sequence[str], order: str | Column, k: int, desc: bool = True) -> DataFrame:
+    """top-k per group (SURVEY §2.6: sort + unique;N composition)."""
+    return unique_n(df, keys, order, n=k, desc=desc, counter="rank")
+
+
+def sample_1_in_n(df: DataFrame, n: int, key: str | None = None) -> DataFrame:
+    """deterministic 1-in-N sample — ``sel %;N`` traitement_conditions.py:143-162.
+    Hash-based (not modulo-counter) so it is partition-order independent."""
+    col = F.xxhash64(F.col(key)) if key else F.xxhash64(F.struct(*df.columns))
+    return df.filter(F.pmod(col, F.lit(n)) == 0)
+
+
+def getkey(df: DataFrame, value_col: str, out: str = "key") -> DataFrame:
+    """dense incremental integer key per distinct value — traitement_divers.py:770-790.
+
+    Scale note: ``dense_rank`` over a global ORDER BY is a single-partition
+    sort; for large cardinality prefer joining a precomputed key-dimension
+    table. Used here for parity on small dims.
+    """
+    w = Window.orderBy(F.col(value_col))
+    return df.withColumn(out, F.dense_rank().over(w))
+
+
+def changed(df: DataFrame, col: str, order: str, partition: str | Sequence[str] | None = None, out: str = "changed") -> DataFrame:
+    """true when attr differs from previous row in explicit order — ``<>:``."""
+    w = Window.partitionBy(*_keys(partition)) if partition else Window.partitionBy()
+    w = w.orderBy(F.col(order))
+    prev = F.lag(F.col(col)).over(w)
+    return df.withColumn(out, ~prev.eqNullSafe(F.col(col)))
+
+
+def sessionize(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    order: str,
+    gap: Column | None = None,
+    new_group: Column | None = None,
+    out: str = "session_id",
+) -> DataFrame:
+    """adjacency grouping — ``merge`` seq mode: cumulative sum of
+    change/gap flags over an ordered window yields a group id."""
+    w = Window.partitionBy(*_keys(keys)).orderBy(F.col(order))
+    if new_group is None:
+        prev = F.lag(F.col(order)).over(w)
+        flag = F.when(prev.isNull() | (gap if gap is not None else (F.col(order) - prev > 1)), 1).otherwise(0)
+    else:
+        flag = F.when(new_group, 1).otherwise(0)
+    return df.withColumn(out, F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0)))

@@ -1,0 +1,184 @@
+"""Tests for the relational layer (SURVEY §2.4-§2.8)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyetl_spark.operators import (
+    anti_join,
+    changed,
+    compare,
+    getkey,
+    join_lookup,
+    merge_rows,
+    multiplex,
+    objgroup,
+    sample_1_in_n,
+    semi_join,
+    sessionize,
+    stat,
+    topk,
+    unique,
+    unique_n,
+)
+
+from tests.conftest import rows
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", "FR", 10.0, 1),
+            (2, "b", "FR", 20.0, 2),
+            (3, "c", "DE", 30.0, 3),
+            (4, "d", "XX", 40.0, 4),
+            (1, "a2", "FR", 15.0, 5),  # duplicate key 1, later seq
+        ],
+        "id int, name string, country string, amount double, seq int",
+    )
+
+
+@pytest.fixture(scope="module")
+def countries(spark):
+    return spark.createDataFrame(
+        [("FR", "France", "EU"), ("DE", "Germany", "EU"), ("US", "USA", "NA")],
+        "country string, label string, zone string",
+    )
+
+
+def test_join_lookup(people, countries):
+    out = join_lookup(
+        people,
+        countries,
+        "country",
+        select={"label": "country_name"},
+        defaults={"country_name": "unknown"},
+    )
+    got = dict(rows(out, "id", "country_name"))
+    assert got[3] == "Germany" and got[4] == "unknown"
+
+
+def test_semi_anti(people, countries):
+    assert semi_join(people, countries, "country").count() == 4
+    assert anti_join(people, countries, "country").count() == 1
+
+
+def test_unique_and_unique_n(people):
+    assert unique(people, "id").count() == 4
+    lww = unique_n(people, "id", "seq", n=1, desc=True)
+    got = dict(rows(lww, "id", "name"))
+    assert got[1] == "a2"  # last writer wins
+    assert lww.filter(F.col("occurrence") != 1).count() == 0
+
+
+def test_merge_rows(people):
+    out = merge_rows(
+        people,
+        "country",
+        {"amount": "sum", "name": "last", "seq": "max"},
+        order="seq",
+    )
+    got = {r["country"]: r for r in out.collect()}
+    assert got["FR"]["amount"] == 45.0
+    assert got["FR"]["name"] == "a2"  # last by seq
+
+
+def test_merge_rows_ordered_list(people):
+    out = merge_rows(people, "country", {"name": "list"}, order="seq")
+    got = {r["country"]: r["name"] for r in out.collect()}
+    assert got["FR"] == ["a", "b", "a2"]
+
+
+def test_objgroup(people):
+    out = objgroup(people, "country", ["name", "amount"], as_struct=True, order="seq")
+    fr = out.filter(F.col("country") == "FR").first()["items"]
+    assert [x["name"] for x in fr] == ["a", "b", "a2"]
+
+
+def test_stat(people):
+    out = stat(
+        people,
+        "country",
+        {
+            "n": ("cnt", "id"),
+            "total": ("somme", "amount"),
+            "avg_amt": ("moy", "amount"),
+            "names": ("valtri", "name"),
+            "n_ids": ("cnt_val_uniq", "id"),
+        },
+    )
+    fr = out.filter(F.col("country") == "FR").first()
+    assert fr["n"] == 3 and fr["total"] == 45.0 and fr["n_ids"] == 2
+    assert fr["names"] == ["a", "a2", "b"]
+
+
+def test_stat_pivot(people):
+    out = stat(people, "country", {"n": ("cnt", "id")}, pivot="name", pivot_values=["a", "b"])
+    fr = out.filter(F.col("country") == "FR").first()
+    assert fr["a"] == 1 and fr["b"] == 1
+
+
+def test_compare_cdc_classifier(spark):
+    new_state = spark.createDataFrame(
+        [(1, "same"), (2, "changed-after"), (5, "brand-new")], "k int, v string"
+    )
+    old_state = spark.createDataFrame(
+        [(1, "same"), (2, "changed-before"), (9, "deleted")], "k int, v string"
+    )
+    out = compare(new_state, old_state, "k")
+    got = dict(rows(out, "k", "cdc_status"))
+    assert got == {1: "unchanged", 2: "diff", 5: "new", 9: "supp"}
+    # supp rows carry the reference payload
+    assert out.filter("k = 9").first()["v"] == "deleted"
+
+
+def test_multiplex(people):
+    branches = multiplex(people, "country", ["FR", "DE"])
+    assert branches["FR"].count() == 3
+    assert branches["DE"].count() == 1
+    assert branches["#autre"].count() == 1
+
+
+def test_topk(people):
+    out = topk(people, "country", "amount", k=1)
+    got = dict(rows(out, "country", "name"))
+    assert got["FR"] == "b"
+
+
+def test_sample(people):
+    n = sample_1_in_n(people, 2, key="id").count()
+    assert 0 <= n <= 5
+
+
+def test_getkey(people):
+    out = getkey(unique(people, "country"), "country", out="ck")
+    got = dict(rows(out, "country", "ck"))
+    assert got == {"DE": 1, "FR": 2, "XX": 3}
+
+
+def test_changed(people):
+    out = changed(people.filter("country = 'FR'"), "name", order="seq")
+    assert [r["changed"] for r in out.orderBy("seq").collect()] == [True, True, True]
+    out2 = changed(people, "country", order="seq")
+    assert [r["changed"] for r in out2.orderBy("seq").collect()] == [
+        True,
+        False,
+        True,
+        True,
+        True,
+    ]
+
+
+def test_sessionize(spark):
+    df = spark.createDataFrame(
+        [("u", 1), ("u", 2), ("u", 3), ("u", 10), ("u", 11), ("v", 1)],
+        "user string, t int",
+    )
+    out = sessionize(df, "user", "t")
+    got = rows(out, "user", "t", "session_id")
+    by_t = {(u, t): s for u, t, s in got}
+    assert by_t[("u", 1)] == by_t[("u", 3)] == 1
+    assert by_t[("u", 10)] == by_t[("u", 11)] == 2
+    assert by_t[("v", 1)] == 1
