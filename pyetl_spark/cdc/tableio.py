@@ -1,0 +1,277 @@
+"""SnapshotTable — the engine's lake-table format (Iceberg contract, local impl).
+
+The engine prefers real Iceberg when its runtime jars are present
+(``pyetl_spark.session.iceberg_available``); this module provides the same
+contract with zero external dependencies so tests and the sandbox bench run
+anywhere:
+
+- **immutable data files + manifest**: every snapshot version is a JSON
+  manifest listing, per hash-bucket, the parquet files that make up the
+  table. Files are never mutated; a MERGE writes new files only for the
+  buckets it touches and re-references untouched buckets' files from the
+  parent manifest — i.e. partition-pruned copy-on-write, which is what makes
+  a 10^10-row table mergeable: cost ∝ touched buckets, not table size.
+- **atomic commit**: the ``_current`` pointer file is swapped with
+  ``os.replace`` after the manifest is fully written (single-writer, like
+  Iceberg's catalog pointer swap). Readers resolve the pointer once and see
+  one consistent snapshot.
+- **exactly-once**: each manifest carries a committed-batch ledger
+  (batch-id → version). Re-merging an already-committed batch id is a no-op
+  — the idempotence guard for ``foreachBatch`` redelivery
+  (reference analog: per-block DB transactions, traitement_db.py:782,
+  and job-completion marker files, jobcontrol.py:1-44).
+- **schema evolution**: a MERGE whose delta carries new columns widens the
+  table schema (union-with-nulls; Iceberg schema-merge analog;
+  reference analog: schema fusion ``schema_io.py:18-43`` and
+  ``diff_schema`` traitement_schema.py:599).
+- **LWW + tombstones**: rows are stored with ``_seq`` (commit sequence) and
+  ``_deleted``. A MERGE unions current+delta and keeps the max-_seq row per
+  key, so late/out-of-order and replayed events can never regress the table
+  (order-insensitive replay, SURVEY §2.9). Deletes persist as tombstones so
+  a stale pre-delete event cannot resurrect a key; ``read()`` filters them.
+
+Row bucketing uses ``pmod(xxhash64(key_cols), nbuckets)`` — recomputed from
+the key columns on every write, never stored, so data files stay pure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyetl_spark.cdc.dedup import lww_dedup
+
+SEQ = "_seq"
+DELETED = "_deleted"
+
+
+def _bucket_col(keys: Sequence[str], nbuckets: int):
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(nbuckets)).cast("int")
+
+
+@dataclass
+class MergeStats:
+    batch_id: str | None
+    version: int
+    events_in: int
+    keys_after_dedup: int
+    buckets_touched: int
+    rows_written: int
+    skipped: bool = False
+    wall_ms: int = 0
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # ------------------------------------------------------------- lifecycle
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        keys: Sequence[str],
+        nbuckets: int = 32,
+    ) -> "SnapshotTable":
+        os.makedirs(os.path.join(root, "_versions"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        t = cls(spark, root)
+        manifest = {
+            "version": 0,
+            "keys": list(keys),
+            "nbuckets": nbuckets,
+            "schema": None,
+            "buckets": {},
+            "committed_batches": {},
+            "parent": None,
+            "created_ts": time.time(),
+        }
+        t._write_manifest(manifest)
+        t._swap_pointer(0)
+        return t
+
+    @classmethod
+    def exists(cls, root: str) -> bool:
+        return os.path.exists(os.path.join(root, "_current"))
+
+    # ------------------------------------------------------------- manifests
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, "_versions", f"v{version:08d}.json")
+
+    def _write_manifest(self, manifest: dict) -> None:
+        path = self._manifest_path(manifest["version"])
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    def _swap_pointer(self, version: int) -> None:
+        ptr = os.path.join(self.root, "_current")
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, ptr)
+
+    def current_version(self) -> int:
+        with open(os.path.join(self.root, "_current")) as f:
+            return int(f.read().strip())
+
+    def manifest(self, version: int | None = None) -> dict:
+        if version is None:
+            version = self.current_version()
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    # ----------------------------------------------------------------- reads
+
+    def _read_files(self, files: list[str]) -> DataFrame | None:
+        if not files:
+            return None
+        return self.spark.read.option("mergeSchema", "true").parquet(*files)
+
+    def read_raw(self, version: int | None = None, buckets: Sequence[int] | None = None) -> DataFrame | None:
+        """All stored rows (incl. tombstones, ``_seq``/``_deleted``)."""
+        m = self.manifest(version)
+        items = m["buckets"].items()
+        if buckets is not None:
+            want = {str(b) for b in buckets}
+            items = [(b, fs) for b, fs in items if b in want]
+        files = [f for _, fs in items for f in fs]
+        return self._read_files(files)
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Visible table state (tombstones filtered, CDC envelope dropped)."""
+        raw = self.read_raw(version)
+        if raw is None:
+            m = self.manifest(version)
+            schema = m["schema"] or ", ".join(f"{k} string" for k in m["keys"])
+            return self.spark.createDataFrame([], schema)
+        return raw.filter(~F.col(DELETED)).drop(SEQ, DELETED)
+
+    def committed_batches(self) -> dict[str, int]:
+        return self.manifest()["committed_batches"]
+
+    def max_seq(self) -> int:
+        """Highest applied commit sequence — the reference's ``dbmaxval``
+        incremental watermark (traitement_db.py:848-885)."""
+        raw = self.read_raw()
+        if raw is None:
+            return -1
+        row = raw.agg(F.max(SEQ).alias("m")).first()
+        return row["m"] if row["m"] is not None else -1
+
+    # ----------------------------------------------------------------- merge
+
+    def merge(
+        self,
+        delta: DataFrame,
+        batch_id: str | None = None,
+        op_col: str = "op",
+        seq_col: str = "seq",
+    ) -> MergeStats:
+        """MERGE the change-event delta into the table (LWW upsert).
+
+        delta: key columns + payload + ``op`` (upsert|delete) + ``seq``.
+        Equivalent SQL (Iceberg): MERGE INTO t USING d ON t.keys = d.keys
+        WHEN MATCHED AND d.seq > t._seq [AND d.op='delete'] THEN DELETE /
+        UPDATE ... WHEN NOT MATCHED THEN INSERT — realized here as
+        union + max_by-per-key over only the touched buckets.
+        """
+        t0 = time.time()
+        m = self.manifest()
+        keys, nbuckets = m["keys"], m["nbuckets"]
+
+        if batch_id is not None and str(batch_id) in m["committed_batches"]:
+            return MergeStats(batch_id, m["version"], 0, 0, 0, 0, skipped=True)
+
+        events_in = delta.count()
+
+        # 1. in-batch LWW dedup (map-side combinable aggregation)
+        delta_1 = lww_dedup(delta, keys=keys, seq=seq_col)
+        normalized = delta_1.withColumn(DELETED, F.col(op_col) == "delete").withColumnRenamed(
+            seq_col, SEQ
+        ).drop(op_col)
+
+        # 2. bucket pruning: only read/rewrite buckets the delta touches
+        normalized = normalized.withColumn("__b", _bucket_col(keys, nbuckets))
+        touched = [r["__b"] for r in normalized.select("__b").distinct().collect()]
+
+        current = self.read_raw(buckets=touched)
+        if current is not None:
+            current = current.withColumn("__b", _bucket_col(keys, nbuckets))
+            # 3. schema evolution: union-with-nulls both directions
+            union = current.unionByName(normalized, allowMissingColumns=True)
+        else:
+            union = normalized
+
+        # 4. cross-snapshot LWW: max _seq per key wins (tombstones retained)
+        merged = lww_dedup(union, keys=keys, seq=SEQ)
+
+        # 5. write only the touched buckets to the new version dir
+        version = m["version"] + 1
+        vdir = os.path.join(self.root, "data", f"v{version:08d}")
+        (
+            merged.withColumn("__b", _bucket_col(keys, nbuckets))
+            .repartition(max(len(touched), 1), "__b")
+            .write.partitionBy("__b")
+            .mode("overwrite")
+            .parquet(vdir)
+        )
+
+        # 6. new manifest: new files for touched buckets, parent's for the rest
+        new_buckets = dict(m["buckets"])
+        written = 0
+        for b in touched:
+            bdir = os.path.join(vdir, f"__b={b}")
+            if os.path.isdir(bdir):
+                files = sorted(
+                    os.path.join(bdir, f)
+                    for f in os.listdir(bdir)
+                    if f.endswith(".parquet")
+                )
+                new_buckets[str(b)] = files
+                written += len(files)
+            else:
+                new_buckets.pop(str(b), None)
+
+        schema_json = merged.drop("__b").schema.json()
+        committed = dict(m["committed_batches"])
+        if batch_id is not None:
+            committed[str(batch_id)] = version
+        keys_after = delta_1.count() if events_in else 0
+
+        manifest = {
+            **m,
+            "version": version,
+            "schema": schema_json,
+            "buckets": new_buckets,
+            "committed_batches": committed,
+            "parent": m["version"],
+            "committed_ts": time.time(),
+        }
+        self._write_manifest(manifest)
+        self._swap_pointer(version)
+
+        return MergeStats(
+            batch_id=batch_id,
+            version=version,
+            events_in=events_in,
+            keys_after_dedup=keys_after,
+            buckets_touched=len(touched),
+            rows_written=written,
+            wall_ms=int((time.time() - t0) * 1000),
+        )

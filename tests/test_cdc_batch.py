@@ -1,0 +1,157 @@
+"""End-to-end batch CDC: distributed replay == sequential oracle.
+
+The north_rule verify clause: after full replay the final table state must
+match the reference byte-for-byte under per-row content sha256 equality,
+order-insensitive and redelivery-insensitive.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyetl_spark.cdc import (
+    SnapshotTable,
+    change_events,
+    lww_dedup,
+    lww_dedup_salted,
+    replay_oracle,
+)
+from pyetl_spark.cdc.oracle import content_hashes
+
+N_EVENTS = 4000
+N_REPOS = 40
+PATHS = 25
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    df = change_events(
+        spark, N_EVENTS, n_repos=N_REPOS, paths_per_repo=PATHS, seed=42, partitions=8
+    )
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def oracle_state(events):
+    return replay_oracle(events.toPandas())
+
+
+def spark_state_pdf(table: SnapshotTable):
+    raw = table.read_raw()
+    return (
+        raw.filter(~F.col("_deleted"))
+        .withColumnRenamed("_seq", "seq")
+        .drop("_deleted")
+        .orderBy("repo", "path")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+
+
+def assert_state_matches(table, oracle_state):
+    got = spark_state_pdf(table)
+    assert len(got) == len(oracle_state)
+    oh = content_hashes(oracle_state)
+    gh = content_hashes(got)
+    assert gh == oh  # per-row sha256(content) equality
+    # and full payload equality on the other columns
+    for col in ("commit", "lang", "seq"):
+        assert list(got[col]) == list(oracle_state[col]), col
+
+
+def test_determinism_across_parallelism(spark):
+    a = change_events(spark, 500, n_repos=10, paths_per_repo=5, partitions=2)
+    b = change_events(spark, 500, n_repos=10, paths_per_repo=5, partitions=16)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_skew_present(events):
+    """the generator must produce a hot-repo head (Zipf-ish)."""
+    counts = events.groupBy("repo").count().orderBy(F.desc("count")).toPandas()
+    assert counts["count"].iloc[0] > 3 * counts["count"].mean()
+
+
+def test_lww_dedup_variants_agree(events):
+    a = lww_dedup(events).orderBy("repo", "path").toPandas()
+    b = lww_dedup_salted(events, nsalt=8).orderBy("repo", "path").toPandas()
+    assert a.equals(b)
+
+
+def test_single_merge_matches_oracle(spark, events, oracle_state, tmp_path):
+    table = SnapshotTable.create(spark, str(tmp_path / "t1"), keys=["repo", "path"], nbuckets=8)
+    stats = table.merge(events, batch_id="full")
+    assert stats.events_in == N_EVENTS
+    assert_state_matches(table, oracle_state)
+
+
+def test_out_of_order_batched_replay(spark, events, oracle_state, tmp_path):
+    """batches applied in shuffled order + one duplicate redelivery must
+    converge to the same state (order-insensitive LWW + tombstones +
+    exactly-once ledger)."""
+    table = SnapshotTable.create(spark, str(tmp_path / "t2"), keys=["repo", "path"], nbuckets=8)
+    n_batches = 5
+    per = N_EVENTS // n_batches
+    order = [2, 0, 4, 1, 3]
+    for b in order:
+        batch = events.filter((F.col("seq") >= b * per) & (F.col("seq") < (b + 1) * per))
+        table.merge(batch, batch_id=f"b{b}")
+    # duplicate redelivery of batch 2: ledger must skip it
+    dup = events.filter((F.col("seq") >= 2 * per) & (F.col("seq") < 3 * per))
+    stats = table.merge(dup, batch_id="b2")
+    assert stats.skipped
+    assert_state_matches(table, oracle_state)
+
+
+def test_tombstone_blocks_stale_event(spark, tmp_path):
+    """a pre-delete event arriving after the delete must not resurrect the key."""
+    table = SnapshotTable.create(spark, str(tmp_path / "t3"), keys=["repo", "path"], nbuckets=2)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "seq long, op string, repo string, path string, commit string, lang string, content string"
+    )
+    table.merge(mk([(1, "upsert", "r", "p", "c1", "py", "v1"), (3, "delete", "r", "p", "c3", "py", "")]), "b1")
+    assert table.read().count() == 0
+    table.merge(mk([(2, "upsert", "r", "p", "c2", "py", "v2")]), "b2")  # stale
+    assert table.read().count() == 0
+    table.merge(mk([(4, "upsert", "r", "p", "c4", "py", "v4")]), "b3")  # revive
+    got = table.read().collect()
+    assert len(got) == 1 and got[0]["content"] == "v4"
+
+
+def test_bucket_pruning(spark, events, tmp_path):
+    """a small delta must rewrite only its own buckets."""
+    table = SnapshotTable.create(spark, str(tmp_path / "t4"), keys=["repo", "path"], nbuckets=16)
+    table.merge(events, batch_id="full")
+    v_full = table.current_version()
+    one = events.filter("seq = 7").withColumn("seq", F.lit(999999).cast("long"))
+    stats = table.merge(one, batch_id="one")
+    assert stats.buckets_touched == 1
+    m = table.manifest()
+    parent = table.manifest(v_full)
+    reused = sum(1 for b, fs in m["buckets"].items() if parent["buckets"].get(b) == fs)
+    assert reused >= 14  # untouched buckets re-referenced, not rewritten
+
+
+def test_schema_evolution_on_merge(spark, tmp_path):
+    """a delta carrying a new column widens the table (union-with-nulls)."""
+    table = SnapshotTable.create(spark, str(tmp_path / "t5"), keys=["repo", "path"], nbuckets=2)
+    mk1 = spark.createDataFrame(
+        [(1, "upsert", "r", "p1", "c1", "py", "x")],
+        "seq long, op string, repo string, path string, commit string, lang string, content string",
+    )
+    table.merge(mk1, "b1")
+    mk2 = spark.createDataFrame(
+        [(2, "upsert", "r", "p2", "c2", "py", "y", 123)],
+        "seq long, op string, repo string, path string, commit string, lang string, content string, stars int",
+    )
+    table.merge(mk2, "b2")
+    got = {r["path"]: r for r in table.read().collect()}
+    assert "stars" in table.read().columns
+    assert got["p2"]["stars"] == 123 and got["p1"]["stars"] is None
+
+
+def test_max_seq_watermark(spark, events, tmp_path):
+    table = SnapshotTable.create(spark, str(tmp_path / "t6"), keys=["repo", "path"], nbuckets=4)
+    table.merge(events.filter("seq < 100"), "b")
+    assert table.max_seq() == 99
