@@ -1,0 +1,5 @@
+"""Training-data pipeline functions: text analysis, dedup, similarity,
+multimodal column plumbing (project brief: first-class components alongside
+the reference operator inventory)."""
+
+from pyetl_spark.functions import dedup, multimodal, similarity, text  # noqa: F401

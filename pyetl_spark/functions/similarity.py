@@ -1,0 +1,173 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine(a, b)``: pure Column expression (``zip_with`` dot product +
+  ``aggregate`` norms) — JVM-side, no Python.
+- ``brute_force_topk``: exact top-k against a query vector — the baseline;
+  one narrow projection + one top-k (no shuffle beyond the final k-row
+  ordering with AQE-coalesced partitions).
+- ``rhp_signature`` / ``ann_topk``: random-hyperplane LSH — the scale path:
+  the corpus is bucketed once by sign-bit signature; a query probes its own
+  bucket (optionally hamming-adjacent buckets) and re-ranks exactly. At
+  100 TB the signature column is precomputed and the table is clustered by
+  it, so a query touches ~1/2^bits of the data.
+- ``knn_join_blocked``: k-NN join between two embedding sets, blocked by
+  shared signature bucket (the IVF-style coarse quantization analog).
+
+Hyperplanes are deterministic (numpy PCG64 with fixed seed, shipped as
+plan-time literals — tiny: bits × dim floats).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(1e-12))
+
+
+def _vec_lit(v: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """exact cosine top-k vs one query vector (the correctness baseline)."""
+    q = _vec_lit(query)
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+def hyperplanes(dim: int, bits: int = 8, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim)).tolist()
+
+
+def rhp_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """random-hyperplane sign signature as an int bucket id."""
+    bits = [
+        F.when(dot(vec, _vec_lit(p)) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def ann_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 6,
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """approximate top-k: probe the query's RHP bucket (± hamming-1 buckets),
+    exact cosine re-rank inside. Recall/efficiency dial = bits, multiprobe."""
+    dim = len(query)
+    planes = hyperplanes(dim, bits, seed)
+    qv = np.array(query)
+    qsig = sum((1 << i) for i, p in enumerate(planes) if float(np.dot(qv, np.array(p))) >= 0)
+    probe = {qsig}
+    if multiprobe_hamming >= 1:
+        probe |= {qsig ^ (1 << i) for i in range(bits)}
+
+    dfv = df.withColumn("__vecd", F.col(vec_col).cast("array<double>"))
+    sig = rhp_signature(F.col("__vecd"), planes)
+    cand = dfv.withColumn("__sig", sig).filter(F.col("__sig").isin(list(probe)))
+    scored = cand.select(
+        F.col(id_col),
+        F.round(cosine(F.col("__vecd"), _vec_lit(query)), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+def knn_join_blocked(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """for each left row, top-k right rows by cosine, meeting only within the
+    shared RHP bucket (IVF-coarse analog). Output: (left_id, right_id,
+    cos_sim, rank)."""
+    from pyspark.sql import Window
+
+    if dim is None:
+        dim = len(left.select(vec_col).first()[0])
+    planes = hyperplanes(dim, bits, seed)
+
+    def prep(df: DataFrame, side: str) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        return df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            v.alias(f"{side}_vec"),
+            rhp_signature(v, planes).alias("__sig"),
+        )
+
+    l, r = prep(left, "left"), prep(right, "right")
+    pairs = l.join(r, "__sig").filter(F.col("left_id") != F.col("right_id"))
+    scored = pairs.select(
+        "left_id",
+        "right_id",
+        F.round(cosine(F.col("left_vec"), F.col("right_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("left_id").orderBy(F.desc("cos_sim"), F.col("right_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """embedding-cosine near-duplicate pairs (a < b) within RHP buckets."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, bits, seed)
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col).alias("id"), v.alias("vec"), rhp_signature(v, planes).alias("__sig"))
+    l = base.alias("l")
+    r = base.alias("r")
+    pairs = l.join(
+        r, (F.col("l.__sig") == F.col("r.__sig")) & (F.col("l.id") < F.col("r.id"))
+    )
+    return (
+        pairs.select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.round(cosine(F.col("l.vec"), F.col("r.vec")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,127 @@
+"""Text analysis for training-data pipelines: language id, quality scoring,
+token counting, fingerprinting, shingling.
+
+All hot-path functions are native Column expressions (JVM, codegen) — no
+Python in the per-row path. Hash-based fingerprints use ``md5`` where the
+result must be oracle-checkable across engines (DuckDB has md5 too) and
+``xxhash64`` where only internal consistency matters (faster, 8 bytes).
+
+Reference tie-in: these generalize the reference's per-attribute text
+commands (len/sub/format, traitement_alpha.py) into corpus-level operators
+the reference never needed at GIS scale but a 100 TB text pipeline does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# minimal per-language stopword beacons for the n-gram/stopword heuristic
+LANG_BEACONS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "a"],
+    "fr": ["le", "la", "les", "et", "de", "un", "est"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht"],
+    "es": ["el", "la", "los", "y", "de", "que", "es"],
+}
+
+EN_STOPWORDS = LANG_BEACONS["en"] + ["it", "for", "on", "with", "as", "at", "by"]
+
+
+def words(col: Column) -> Column:
+    """whitespace tokenization (empty text → empty array)."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda w: w != "")
+
+
+def token_count(col: Column) -> Column:
+    """whitespace token count."""
+    return F.size(words(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish token estimate: alpha runs + digit runs + individual
+    punctuation, the standard cheap proxy for subword token count."""
+    return F.regexp_count(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or EN_STOPWORDS
+    pat = r"(?i)\b(" + "|".join(sw) + r")\b"
+    return F.regexp_count(col, F.lit(pat)) / F.greatest(token_count(col), F.lit(1))
+
+
+def punct_ratio(col: Column) -> Column:
+    return F.regexp_count(col, F.lit(r"[^\w\s]")) / F.greatest(F.length(col), F.lit(1))
+
+
+def mean_word_len(col: Column) -> Column:
+    w = words(col)
+    total = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    return total / F.greatest(F.size(w), F.lit(1))
+
+
+def quality_score(col: Column) -> Column:
+    """heuristic document quality in [0,1]: rewards sane word length and
+    some stopword presence, penalizes punctuation soup and trivial length.
+    Deterministic and SQL-mirrorable (the DuckDB oracle recomputes it)."""
+    n = token_count(col)
+    mwl = mean_word_len(col)
+    len_ok = F.when((n >= 5) & (n <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    wl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    sw = F.least(stopword_ratio(col) * 4.0, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 4.0)
+    return F.round((len_ok + wl_ok + sw + punct_pen) / 4.0, 6)
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """per-language stopword-beacon hit counts."""
+    return {
+        lang: F.regexp_count(F.lower(col), F.lit(r"\b(" + "|".join(ws) + r")\b"))
+        for lang, ws in LANG_BEACONS.items()
+    }
+
+
+def lang_id(col: Column, default: str = "und") -> Column:
+    """argmax language by beacon hits; deterministic tie-break by language
+    code order; ``und`` when nothing matches."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    out: Column = F.lit(default)
+    for lang in sorted(scores, reverse=True):  # earlier codes win ties
+        out = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def normalize_text(col: Column) -> Column:
+    """lower + collapse whitespace — the canonical form for fingerprints."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """content fingerprint over normalized text (cross-engine checkable)."""
+    return F.md5(normalize_text(col))
+
+
+def fingerprint_xx(col: Column) -> Column:
+    """fast 64-bit internal fingerprint."""
+    return F.xxhash64(normalize_text(col))
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """array of word-level k-shingles (rolling window, space-joined)."""
+    w = words(normalize_text(col))
+    n = F.size(w)
+    # sequence(1, 0) would DESCEND in Spark; emit an empty index array instead
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, k)))
+
+
+def char_ngrams(col: Column, n: int = 5) -> Column:
+    """array of character n-grams over normalized text."""
+    t = normalize_text(col)
+    ln = F.length(t)
+    idx = F.when(ln >= n, F.sequence(F.lit(1), ln - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.substr(t, i, F.lit(n)))

@@ -1,0 +1,195 @@
+"""Tests for the training-data pipeline layer: text analysis, dedup suite,
+similarity search, multimodal plumbing — over the driver-generated
+documents/embeddings tables plus controlled fixtures."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pyetl_spark.functions import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+# ------------------------------------------------------------------- text
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("a bb  ccc",), ("",), ("x9 y, z!",)], "t string")
+    out = df.select(
+        text.token_count(F.col("t")).alias("n"),
+        text.bpe_ish_token_count(F.col("t")).alias("b"),
+    ).collect()
+    assert [r["n"] for r in out] == [3, 0, 3]
+    assert [r["b"] for r in out] == [3, 0, 6]  # x,9,y,',',z,'!'
+
+
+def test_quality_score_range(docs):
+    out = docs.select(text.quality_score(F.col("text")).alias("q"))
+    row = out.agg(F.min("q").alias("lo"), F.max("q").alias("hi")).first()
+    assert 0.0 <= row["lo"] <= row["hi"] <= 1.0
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is in a house",),
+            ("le chat et la maison est un lieu",),
+            ("der hund und die katze ist ein tier",),
+            ("zzz qqq www",),
+        ],
+        "t string",
+    )
+    got = [r[0] for r in df.select(text.lang_id(F.col("t"))).collect()]
+    assert got == ["en", "fr", "de", "und"]
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame([("A  b\tC",), ("a b c",)], "t string")
+    fps = [r[0] for r in df.select(text.fingerprint_md5(F.col("t"))).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a",)], "t string")
+    out = [r[0] for r in df.select(text.word_shingles(F.col("t"), 2)).collect()]
+    assert out[0] == ["a b", "b c", "c d"]
+    assert out[1] == []
+    ng = df.select(text.char_ngrams(F.col("t"), 3)).collect()[0][0]
+    assert ng[:2] == ["a b", " b "]
+
+
+# ------------------------------------------------------------------- dedup
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base.replace("lazy", "sleepy")  # 1 word differs
+    other = "completely different content with nothing shared at all here today"
+    return spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact dup of 1
+            (3, near),  # near dup of 1
+            (4, other),
+            (5, base.upper()),  # exact dup after normalization
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup(dup_docs):
+    groups = dedup.exact_dedup_groups(dup_docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["keep_id"] == 1 and groups[0]["n_dups"] == 3
+    kept = dedup.exact_dedup(dup_docs)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4]
+
+
+def test_minhash_lsh_finds_near_dups(dup_docs):
+    pairs = dedup.minhash_lsh_pairs(
+        dup_docs, n_hashes=32, bands=16, k_shingle=2, threshold=0.5
+    ).collect()
+    got = {(r["a"], r["b"]) for r in pairs}
+    assert (1, 2) in got and (1, 5) in got and (2, 5) in got  # exact dups
+    assert (1, 3) in got or (2, 3) in got  # near dup found via banding
+    for r in pairs:
+        assert r["jaccard"] >= 0.5
+
+
+def test_ngram_jaccard_exact(dup_docs):
+    pairs = dedup.ngram_jaccard_pairs(dup_docs, k_shingle=2, threshold=0.4)
+    got = {(r["a"], r["b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert 0.4 <= got[(1, 3)] < 1.0
+    assert (1, 4) not in got
+
+
+def test_simhash_groups(dup_docs):
+    groups = dedup.simhash_dup_groups(dup_docs).collect()
+    assert any(g["n_dups"] >= 3 for g in groups)  # 1,2,5 share a sketch
+
+
+def test_simhash_deterministic(dup_docs):
+    a = {r["doc_id"]: r["simhash"] for r in dedup.simhash(dup_docs).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in dedup.simhash(dup_docs).collect()}
+    assert a == b and a[1] == a[2]
+
+
+# ---------------------------------------------------------------- similarity
+
+
+def test_brute_force_topk_matches_numpy(embs):
+    pdf = embs.toPandas()
+    q = list(map(float, pdf.iloc[0]["embedding"]))
+    mat = np.array([list(map(float, e)) for e in pdf["embedding"]])
+    qv = np.array(q)
+    cos = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv) + 1e-12)
+    order = np.lexsort((pdf["vec_id"], -np.round(cos, 6)))
+    expected = list(pdf["vec_id"].iloc[order[:5]])
+
+    got = [r["vec_id"] for r in similarity.brute_force_topk(embs, q, k=5).collect()]
+    assert got == expected
+
+
+def test_ann_recall(embs):
+    pdf = embs.limit(1).toPandas()
+    q = list(map(float, pdf.iloc[0]["embedding"]))
+    exact = {r["vec_id"] for r in similarity.brute_force_topk(embs, q, k=10).collect()}
+    approx = {r["vec_id"] for r in similarity.ann_topk(embs, q, k=10, bits=4).collect()}
+    assert len(exact & approx) >= 5  # decent recall at tiny scale
+
+
+def test_knn_join_blocked(embs):
+    small = embs.limit(60)
+    out = similarity.knn_join_blocked(small, small, k=3, bits=3)
+    pdf = out.toPandas()
+    assert (pdf.groupby("left_id")["rank"].max() <= 3).all()
+    assert (pdf["left_id"] != pdf["right_id"]).all()
+
+
+def test_embedding_near_dup_self(embs, spark):
+    two = embs.limit(1)
+    dup = two.withColumn("vec_id", F.col("vec_id") + 100000)
+    both = two.unionByName(dup)
+    pairs = similarity.embedding_near_dup_pairs(both, threshold=0.999, bits=4).collect()
+    assert len(pairs) == 1 and pairs[0]["cos_sim"] >= 0.999
+
+
+# ---------------------------------------------------------------- multimodal
+
+
+def test_multimodal_pipeline(spark):
+    media = multimodal.synthetic_media(spark, 50)
+    feats = multimodal.extract_features(media)
+    pdf = feats.toPandas()
+    assert len(pdf) == 50
+    assert (pdf["n_bytes"] > 0).all()
+    assert pdf["features"].map(len).eq(16).all()
+    # deterministic
+    pdf2 = multimodal.extract_features(media).toPandas()
+    assert list(pdf["sha256"]) == list(pdf2["sha256"])
+
+
+def test_multimodal_stub_seam(spark):
+    media = multimodal.synthetic_media(spark, 5)
+    with pytest.raises(Exception):
+        multimodal.extract_features(media, decode_stub=False).collect()
+
+
+def test_frame_sampling(spark):
+    media = multimodal.synthetic_media(spark, 60)
+    frames = multimodal.sample_frames(media, every_n=8)
+    pdf = frames.toPandas()
+    assert (pdf["frame_idx"] % 8 == 0).all()
