@@ -1,38 +1,789 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``  — flagship: full CDC replay (generate → out-of-order
+                    batched LWW MERGE → final table state with sha256
+                    invariant), per the north_rule.
+``queries()``     — one entry per implemented operator family from
+                    SURVEY.md §2 + the training-data pipeline ops; each
+                    callable runs ENGINE code (pyetl_spark.rules /
+                    operators / functions / cdc), not ad-hoc DataFrame calls.
+``oracle_sql()``  — DuckDB-runnable ANSI SQL equivalents (same column
+                    names; aggregates rounded identically on both sides).
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyetl_spark.rules import Rule, RuleContext, apply_rules
+from pyetl_spark.rules.predicates import compile_predicate
+from pyetl_spark.operators import (
+    anti_join,
+    changed,
+    compare,
+    getkey,
+    join_lookup,
+    merge_rows,
+    objgroup,
+    semi_join,
+    sessionize,
+    stat,
+    topk,
+    unique_n,
+)
+from pyetl_spark.functions import dedup as fdedup
+from pyetl_spark.functions import similarity as fsim
+from pyetl_spark.functions import text as ftext
+from pyetl_spark.cdc import SnapshotTable, change_events, lww_dedup, lww_dedup_salted
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# flagship
+# =====================================================================
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """CDC full replay on synthetic change events (SURVEY §7.1 P0 slice):
+    out-of-order batched MERGE into a snapshot table; returns the final
+    visible state with the per-row sha256(content) invariant column."""
+    events = change_events(spark, 5000, n_repos=50, paths_per_repo=20, seed=42)
+    root = tempfile.mkdtemp(prefix="pyetl_spark_entry_")
+    table = SnapshotTable.create(spark, os.path.join(root, "code"), keys=["repo", "path"], nbuckets=8)
+    for b in (1, 0, 2):  # deliberately out of order
+        batch = events.filter((F.col("seq") >= b * 1700) & (F.col("seq") < (b + 1) * 1700))
+        table.merge(batch, batch_id=f"entry:{b}")
+    state = table.read()
+    return state.withColumn("content_sha", F.sha2(F.col("content"), 256)).orderBy("repo", "path")
+
+
+# =====================================================================
+# scalar transform rules (SURVEY §2.2) — run through the rule compiler
+# =====================================================================
+
+
+def q_rules_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    rules = [
+        Rule(op="upper", out="type_u", inp="p_type"),
+        Rule(op="lower", out="brand_l", inp="p_brand"),
+        Rule(op="len", out="name_len", inp="p_name"),
+        Rule(op="setjoin", out="brand_type", inp="p_brand,p_type", p1="/"),
+        Rule(op="split", out="type_head", inp="p_type", p1=" "),
+        Rule(op="sub", out="name_x", inp="p_name", p1="[aeiou]", p2="_"),
+        Rule(op="calc", out="price_cat", p1="CASE WHEN p_retailprice > 1500 THEN 'hi' ELSE 'lo' END"),
+        Rule(op="round", out="price_r", inp="p_retailprice", p1="0"),
+        Rule(op="format", out="label", inp="p_brand,p_size", p1="%s#%d"),
+    ]
+    out = apply_rules(part, rules)
+    return out.select(
+        "p_partkey", "type_u", "brand_l", "name_len", "brand_type",
+        "type_head", "name_x", "price_cat", "price_r", "label",
+    )
+
+
+def q_rules_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    keep = (
+        compile_predicate("l_returnflag =:A")
+        & compile_predicate("l_quantity >:30")
+        & compile_predicate("!l_linestatus =:O")
+        & compile_predicate("l_shipdate is:not_null")
+    )
+    return li.filter(keep).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def q_rules_branching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    ctx = RuleContext(params={"segmap": {"BUILDING": "B2B", "AUTOMOBILE": "B2C"}})
+    rules = [
+        Rule(op="map_data", out="seg", inp="c_mktsegment", p1="segmap", default="OTHER"),
+        Rule(op="set", out="tier", default="rich", sel1="c_acctbal >:5000"),
+        Rule(op="default", out="tier", p1="normal"),
+        Rule(op="suppobj", sel1="c_acctbal <:0"),
+    ]
+    return apply_rules(cust, rules, ctx).select("c_custkey", "seg", "tier")
+
+
+def q_rules_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    rules = [
+        Rule(op="checksum", out="name_sha", inp="c_name"),
+        Rule(op="checksum", out="name_md5", inp="c_name", p1="md5"),
+    ]
+    return apply_rules(cust, rules).select("c_custkey", "name_sha", "name_md5")
+
+
+def q_rules_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    rules = [Rule(op="splitgen", out="prio_word", inp="o_orderpriority", p1="-")]
+    return apply_rules(orders, rules).select("o_orderkey", "prio_word")
+
+
+# =====================================================================
+# aggregations / stat tables (§2.5)
+# =====================================================================
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 4
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_stat_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = stat(
+        li,
+        "l_returnflag",
+        {
+            "n": ("cnt", "l_orderkey"),
+            "qty_sum": ("somme", "l_quantity"),
+            "qty_avg": ("moy", "l_quantity"),
+            "n_orders": ("cnt_val_uniq", "l_orderkey"),
+        },
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.round("qty_sum", 4).alias("qty_sum"),
+        F.round("qty_avg", 6).alias("qty_avg"),
+        "n_orders",
+    )
+
+
+def q_stat_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = stat(li, "l_returnflag", {"n": ("cnt", "l_orderkey")}, pivot="l_linestatus", pivot_values=["O", "F"])
+    return out.select("l_returnflag", F.coalesce("O", F.lit(0)).alias("n_open"), F.coalesce("F", F.lit(0)).alias("n_done"))
+
+
+def q_merge_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    out = merge_rows(
+        orders,
+        "o_custkey",
+        {"o_totalprice": "sum", "o_orderkey": "max", "o_orderstatus": "last"},
+        order="o_orderkey",
+    )
+    return out.select(
+        "o_custkey",
+        F.round("o_totalprice", 4).alias("total_spent"),
+        F.col("o_orderkey").alias("last_order"),
+        F.col("o_orderstatus").alias("last_status"),
+    )
+
+
+def q_objgroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    joined = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    grouped = objgroup(joined, "n_name", ["c_name"], order="c_name")
+    return grouped.select(
+        "n_name", F.concat_ws(",", F.col("c_name")).alias("customers")
+    )
+
+
+# =====================================================================
+# joins / set ops (§2.4, §2.7)
+# =====================================================================
+
+
+def q_join_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    nat2 = join_lookup(
+        nat.withColumnRenamed("n_regionkey", "r_regionkey"),
+        reg,
+        "r_regionkey",
+        select={"r_name": "region_name"},
+    )
+    denorm = join_lookup(
+        cust.withColumnRenamed("c_nationkey", "n_nationkey"),
+        nat2,
+        "n_nationkey",
+        select={"n_name": "nation_name", "region_name": "region_name"},
+    )
+    return denorm.groupBy("region_name", "nation_name").agg(
+        F.count("*").alias("n_cust"), F.round(F.sum("c_acctbal"), 4).alias("bal_sum")
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    got = semi_join(orders.withColumnRenamed("o_custkey", "c_custkey"), cust, "c_custkey")
+    return got.groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    return anti_join(cust, orders, "c_custkey").select("c_custkey", "c_name")
+
+
+def q_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    hi = orders.filter(F.col("o_totalprice") > 200000).select("o_orderkey", "o_orderstatus")
+    lo = orders.filter(F.col("o_totalprice") <= 50000).select("o_orderstatus", "o_orderkey")
+    both = hi.unionByName(lo)
+    return both.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+
+
+def q_compare_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the compare operator: classify orders between two predicate-derived
+    'snapshots' (status recode simulates drift)."""
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", F.col("o_orderstatus").alias("status")
+    )
+    new = orders.filter(F.col("o_orderkey") % 2 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")).alias("status"),
+    )
+    out = compare(new, old, "o_orderkey", ["status"])
+    return out.groupBy("cdc_status").agg(F.count("*").alias("n"))
+
+
+# =====================================================================
+# windows / ordering (§2.6, §2.8)
+# =====================================================================
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    out = topk(orders, "o_custkey", F.struct(F.col("o_totalprice"), F.col("o_orderkey")), k=3)
+    return out.select("o_custkey", "o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice"), "rank")
+
+
+def q_changed_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = changed(ev, "event_type", order="event_id", partition="user_id")
+    return out.select("event_id", "user_id", F.coalesce(F.col("changed"), F.lit(True)).alias("changed"))
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    secs = F.col("ts").cast("timestamp").cast("long")  # ts is TIMESTAMP_NTZ
+    gap = secs - F.lag(secs).over(w) > 1800
+    with_gap = sessionize(ev, "user_id", "event_id", new_group=gap | F.lag("ts").over(w).isNull())
+    return with_gap.groupBy("user_id").agg(F.max("session_id").alias("n_sessions"))
+
+
+def q_getkey_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").select("p_brand").distinct()
+    return getkey(part, "p_brand", out="brand_key")
+
+
+# =====================================================================
+# CDC dedup over the events table (§2.9 / north_rule LWW shape)
+# =====================================================================
+
+
+def q_cdc_lww_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "value")
+    out = lww_dedup(ev, keys=["user_id"], seq="event_id")
+    return out.select("user_id", F.col("event_id").alias("last_event_id"), F.col("event_type").alias("last_type"))
+
+
+def q_cdc_lww_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "value")
+    out = lww_dedup_salted(ev, keys=["user_id"], seq="event_id", nsalt=8, salt_on="event_id")
+    return out.select("user_id", F.col("event_id").alias("last_event_id"), F.col("event_type").alias("last_type"))
+
+
+def q_uniq_first_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = unique_n(ev, "user_id", "event_id", n=2, desc=False, counter="occurrence")
+    return out.select("user_id", "event_id", "occurrence")
+
+
+def q_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("v"))
+    )
+    return out.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"), "event_type", "n", "v"
+    )
+
+
+# =====================================================================
+# text analysis (training-data ops)
+# =====================================================================
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ftext.token_count(F.col("text")).alias("n_tokens"),
+        ftext.bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+        F.length("text").alias("n_chars2"),
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sw_pat = r"(?i)\b(" + "|".join(ftext.EN_STOPWORDS) + r")\b"
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(sw_pat)).alias("sw_hits"),
+        F.regexp_count("text", F.lit(r"[^\w\s]")).alias("punct"),
+    )
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", ftext.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", ftext.fingerprint_md5(F.col("text")).alias("fp"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", ftext.quality_score(F.col("text")).alias("quality"))
+
+
+# =====================================================================
+# dedup suite (training-data ops)
+# =====================================================================
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", ftext.fingerprint_md5(F.col("text")).alias("fp"))
+    return fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return fdedup.ngram_jaccard_pairs(docs, block_col="source", k_shingle=3, threshold=0.12)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-banded minhash near-dup pairs (no SQL oracle: xxhash64-specific;
+    the pytest suite verifies recall against exact Jaccard instead)."""
+    docs = _t(spark, sf_dir, "documents")
+    return fdedup.minhash_lsh_pairs(docs, n_hashes=32, bands=16, threshold=0.12)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash sketch groups (no SQL oracle: custom 64-bit sketch)."""
+    docs = _t(spark, sf_dir, "documents")
+    return fdedup.simhash_dup_groups(docs)
+
+
+# =====================================================================
+# similarity search (training-data ops)
+# =====================================================================
+
+
+def q_sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _t(spark, sf_dir, "embeddings")
+    q0 = embs.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = embs.crossJoin(F.broadcast(q0)).select(
+        "vec_id",
+        F.round(
+            fsim.cosine(F.col("embedding").cast("array<double>"), F.col("qv").cast("array<double>")), 6
+        ).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.col("vec_id")).limit(10)
+
+
+def q_sim_knn_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _t(spark, sf_dir, "embeddings")
+    left = embs.filter(F.col("vec_id") < 20)
+    l = left.alias("l")
+    r = embs.alias("r")
+    pairs = l.join(r, F.col("l.vec_id") != F.col("r.vec_id"))
+    scored = pairs.select(
+        F.col("l.vec_id").alias("left_id"),
+        F.col("r.vec_id").alias("right_id"),
+        F.round(
+            fsim.cosine(F.col("l.embedding").cast("array<double>"), F.col("r.embedding").cast("array<double>")), 6
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("left_id").orderBy(F.desc("cos_sim"), F.col("right_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+
+
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RHP-bucketed ANN (no SQL oracle: hyperplane internals; pytest checks
+    recall against the brute-force baseline)."""
+    embs = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return fsim.ann_topk(embs, q, k=10, bits=5)
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _t(spark, sf_dir, "embeddings")
+    base = embs.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    l = base.alias("l")
+    r = base.alias("r")
+    pairs = l.join(
+        r, (F.col("l.label") == F.col("r.label")) & (F.col("l.vec_id") < F.col("r.vec_id"))
+    )
+    return (
+        pairs.select(
+            F.col("l.vec_id").alias("a"),
+            F.col("r.vec_id").alias("b"),
+            F.round(fsim.cosine(F.col("l.v"), F.col("r.v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.93)
+    )
+
+
+# =====================================================================
+# registry
+# =====================================================================
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "rules_scalar": q_rules_scalar,
+        "rules_predicates": q_rules_predicates,
+        "rules_branching": q_rules_branching,
+        "rules_checksum": q_rules_checksum,
+        "rules_split_explode": q_rules_split_explode,
+        "tpch_q1": q_tpch_q1,
+        "stat_table": q_stat_table,
+        "stat_pivot": q_stat_pivot,
+        "merge_rows": q_merge_rows,
+        "objgroup": q_objgroup,
+        "join_denorm": q_join_denorm,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "union_except": q_union_except,
+        "compare_cdc": q_compare_cdc,
+        "topk_per_group": q_topk_per_group,
+        "changed_lag": q_changed_lag,
+        "sessionize": q_sessionize,
+        "getkey_dense": q_getkey_dense,
+        "cdc_lww_events": q_cdc_lww_events,
+        "cdc_lww_salted": q_cdc_lww_salted,
+        "uniq_first_n": q_uniq_first_n,
+        "window_hourly": q_window_hourly,
+        "text_tokens": q_text_tokens,
+        "text_stats": q_text_stats,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "text_quality": q_text_quality,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_brute_topk": q_sim_brute_topk,
+        "sim_knn_block": q_sim_knn_block,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "emb_near_dup": q_emb_near_dup,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# =====================================================================
+# oracles
+# =====================================================================
+
+_SW_PAT = r"(?i)\b(" + "|".join(ftext.EN_STOPWORDS) + r")\b"
+_WORDS = r"regexp_split_to_array(trim(text), '\s+')"
+
+
+def _lang_oracle() -> str:
+    score = {
+        lang: f"len(regexp_extract_all(lower(text), '\\b({'|'.join(ws)})\\b'))"
+        for lang, ws in ftext.LANG_BEACONS.items()
+    }
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    cases = " ".join(
+        f"WHEN {score[lang]} > 0 AND {score[lang]} = {best} THEN '{lang}'"
+        for lang in sorted(score)  # alphabetical priority (matches Column nesting)
+    )
+    return f"SELECT doc_id, lang, CASE {cases} ELSE 'und' END AS lang_pred FROM documents"
+
+
+def _quality_oracle() -> str:
+    n = f"len(list_filter({_WORDS}, w -> w <> ''))"
+    total_wl = f"list_aggregate(list_transform(list_filter({_WORDS}, w -> w <> ''), w -> len(w)), 'sum')"
+    mwl = f"(COALESCE({total_wl},0) * 1.0 / greatest({n}, 1))"
+    sw = f"(len(regexp_extract_all(text, '{_SW_PAT}')) * 1.0 / greatest({n}, 1))"
+    punct = r"(len(regexp_extract_all(text, '[^\w\s]')) * 1.0 / greatest(len(text), 1))"
+    return f"""
+    SELECT doc_id, round((
+        (CASE WHEN {n} >= 5 AND {n} <= 100000 THEN 1.0 ELSE 0.0 END)
+      + (CASE WHEN {mwl} >= 2.0 AND {mwl} <= 12.0 THEN 1.0 ELSE 0.0 END)
+      + least({sw} * 4.0, 1.0)
+      + greatest(0.0, 1.0 - {punct} * 4.0)
+    ) / 4.0, 6) AS quality
+    FROM documents
     """
-    return {}
+
+
+def _ngram_jaccard_oracle(k: int = 3, threshold: float = 0.12) -> str:
+    sh = (
+        "list_distinct(CASE WHEN len({w}) >= {k} THEN "
+        "list_transform(range(1, len({w}) - {k} + 2), i -> array_to_string({w}[i:i+{k}-1], ' ')) "
+        "ELSE [] END)"
+    ).format(w="regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')", k=k)
+    return f"""
+    WITH sh AS (SELECT doc_id AS id, source AS blk, {sh} AS s FROM documents)
+    SELECT l.id AS a, r.id AS b,
+           round(len(list_intersect(l.s, r.s)) * 1.0 /
+                 greatest(len(list_distinct(list_concat(l.s, r.s))), 1), 6) AS jaccard
+    FROM sh l JOIN sh r ON l.blk = r.blk AND l.id < r.id
+    WHERE len(list_intersect(l.s, r.s)) * 1.0 /
+          greatest(len(list_distinct(list_concat(l.s, r.s))), 1) >= {threshold}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "rules_scalar": """
+            SELECT p_partkey,
+                   upper(p_type) AS type_u,
+                   lower(p_brand) AS brand_l,
+                   len(p_name) AS name_len,
+                   p_brand || '/' || p_type AS brand_type,
+                   string_split(p_type, ' ')[1] AS type_head,
+                   regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_x,
+                   CASE WHEN p_retailprice > 1500 THEN 'hi' ELSE 'lo' END AS price_cat,
+                   round(p_retailprice, 0) AS price_r,
+                   printf('%s#%d', p_brand, p_size) AS label
+            FROM part
+        """,
+        "rules_predicates": """
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            WHERE l_returnflag = 'A' AND l_quantity > 30
+              AND l_linestatus <> 'O' AND l_shipdate IS NOT NULL
+        """,
+        "rules_branching": """
+            SELECT c_custkey,
+                   CASE c_mktsegment WHEN 'BUILDING' THEN 'B2B'
+                                     WHEN 'AUTOMOBILE' THEN 'B2C'
+                                     ELSE 'OTHER' END AS seg,
+                   CASE WHEN c_acctbal > 5000 THEN 'rich' ELSE 'normal' END AS tier
+            FROM customer
+            WHERE NOT (c_acctbal < 0)
+        """,
+        "rules_checksum": """
+            SELECT c_custkey, sha256(c_name) AS name_sha, md5(c_name) AS name_md5
+            FROM customer
+        """,
+        "rules_split_explode": """
+            SELECT o_orderkey, unnest(string_split(o_orderpriority, '-')) AS prio_word
+            FROM orders
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "stat_table": """
+            SELECT l_returnflag, count(l_orderkey) AS n,
+                   round(sum(l_quantity), 4) AS qty_sum,
+                   round(avg(l_quantity), 6) AS qty_avg,
+                   count(DISTINCT l_orderkey) AS n_orders
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "stat_pivot": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+                   sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_done
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "merge_rows": """
+            SELECT o_custkey,
+                   round(sum(o_totalprice), 4) AS total_spent,
+                   max(o_orderkey) AS last_order,
+                   max_by(o_orderstatus, o_orderkey) AS last_status
+            FROM orders GROUP BY o_custkey
+        """,
+        "objgroup": """
+            SELECT n_name, string_agg(c_name, ',' ORDER BY c_name) AS customers
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "join_denorm": """
+            SELECT r_name AS region_name, n_name AS nation_name,
+                   count(*) AS n_cust, round(sum(c_acctbal), 4) AS bal_sum
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "semi_join": """
+            SELECT o_orderpriority, count(*) AS n
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+            GROUP BY o_orderpriority
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "union_except": """
+            SELECT o_orderstatus, count(*) AS n FROM (
+                SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 200000
+                UNION ALL
+                SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice <= 50000
+            ) GROUP BY o_orderstatus
+        """,
+        "compare_cdc": """
+            WITH old AS (
+                SELECT o_orderkey, o_orderstatus AS status FROM orders WHERE o_orderkey % 3 <> 0
+            ), new AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS status
+                FROM orders WHERE o_orderkey % 2 <> 0
+            )
+            SELECT cdc_status, count(*) AS n FROM (
+                SELECT CASE WHEN old.o_orderkey IS NULL THEN 'new'
+                            WHEN new.o_orderkey IS NULL THEN 'supp'
+                            WHEN new.status = old.status THEN 'unchanged'
+                            ELSE 'diff' END AS cdc_status
+                FROM new FULL OUTER JOIN old ON new.o_orderkey = old.o_orderkey
+            ) GROUP BY cdc_status
+        """,
+        "topk_per_group": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rank
+            FROM orders
+            QUALIFY rank <= 3
+        """,
+        "changed_lag": """
+            SELECT event_id, user_id,
+                   COALESCE(lag(event_type) OVER w IS DISTINCT FROM event_type, TRUE) AS changed
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        """,
+        "sessionize": """
+            WITH g AS (
+                SELECT user_id, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+            ), s AS (
+                SELECT user_id,
+                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
+                                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM g
+            )
+            SELECT user_id, max(session_id) AS n_sessions FROM s GROUP BY user_id
+        """,
+        "getkey_dense": """
+            SELECT p_brand, dense_rank() OVER (ORDER BY p_brand) AS brand_key
+            FROM (SELECT DISTINCT p_brand FROM part)
+        """,
+        "cdc_lww_events": """
+            SELECT user_id, event_id AS last_event_id, event_type AS last_type
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        """,
+        "cdc_lww_salted": """
+            SELECT user_id, event_id AS last_event_id, event_type AS last_type
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        """,
+        "uniq_first_n": """
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS occurrence
+            FROM events
+            QUALIFY occurrence <= 2
+        """,
+        "window_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+                   event_type, count(*) AS n, round(sum(value), 4) AS v
+            FROM events GROUP BY 1, 2
+        """,
+        "text_tokens": f"""
+            SELECT doc_id,
+                   len(list_filter({_WORDS}, w -> w <> '')) AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
+                   len(text) AS n_chars2
+            FROM documents
+        """,
+        "text_stats": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{_SW_PAT}')) AS sw_hits,
+                   len(regexp_extract_all(text, '[^\\w\\s]')) AS punct
+            FROM documents
+        """,
+        "text_lang_id": _lang_oracle(),
+        "text_fingerprint": """
+            SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "text_quality": _quality_oracle(),
+        "dedup_exact": """
+            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+                   min(doc_id) AS keep_id, count(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
+        # dedup_minhash_lsh, dedup_simhash, sim_ann_lsh: engine-specific
+        # hashes/planes — rows-only check; exactness covered in pytest.
+        "sim_brute_topk": """
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cos_sim
+            FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+        """,
+        "sim_knn_block": """
+            SELECT l.vec_id AS left_id, r.vec_id AS right_id,
+                   round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) AS cos_sim,
+                   row_number() OVER (PARTITION BY l.vec_id
+                                      ORDER BY round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) DESC,
+                                               r.vec_id) AS rank
+            FROM embeddings l JOIN embeddings r ON l.vec_id <> r.vec_id
+            WHERE l.vec_id < 20
+            QUALIFY rank <= 3
+        """,
+        "emb_near_dup": """
+            SELECT l.vec_id AS a, r.vec_id AS b,
+                   round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) AS cos_sim
+            FROM embeddings l JOIN embeddings r
+              ON l.label = r.label AND l.vec_id < r.vec_id
+            WHERE round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) >= 0.93
+        """,
+    }

@@ -257,18 +257,19 @@ def compare(
     keys = _keys(keys)
     if compare_cols is None:
         compare_cols = [c for c in df.columns if c in set(ref.columns) and c not in keys]
-    # presence flags guard against genuinely-null key columns
-    df2 = df.alias("l").withColumn("__lpresent", F.lit(True))
-    ref2 = ref.alias("r").withColumn("__rpresent", F.lit(True))
+    # rename the ref side wholesale: immune to self-join column ambiguity
+    rn = {c: f"__r_{c}" for c in ref.columns}
+    ref2 = ref.withColumnsRenamed(rn).withColumn("__rpresent", F.lit(True))
+    df2 = df.withColumn("__lpresent", F.lit(True))
     joined = df2.join(
         ref2,
-        on=[df2[k].eqNullSafe(ref2[k]) for k in keys],
+        on=[F.col(k).eqNullSafe(F.col(f"__r_{k}")) for k in keys],
         how="full_outer",
     )
     in_l = F.col("__lpresent").isNotNull()
     in_r = F.col("__rpresent").isNotNull()
-    same = F.struct(*[df2[c] for c in compare_cols]).eqNullSafe(
-        F.struct(*[ref2[c] for c in compare_cols])
+    same = F.struct(*[F.col(c) for c in compare_cols]).eqNullSafe(
+        F.struct(*[F.col(f"__r_{c}") for c in compare_cols])
     )
     status = (
         F.when(in_l & ~in_r, F.lit("new"))
@@ -276,9 +277,9 @@ def compare(
         .when(same, F.lit("unchanged"))
         .otherwise(F.lit("diff"))
     )
-    key_cols = [F.coalesce(df2[k], ref2[k]).alias(k) for k in keys]
+    key_cols = [F.coalesce(F.col(k), F.col(f"__r_{k}")).alias(k) for k in keys]
     payload = [
-        F.when(in_l, df2[c]).otherwise(ref2[c]).alias(c) for c in compare_cols
+        F.when(in_l, F.col(c)).otherwise(F.col(f"__r_{c}")).alias(c) for c in compare_cols
     ]
     return joined.select(*key_cols, *payload, status.alias(status_col))
 
