@@ -412,10 +412,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _t(spark, sf_dir, "embeddings")
     q0 = embs.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    dim = len(embs.select("embedding").first()[0])
     scored = embs.crossJoin(F.broadcast(q0)).select(
         "vec_id",
         F.round(
-            fsim.cosine(F.col("embedding").cast("array<double>"), F.col("qv").cast("array<double>")), 6
+            fsim.cosine_fixed(
+                F.col("embedding").cast("array<double>"), F.col("qv").cast("array<double>"), dim
+            ),
+            6,
         ).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.col("vec_id")).limit(10)
@@ -423,6 +427,7 @@ def q_sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sim_knn_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _t(spark, sf_dir, "embeddings")
+    dim = len(embs.select("embedding").first()[0])
     left = embs.filter(F.col("vec_id") < 20)
     l = left.alias("l")
     r = embs.alias("r")
@@ -431,7 +436,10 @@ def q_sim_knn_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l.vec_id").alias("left_id"),
         F.col("r.vec_id").alias("right_id"),
         F.round(
-            fsim.cosine(F.col("l.embedding").cast("array<double>"), F.col("r.embedding").cast("array<double>")), 6
+            fsim.cosine_fixed(
+                F.col("l.embedding").cast("array<double>"), F.col("r.embedding").cast("array<double>"), dim
+            ),
+            6,
         ).alias("cos_sim"),
     )
     w = Window.partitionBy("left_id").orderBy(F.desc("cos_sim"), F.col("right_id"))
@@ -448,6 +456,7 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _t(spark, sf_dir, "embeddings")
+    dim = len(embs.select("embedding").first()[0])
     base = embs.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
     l = base.alias("l")
     r = base.alias("r")
@@ -458,7 +467,7 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(
             F.col("l.vec_id").alias("a"),
             F.col("r.vec_id").alias("b"),
-            F.round(fsim.cosine(F.col("l.v"), F.col("r.v")), 6).alias("cos_sim"),
+            F.round(fsim.cosine_fixed(F.col("l.v"), F.col("r.v"), dim), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.93)
     )

@@ -28,13 +28,14 @@ from pyetl_spark.cdc.tableio import MergeStats, _bucket_col
 
 def record_batch_metrics(spark: SparkSession, table_root: str, stats: MergeStats) -> None:
     rate = int(stats.events_in / (stats.wall_ms / 1000.0)) if stats.wall_ms else 0
+    known = stats.keys_after_dedup >= 0
     row = [
         (
             str(stats.batch_id),
             stats.version,
             stats.events_in,
-            stats.keys_after_dedup,
-            stats.events_in - stats.keys_after_dedup,
+            stats.keys_after_dedup if known else None,
+            (stats.events_in - stats.keys_after_dedup) if known else None,
             stats.buckets_touched,
             stats.rows_written,
             stats.wall_ms,

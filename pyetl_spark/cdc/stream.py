@@ -63,7 +63,7 @@ class StreamingIngest:
         batch_id = f"stream:{epoch_id}"
         self.batches_seen.append(batch_id)
         df = self.transform(batch_df) if self.transform else batch_df
-        stats = self.table.merge(df, batch_id=batch_id)
+        stats = self.table.merge(df, batch_id=batch_id, with_stats=True)
         record_batch_metrics(self.spark, self.table.root, stats)
         if self.with_lineage and not stats.skipped and stats.events_in:
             m = self.table.manifest()

@@ -182,6 +182,7 @@ class SnapshotTable:
         batch_id: str | None = None,
         op_col: str = "op",
         seq_col: str = "seq",
+        with_stats: bool = False,
     ) -> MergeStats:
         """MERGE the change-event delta into the table (LWW upsert).
 
@@ -190,6 +191,13 @@ class SnapshotTable:
         WHEN MATCHED AND d.seq > t._seq [AND d.op='delete'] THEN DELETE /
         UPDATE ... WHEN NOT MATCHED THEN INSERT — realized here as
         union + max_by-per-key over only the touched buckets.
+
+        Cost shape: ONE small driver-side collect (per-bucket delta counts,
+        ≤nbuckets rows — also yields events_in for free), one hash-agg
+        shuffle for the LWW (in-batch duplicates and cross-snapshot winners
+        resolved in the same aggregate; map-side partial combine), one
+        bucket-aligned write. ``with_stats=True`` adds one count for the
+        post-dedup key count (streaming metrics path).
         """
         t0 = time.time()
         m = self.manifest()
@@ -198,27 +206,28 @@ class SnapshotTable:
         if batch_id is not None and str(batch_id) in m["committed_batches"]:
             return MergeStats(batch_id, m["version"], 0, 0, 0, 0, skipped=True)
 
-        events_in = delta.count()
+        normalized = (
+            delta.withColumn(DELETED, F.col(op_col) == "delete")
+            .withColumnRenamed(seq_col, SEQ)
+            .drop(op_col)
+            .withColumn("__b", _bucket_col(keys, nbuckets))
+        )
 
-        # 1. in-batch LWW dedup (map-side combinable aggregation)
-        delta_1 = lww_dedup(delta, keys=keys, seq=seq_col)
-        normalized = delta_1.withColumn(DELETED, F.col(op_col) == "delete").withColumnRenamed(
-            seq_col, SEQ
-        ).drop(op_col)
-
-        # 2. bucket pruning: only read/rewrite buckets the delta touches
-        normalized = normalized.withColumn("__b", _bucket_col(keys, nbuckets))
-        touched = [r["__b"] for r in normalized.select("__b").distinct().collect()]
+        # 1. bucket pruning + events_in in ONE job (≤nbuckets result rows)
+        bucket_counts = normalized.groupBy("__b").count().collect()
+        touched = [r["__b"] for r in bucket_counts]
+        events_in = int(sum(r["count"] for r in bucket_counts))
 
         current = self.read_raw(buckets=touched)
         if current is not None:
             current = current.withColumn("__b", _bucket_col(keys, nbuckets))
-            # 3. schema evolution: union-with-nulls both directions
+            # 2. schema evolution: union-with-nulls both directions
             union = current.unionByName(normalized, allowMissingColumns=True)
         else:
             union = normalized
 
-        # 4. cross-snapshot LWW: max _seq per key wins (tombstones retained)
+        # 3. single LWW aggregate resolves in-batch duplicates AND
+        #    cross-snapshot winners (tombstones retained)
         merged = lww_dedup(union, keys=keys, seq=SEQ)
 
         # 5. write only the touched buckets to the new version dir
@@ -252,7 +261,9 @@ class SnapshotTable:
         committed = dict(m["committed_batches"])
         if batch_id is not None:
             committed[str(batch_id)] = version
-        keys_after = delta_1.count() if events_in else 0
+        keys_after = (
+            normalized.select(*keys).distinct().count() if (with_stats and events_in) else -1
+        )
 
         manifest = {
             **m,

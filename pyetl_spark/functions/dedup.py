@@ -56,14 +56,36 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def minhash_signature(text: Column, n_hashes: int = 32, k_shingle: int = 3) -> Column:
-    """array<long> MinHash signature — min over shingles of seeded xxhash64,
-    all Column expressions (whole-stage codegen)."""
+    """array<long> MinHash signature — min over shingles of seeded xxhash64.
+
+    NOTE: higher-order functions (transform/array_min) run interpreted
+    (CodegenFallback); fine for ad-hoc per-row use, but the corpus-scale
+    path is ``minhash_signatures_agg`` (explode + hash aggregation), which
+    stays in whole-stage codegen and gets map-side partial combine."""
     sh = F.array_distinct(word_shingles(text, k_shingle))
     mins = [
         F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
         for i in range(n_hashes)
     ]
     return F.array(*mins)
+
+
+def minhash_signatures_agg(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    k_shingle: int = 3,
+) -> DataFrame:
+    """per-doc MinHash signature via explode + 32 min-aggregates — the
+    codegen'd, partially-combinable formulation. Output: (id, h0..h{n-1},
+    n_shingles). Cost: one shuffle keyed by id over (doc × shingle) rows."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k_shingle))).alias("s"),
+    )
+    aggs = [F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}") for i in range(n_hashes)]
+    return ex.groupBy("id").agg(*aggs, F.count("*").alias("n_shingles"))
 
 
 def minhash_lsh_pairs(
@@ -83,63 +105,62 @@ def minhash_lsh_pairs(
     Jaccard over distinct shingles. Returns (a, b, jaccard).
     """
     rows = n_hashes // bands
-    sig = df.select(
+    sig = minhash_signatures_agg(df, text_col, id_col, n_hashes, k_shingle)
+
+    # band hashes as plain columns (codegen'd), melted to (id, band_idx, band_hash)
+    band_cols = [
+        F.xxhash64(
+            F.concat_ws(",", *[F.col(f"h{i}").cast("string") for i in range(b * rows, (b + 1) * rows)]),
+            F.lit(b),
+        ).alias(f"bh{b}")
+        for b in range(bands)
+    ]
+    melted = sig.select("id", *band_cols).select(
+        "id",
+        F.posexplode(F.array(*[F.col(f"bh{b}") for b in range(bands)])).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    # melted feeds three consumers (bucket sizes + both self-join sides);
+    # Spark does not CSE across joins, so without this the whole
+    # shingle-explode + 32-agg lineage re-executes per consumer. The
+    # persisted set is small: n_docs x bands rows of (id, int, long).
+    melted = melted.persist()
+
+    # cap degenerate buckets (log-and-drop, never silent at scale)
+    sizes = melted.groupBy("band_idx", "band_hash").agg(F.count("*").alias("bsz"))
+    ok = sizes.filter((F.col("bsz") >= 2) & (F.col("bsz") <= max_bucket)).drop("bsz")
+    melted = melted.join(ok, ["band_idx", "band_hash"], "left_semi")
+
+    # candidate pairs via band-bucket self-join
+    l = melted.alias("l")
+    r = melted.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+    # exact-Jaccard verification: ship shingle sets only for candidates
+    sh = df.select(
         F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), n_hashes, k_shingle).alias("sig"),
         F.array_distinct(word_shingles(F.col(text_col), k_shingle)).alias("sh"),
     )
-    banded = sig.select(
-        "id",
-        "sh",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("sig"), b * rows + 1, rows),
-                            lambda x: x.cast("string"),
-                        ),
-                    ),
-                    b,
-                ),
-            )
-        ).alias("band_idx", "band_hash"),
-    )
-    buckets = (
-        banded.groupBy("band_idx", "band_hash")
-        .agg(F.collect_list(F.struct("id", "sh")).alias("members"))
-        .filter((F.size("members") >= 2) & (F.size("members") <= max_bucket))
-    )
-    pairs = (
-        buckets.select(
-            F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            F.col("members"),
-                            lambda x: F.transform(F.col("members"), lambda y: F.struct(x.alias("x"), y.alias("y"))),
-                        )
-                    ),
-                    lambda p: p["x"]["id"] < p["y"]["id"],
-                )
-            ).alias("p")
-        )
-        .select(
-            F.col("p.x.id").alias("a"),
-            F.col("p.y.id").alias("b"),
-            F.col("p.x.sh").alias("sha_"),
-            F.col("p.y.sh").alias("shb_"),
-        )
-        .dropDuplicates(["a", "b"])
+    verified = (
+        cand.join(sh.select(F.col("id").alias("a"), F.col("sh").alias("sha_")), "a")
+        .join(sh.select(F.col("id").alias("b"), F.col("sh").alias("shb_")), "b")
     )
     jac = (
         F.size(F.array_intersect("sha_", "shb_"))
         / F.greatest(F.size(F.array_union("sha_", "shb_")), F.lit(1))
     )
     return (
-        pairs.withColumn("jaccard", F.round(jac, 6))
+        verified.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )

@@ -25,6 +25,11 @@ from pyspark.sql import functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
+    """generic (unknown-dim) dot product via higher-order functions.
+
+    NOTE: Spark evaluates zip_with/aggregate in interpreted mode
+    (CodegenFallback) — correct but ~10x slower than the unrolled form.
+    Use ``dot_fixed`` whenever the dimension is known at plan time."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -38,6 +43,26 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(1e-12))
+
+
+def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """dim known at plan time → unrolled Σ a[i]*b[i]: stays inside
+    whole-stage codegen AND adds left-to-right (bit-identical to a
+    sequential-loop oracle)."""
+    out = F.element_at(a, 1) * F.element_at(b, 1)
+    for i in range(2, dim + 1):
+        out = out + F.element_at(a, i) * F.element_at(b, i)
+    return out
+
+
+def norm_fixed(a: Column, dim: int) -> Column:
+    return F.sqrt(dot_fixed(a, a, dim))
+
+
+def cosine_fixed(a: Column, b: Column, dim: int) -> Column:
+    return dot_fixed(a, b, dim) / F.greatest(
+        norm_fixed(a, dim) * norm_fixed(b, dim), F.lit(1e-12)
+    )
 
 
 def _vec_lit(v: list[float]) -> Column:
@@ -55,7 +80,7 @@ def brute_force_topk(
     q = _vec_lit(query)
     scored = df.select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cos_sim"),
+        F.round(cosine_fixed(F.col(vec_col).cast("array<double>"), q, len(query)), 6).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
@@ -68,7 +93,7 @@ def hyperplanes(dim: int, bits: int = 8, seed: int = 42) -> list[list[float]]:
 def rhp_signature(vec: Column, planes: list[list[float]]) -> Column:
     """random-hyperplane sign signature as an int bucket id."""
     bits = [
-        F.when(dot(vec, _vec_lit(p)) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        F.when(dot_fixed(vec, _vec_lit(p), len(p)) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         for i, p in enumerate(planes)
     ]
     out = bits[0]
@@ -102,7 +127,7 @@ def ann_topk(
     cand = dfv.withColumn("__sig", sig).filter(F.col("__sig").isin(list(probe)))
     scored = cand.select(
         F.col(id_col),
-        F.round(cosine(F.col("__vecd"), _vec_lit(query)), 6).alias("cos_sim"),
+        F.round(cosine_fixed(F.col("__vecd"), _vec_lit(query), dim), 6).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
@@ -139,7 +164,7 @@ def knn_join_blocked(
     scored = pairs.select(
         "left_id",
         "right_id",
-        F.round(cosine(F.col("left_vec"), F.col("right_vec")), 6).alias("cos_sim"),
+        F.round(cosine_fixed(F.col("left_vec"), F.col("right_vec"), dim), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("left_id").orderBy(F.desc("cos_sim"), F.col("right_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -167,7 +192,7 @@ def embedding_near_dup_pairs(
         pairs.select(
             F.col("l.id").alias("a"),
             F.col("r.id").alias("b"),
-            F.round(cosine(F.col("l.vec"), F.col("r.vec")), 6).alias("cos_sim"),
+            F.round(cosine_fixed(F.col("l.vec"), F.col("r.vec"), dim), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
