@@ -473,6 +473,35 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_schema_cast_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema layer (SURVEY §2.11): stringify orders columns, re-infer pyetl
+    type codes from the data (Attribut.ajout_valeur analog), apply the cast
+    layer — ends at the original types."""
+    from pyetl_spark.schema import cast_layer, infer_type_codes
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string"),
+        F.col("o_totalprice").cast("double").cast("string"),
+        F.col("o_orderdate").cast("string"),
+        F.col("o_orderstatus").cast("string"),
+    )
+    codes = infer_type_codes(orders)
+    assert codes == {"o_orderkey": "E", "o_totalprice": "F", "o_orderdate": "DS", "o_orderstatus": "T"}
+    return cast_layer(orders, codes)
+
+
+def q_schema_enum_recode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enum-domain recode + conformance flag (Conformite alias maps,
+    force_alias/valide_schema)."""
+    from pyetl_spark.schema import enum_recode, validate_enum
+
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("name"))
+    recoded = enum_recode(nation, "name", {"FRANCE": "FR", "GERMANY": "DE", "CANADA": "CA"})
+    return validate_enum(recoded, "name", ["FR", "DE", "CA"]).withColumnRenamed(
+        "name__conforme", "conforme"
+    )
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -516,6 +545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_block": q_sim_knn_block,
         "sim_ann_lsh": q_sim_ann_lsh,
         "emb_near_dup": q_emb_near_dup,
+        "schema_cast_infer": q_schema_cast_infer,
+        "schema_enum_recode": q_schema_enum_recode,
     }
 
 
@@ -794,5 +825,20 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings l JOIN embeddings r
               ON l.label = r.label AND l.vec_id < r.vec_id
             WHERE round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) >= 0.93
+        """,
+        "schema_cast_infer": """
+            SELECT CAST(o_orderkey AS INTEGER) AS o_orderkey,
+                   CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+                   CAST(o_orderdate AS DATE) AS o_orderdate,
+                   CAST(o_orderstatus AS VARCHAR) AS o_orderstatus
+            FROM orders
+        """,
+        "schema_enum_recode": """
+            SELECT n_nationkey,
+                   CASE n_name WHEN 'FRANCE' THEN 'FR' WHEN 'GERMANY' THEN 'DE'
+                               WHEN 'CANADA' THEN 'CA' ELSE n_name END AS name,
+                   CASE n_name WHEN 'FRANCE' THEN 'FR' WHEN 'GERMANY' THEN 'DE'
+                               WHEN 'CANADA' THEN 'CA' ELSE n_name END IN ('FR','DE','CA') AS conforme
+            FROM nation
         """,
     }

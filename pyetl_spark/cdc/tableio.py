@@ -183,6 +183,7 @@ class SnapshotTable:
         op_col: str = "op",
         seq_col: str = "seq",
         with_stats: bool = False,
+        prune: bool = True,
     ) -> MergeStats:
         """MERGE the change-event delta into the table (LWW upsert).
 
@@ -198,6 +199,13 @@ class SnapshotTable:
         resolved in the same aggregate; map-side partial combine), one
         bucket-aligned write. ``with_stats=True`` adds one count for the
         post-dedup key count (streaming metrics path).
+
+        ``prune=False`` skips the bucket-count pre-pass entirely (touched :=
+        every bucket; events_in observed during the write job). Right when
+        the batch is known to span the keyspace — bulk replay/backfill —
+        where pruning buys nothing and the extra job is pure fixed cost.
+        Keep the default for streaming tails, whose small batches hit few
+        buckets and skip reading + rewriting the rest of the table.
         """
         t0 = time.time()
         m = self.manifest()
@@ -213,10 +221,18 @@ class SnapshotTable:
             .withColumn("__b", _bucket_col(keys, nbuckets))
         )
 
-        # 1. bucket pruning + events_in in ONE job (≤nbuckets result rows)
-        bucket_counts = normalized.groupBy("__b").count().collect()
-        touched = [r["__b"] for r in bucket_counts]
-        events_in = int(sum(r["count"] for r in bucket_counts))
+        obs = None
+        if prune:
+            # 1. bucket pruning + events_in in ONE job (≤nbuckets result rows)
+            bucket_counts = normalized.groupBy("__b").count().collect()
+            touched = [r["__b"] for r in bucket_counts]
+            events_in = int(sum(r["count"] for r in bucket_counts))
+        else:
+            from pyspark.sql import Observation
+
+            touched = list(range(nbuckets))
+            obs = Observation()
+            normalized = normalized.observe(obs, F.count(F.lit(1)).alias("events_in"))
 
         current = self.read_raw(buckets=touched)
         if current is not None:
@@ -257,12 +273,15 @@ class SnapshotTable:
             else:
                 new_buckets.pop(str(b), None)
 
+        if obs is not None:  # prune=False: events_in observed during the write
+            events_in = int(obs.get["events_in"])
+
         schema_json = merged.drop("__b").schema.json()
         committed = dict(m["committed_batches"])
         if batch_id is not None:
             committed[str(batch_id)] = version
         keys_after = (
-            normalized.select(*keys).distinct().count() if (with_stats and events_in) else -1
+            delta.select(*keys).distinct().count() if (with_stats and events_in) else -1
         )
 
         manifest = {

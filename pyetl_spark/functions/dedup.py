@@ -54,18 +54,37 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 # --------------------------------------------------------------- MinHash/LSH
 
+# universal-hash family over the Mersenne prime 2^31-1: h_i = (a_i*h + b_i) mod p.
+# One string hash per shingle + n_hashes fused multiply-mods (all codegen'd
+# int64 arithmetic, overflow-free: a,b,h < p so a*h+b < 2^62), instead of
+# n_hashes full string hashes per shingle — ~10x less hash CPU at corpus scale.
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _uh_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """deterministic (a, b) pairs, a != 0."""
+    import random
+
+    rnd = random.Random(seed)
+    return [(rnd.randrange(1, _MERSENNE_P), rnd.randrange(0, _MERSENNE_P)) for _ in range(n_hashes)]
+
+
+def _uh(base: Column, a: int, b: int) -> Column:
+    return F.pmod(F.lit(a) * base + F.lit(b), F.lit(_MERSENNE_P))
+
 
 def minhash_signature(text: Column, n_hashes: int = 32, k_shingle: int = 3) -> Column:
-    """array<long> MinHash signature — min over shingles of seeded xxhash64.
+    """array<long> MinHash signature — min over shingles of universal hashes.
 
     NOTE: higher-order functions (transform/array_min) run interpreted
     (CodegenFallback); fine for ad-hoc per-row use, but the corpus-scale
     path is ``minhash_signatures_agg`` (explode + hash aggregation), which
     stays in whole-stage codegen and gets map-side partial combine."""
     sh = F.array_distinct(word_shingles(text, k_shingle))
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
     mins = [
-        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-        for i in range(n_hashes)
+        F.array_min(F.transform(base, lambda h, ab=ab: _uh(h, *ab)))
+        for ab in _uh_params(n_hashes)
     ]
     return F.array(*mins)
 
@@ -77,14 +96,16 @@ def minhash_signatures_agg(
     n_hashes: int = 32,
     k_shingle: int = 3,
 ) -> DataFrame:
-    """per-doc MinHash signature via explode + 32 min-aggregates — the
+    """per-doc MinHash signature via explode + n_hashes min-aggregates — the
     codegen'd, partially-combinable formulation. Output: (id, h0..h{n-1},
-    n_shingles). Cost: one shuffle keyed by id over (doc × shingle) rows."""
+    n_shingles). Cost: one shuffle keyed by id over (doc × shingle) rows;
+    each shingle is string-hashed ONCE, per-permutation values are derived
+    arithmetically (universal hashing)."""
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), k_shingle))).alias("s"),
-    )
-    aggs = [F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}") for i in range(n_hashes)]
+    ).select("id", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE_P)).alias("h"))
+    aggs = [F.min(_uh(F.col("h"), a, b)).alias(f"h{i}") for i, (a, b) in enumerate(_uh_params(n_hashes))]
     return ex.groupBy("id").agg(*aggs, F.count("*").alias("n_shingles"))
 
 
@@ -146,11 +167,15 @@ def minhash_lsh_pairs(
         .dropDuplicates(["a", "b"])
     )
 
-    # exact-Jaccard verification: ship shingle sets only for candidates
+    # exact-Jaccard verification: ship shingle sets only for candidates.
+    # persisted because both pair sides consume it (Spark re-executes
+    # lineage per consumer otherwise); at corpus scale this is the stage to
+    # give StorageLevel.DISK_ONLY or to re-derive per side if storage is
+    # tighter than CPU.
     sh = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(F.col(text_col), k_shingle)).alias("sh"),
-    )
+    ).persist()
     verified = (
         cand.join(sh.select(F.col("id").alias("a"), F.col("sh").alias("sha_")), "a")
         .join(sh.select(F.col("id").alias("b"), F.col("sh").alias("shb_")), "b")

@@ -155,3 +155,18 @@ def test_max_seq_watermark(spark, events, tmp_path):
     table = SnapshotTable.create(spark, str(tmp_path / "t6"), keys=["repo", "path"], nbuckets=4)
     table.merge(events.filter("seq < 100"), "b")
     assert table.max_seq() == 99
+
+
+def test_merge_prune_false_matches_oracle(spark, events, oracle_state, tmp_path):
+    """prune=False (bulk-replay fast path: no bucket-count pre-pass,
+    events_in observed during the write) must produce identical state and
+    correct stats."""
+    table = SnapshotTable.create(spark, str(tmp_path / "t7"), keys=["repo", "path"], nbuckets=4)
+    s1 = table.merge(events.filter("seq < 2000"), "b1", prune=False)
+    s2 = table.merge(events.filter("seq >= 2000"), "b2", prune=False)
+    assert s1.events_in == 2000 and s2.events_in == N_EVENTS - 2000
+    assert s1.buckets_touched == 4
+    assert_state_matches(table, oracle_state)
+    # idempotent redelivery still skips
+    s3 = table.merge(events.filter("seq < 2000"), "b1", prune=False)
+    assert s3.skipped
