@@ -56,7 +56,10 @@ def bench_cdc_replay(spark, n_events: int, nbuckets: int = 32, n_batches: int = 
 
     from pyetl_spark.cdc import SnapshotTable, change_events
 
-    root = tempfile.mkdtemp(prefix="bench_cdc_")
+    # tmpfs when available: /tmp goes through gVisor's serialized gofer
+    # channel; /dev/shm is the sandbox analog of executor-local NVMe
+    fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="bench_cdc_", dir=fast)
     try:
         # warmup replay into a throwaway table: the merge stages are
         # distinct codegen classes that pay the sandbox's one-time JIT toll;
@@ -96,11 +99,18 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
+    fast_dir = "/dev/shm" if os.path.isdir("/dev/shm") else None
     spark = get_spark(
         app_name="pyetl_spark_bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+            **(
+                {"spark.local.dir": f"{fast_dir}/bench_shuffle"} if fast_dir else {}
+            ),
+        },
     )
 
     # warmup: pay the one-time JIT/codegen toll outside the timings

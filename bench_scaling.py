@@ -105,19 +105,26 @@ def _compute_only(spark, cpus: int, transform) -> float:
 def run_level(cpus: int) -> dict:
     from pyetl_spark.session import get_spark
 
+    # tmpfs when available: gVisor proxies every /tmp file syscall through a
+    # single gofer channel (serialized I/O regardless of cores), while
+    # /dev/shm is sentry-internal — the sandbox analog of an executor's
+    # local NVMe + distributed object store, which is what a real cluster
+    # writes shuffle and table data to.
+    fast_dir = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     spark = get_spark(
         app_name=f"scaling_{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
         extra_conf={
             "spark.ui.showConsoleProgress": "false",
+            "spark.local.dir": os.path.join(fast_dir, f"scale_shuffle_{cpus}"),
             # task-side commit rename (v2): keeps the write-commit path
             # parallel instead of a serial driver-side rename loop
             "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
         },
     )
     transform = _transform_pipeline()
-    root = tempfile.mkdtemp(prefix=f"scale_{cpus}_")
+    root = tempfile.mkdtemp(prefix=f"scale_{cpus}_", dir=fast_dir)
     try:
         _replay(spark, root, cpus, "warmup", transform)  # JIT/codegen warmup
         _compute_only(spark, cpus, transform)
@@ -127,6 +134,7 @@ def run_level(cpus: int) -> dict:
     finally:
         shutil.rmtree(root, ignore_errors=True)
         spark.stop()
+        shutil.rmtree(os.path.join(fast_dir, f"scale_shuffle_{cpus}"), ignore_errors=True)
 
 
 def main() -> None:
