@@ -174,6 +174,54 @@ class SnapshotTable:
         row = raw.agg(F.max(SEQ).alias("m")).first()
         return row["m"] if row["m"] is not None else -1
 
+    # ------------------------------------------------------------ maintenance
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Iceberg ``expireSnapshots`` analog: drop manifests older than the
+        last ``keep_last`` versions and delete data files no kept manifest
+        references. Copy-on-write MERGE rewrites touched buckets into new
+        version dirs, so without expiry a long-running tail accumulates one
+        obsolete copy of every rewritten bucket per batch — at 10^10 events
+        that is the table size times the batch count. Metadata-only driver
+        work (file moves/deletes); current readers of kept versions are
+        unaffected (files are immutable, the pointer swap already happened).
+        """
+        current = self.current_version()
+        versions = sorted(
+            int(f[1:-5])
+            for f in os.listdir(os.path.join(self.root, "_versions"))
+            if f.startswith("v") and f.endswith(".json")
+        )
+        keep = set(versions[-keep_last:]) | {current}
+        referenced: set[str] = set()
+        for v in keep:
+            for files in self.manifest(v)["buckets"].values():
+                referenced.update(files)
+
+        removed_files = 0
+        data_root = os.path.join(self.root, "data")
+        for vdir in sorted(os.listdir(data_root)):
+            for bdir in os.listdir(os.path.join(data_root, vdir)):
+                full_b = os.path.join(data_root, vdir, bdir)
+                if not os.path.isdir(full_b):
+                    continue
+                for f in os.listdir(full_b):
+                    full = os.path.join(full_b, f)
+                    if f.endswith(".parquet") and full not in referenced:
+                        os.remove(full)
+                        removed_files += 1
+
+        removed_manifests = 0
+        for v in versions:
+            if v not in keep:
+                os.remove(self._manifest_path(v))
+                removed_manifests += 1
+        return {
+            "kept_versions": sorted(keep),
+            "removed_manifests": removed_manifests,
+            "removed_files": removed_files,
+        }
+
     # ----------------------------------------------------------------- merge
 
     def merge(

@@ -170,3 +170,23 @@ def test_merge_prune_false_matches_oracle(spark, events, oracle_state, tmp_path)
     # idempotent redelivery still skips
     s3 = table.merge(events.filter("seq < 2000"), "b1", prune=False)
     assert s3.skipped
+
+
+def test_expire_snapshots(spark, events, oracle_state, tmp_path):
+    """vacuum drops unreferenced version files; current state unaffected;
+    kept historical versions stay readable (time travel within retention)."""
+    import glob
+
+    table = SnapshotTable.create(spark, str(tmp_path / "t8"), keys=["repo", "path"], nbuckets=4)
+    for i, (lo, hi) in enumerate([(0, 1000), (1000, 2500), (2500, N_EVENTS)]):
+        table.merge(events.filter(f"seq >= {lo} and seq < {hi}"), f"b{i}")
+    before = len(glob.glob(str(tmp_path / "t8" / "data" / "*" / "*" / "*.parquet")))
+
+    res = table.expire_snapshots(keep_last=2)
+    assert res["removed_manifests"] >= 1 and res["removed_files"] >= 1
+    after = len(glob.glob(str(tmp_path / "t8" / "data" / "*" / "*" / "*.parquet")))
+    assert after < before
+
+    assert_state_matches(table, oracle_state)  # current snapshot intact
+    prev = table.manifest(table.current_version() - 1)  # retained version readable
+    assert table.read_raw(version=prev["version"]).count() > 0
