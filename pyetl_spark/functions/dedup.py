@@ -5,8 +5,9 @@ Scale design (the whole point of these shapes at 100 TB):
 
 - **exact**: one hash aggregation on a content fingerprint — map-side
   combinable, no pairwise work ever.
-- **MinHash + LSH banding**: signatures are pure Column expressions
-  (shingle → n_hashes × xxhash64 → array_min), i.e. JVM-side, no shuffle.
+- **MinHash + LSH banding**: signatures are pure Column expressions —
+  words hashed once, shingle hashes combined arithmetically (zip_with),
+  n_hashes universal-hash permutations derived by multiply-mod, min-agg'd.
   Banding turns the O(n²) pair problem into groupBy(band_idx, band_hash) —
   only docs sharing a band bucket meet, and the verify join touches just the
   candidate pairs. Bucket explosion on degenerate data is capped with
@@ -28,7 +29,13 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pyetl_spark.functions.text import fingerprint_md5, normalize_text, word_shingles, words
+from pyetl_spark.functions.text import (
+    fingerprint_md5,
+    normalize_text,
+    word_shingle_hashes,
+    word_shingles,
+    words,
+)
 
 
 # ----------------------------------------------------------------- exact
@@ -80,8 +87,8 @@ def minhash_signature(text: Column, n_hashes: int = 32, k_shingle: int = 3) -> C
     (CodegenFallback); fine for ad-hoc per-row use, but the corpus-scale
     path is ``minhash_signatures_agg`` (explode + hash aggregation), which
     stays in whole-stage codegen and gets map-side partial combine."""
-    sh = F.array_distinct(word_shingles(text, k_shingle))
-    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
+    sh = F.array_distinct(word_shingle_hashes(text, k_shingle))
+    base = F.transform(sh, lambda h: F.pmod(h, F.lit(_MERSENNE_P)))
     mins = [
         F.array_min(F.transform(base, lambda h, ab=ab: _uh(h, *ab)))
         for ab in _uh_params(n_hashes)
@@ -99,12 +106,13 @@ def minhash_signatures_agg(
     """per-doc MinHash signature via explode + n_hashes min-aggregates — the
     codegen'd, partially-combinable formulation. Output: (id, h0..h{n-1},
     n_shingles). Cost: one shuffle keyed by id over (doc × shingle) rows;
-    each shingle is string-hashed ONCE, per-permutation values are derived
-    arithmetically (universal hashing)."""
+    each WORD is string-hashed once (shingle identity = combined word
+    hashes), per-permutation values derived arithmetically (universal
+    hashing)."""
     ex = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), k_shingle))).alias("s"),
-    ).select("id", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE_P)).alias("h"))
+        F.explode(F.array_distinct(word_shingle_hashes(F.col(text_col), k_shingle))).alias("s"),
+    ).select("id", F.pmod(F.col("s"), F.lit(_MERSENNE_P)).alias("h"))
     aggs = [F.min(_uh(F.col("h"), a, b)).alias(f"h{i}") for i, (a, b) in enumerate(_uh_params(n_hashes))]
     return ex.groupBy("id").agg(*aggs, F.count("*").alias("n_shingles"))
 
@@ -174,7 +182,7 @@ def minhash_lsh_pairs(
     # tighter than CPU.
     sh = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(F.col(text_col), k_shingle)).alias("sh"),
+        F.array_distinct(word_shingle_hashes(F.col(text_col), k_shingle)).alias("sh"),
     ).persist()
     verified = (
         cand.join(sh.select(F.col("id").alias("a"), F.col("sh").alias("sha_")), "a")
@@ -207,7 +215,7 @@ def ngram_jaccard_pairs(
     base = df.select(
         F.col(id_col).alias("id"),
         (F.col(block_col) if block_col else F.lit(0)).alias("blk"),
-        F.array_distinct(word_shingles(F.col(text_col), k_shingle)).alias("sh"),
+        F.array_distinct(word_shingle_hashes(F.col(text_col), k_shingle)).alias("sh"),
     )
     l = base.alias("l")
     r = base.alias("r")

@@ -117,6 +117,28 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, k)))
 
 
+def word_shingle_hashes(col: Column, k: int = 3) -> Column:
+    """array<long> of 64-bit hashes of word-level k-shingles — the corpus-
+    scale form of :func:`word_shingles`.
+
+    Why not the string form: building shingle strings costs one array-slice
+    allocation + string concat PER SHINGLE (interpreted HOF); here each word
+    is hashed ONCE (one cheap pass) and adjacent word-hashes are combined
+    with ``xxhash64`` under ``zip_with`` — k-1 whole-array zips, no string
+    materialization. Downstream set ops (MinHash, Jaccard) only need shingle
+    *identity*, and 64-bit collisions are negligible at corpus scale, so
+    Jaccard/minhash values are identical to the string form.
+    """
+    wh = F.transform(words(normalize_text(col)), lambda w: F.xxhash64(w))
+    acc = wh
+    for j in range(1, k):
+        acc = F.zip_with(acc, F.slice(wh, j + 1, F.size(wh)), lambda a, b: F.xxhash64(a, b))
+    # zip_with pads the shorter side with null (xxhash64 skips nulls), so the
+    # last k-1 entries are prefix hashes — drop them
+    n = F.size(wh)
+    return F.slice(acc, 1, F.greatest(n - (k - 1), F.lit(0)))
+
+
 def char_ngrams(col: Column, n: int = 5) -> Column:
     """array of character n-grams over normalized text."""
     t = normalize_text(col)
