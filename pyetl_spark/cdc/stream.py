@@ -46,6 +46,7 @@ class StreamingIngest:
         schema: str = EVENT_SCHEMA,
         max_files_per_trigger: int = 4,
         with_lineage: bool = True,
+        processing_time: str | None = None,
     ):
         self.spark = spark
         self.events_dir = events_dir
@@ -55,6 +56,11 @@ class StreamingIngest:
         self.schema = schema
         self.max_files_per_trigger = max_files_per_trigger
         self.with_lineage = with_lineage
+        # polling-cadence trigger (the reference's minute-granularity
+        # calendar triggers, is:valid_date/time traitement_conditions.py:
+        # 825-988, recast as Trigger.ProcessingTime). None = availableNow:
+        # drain everything present, then stop (batch-replay mode).
+        self.processing_time = processing_time
         self.batches_seen: list[str] = []
 
     # ----------------------------------------------------------------- sink
@@ -86,12 +92,14 @@ class StreamingIngest:
             .option("recursiveFileLookup", "true")
             .parquet(self.events_dir)
         )
-        return (
-            reader.writeStream.foreachBatch(self._process_batch)
-            .option("checkpointLocation", self.checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
+        writer = reader.writeStream.foreachBatch(self._process_batch).option(
+            "checkpointLocation", self.checkpoint_dir
         )
+        if self.processing_time:
+            writer = writer.trigger(processingTime=self.processing_time)
+        else:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
 
     def run_until_drained(self, timeout_sec: int = 600) -> None:
         """process everything currently in events_dir, then stop."""

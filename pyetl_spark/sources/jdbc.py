@@ -1,0 +1,128 @@
+"""JDBC database backends — pyetl's DB layer (formats/db/*, 18 backends)
+recast on ``spark.read.jdbc`` / ``DataFrameWriter.jdbc``.
+
+Reference surfaces (citations into /root/reference):
+
+- per-backend connect/request/insert (``formats/db/database.py`` 1238 LoC,
+  ``formats/db/__init__.py:35-80`` backend registry) → one code path: Spark's
+  JDBC source with a driver-class option; the per-dialect SQL quirks live in
+  Spark's JdbcDialects, not here.
+- ``dbalpha`` table scan with attribute/selector templating and LIMIT
+  pushdown (``traitement_db.py:169-273``, LIMIT push ``:412-418``) →
+  :func:`read_table` — predicates/limit/columns land in the generated SQL
+  via Catalyst's JDBC pushdown.
+- ``dbrequest`` raw SQL with ``%#niveau/%#classe/%#attr`` templating
+  (``traitement_db.py:395-631``) → :func:`read_query` (the query ships to
+  the database; Spark reads the result set in partitioned ranges).
+- ``dbwrite`` buffered block load, ``transaction_size`` blocks
+  (``traitement_db.py:763-835``) → :func:`write_table` — ``batchsize``
+  maps the block size; executors stream inserts in parallel.
+- ``dbmaxval`` incremental watermark (``traitement_db.py:848-885``) →
+  :func:`max_val` — one MAX() pushed to the database.
+- partitioned parallel scans (the reference reads one cursor; Spark shards
+  on a numeric column) → ``partition_col``/``num_partitions``.
+
+Untested in this sandbox (no JDBC driver jars baked in); the module is a
+thin, declarative veneer over Spark's battle-tested JDBC source — every
+function returns/consumes plain DataFrames so the rest of the engine is
+storage-agnostic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _opts(url: str, options: Mapping[str, str] | None) -> dict[str, str]:
+    return {"url": url, **(options or {})}
+
+
+def read_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    columns: Sequence[str] | None = None,
+    predicate: str | None = None,
+    limit: int | None = None,
+    partition_col: str | None = None,
+    num_partitions: int = 8,
+    bounds: tuple[int, int] | None = None,
+    options: Mapping[str, str] | None = None,
+) -> DataFrame:
+    """``dbalpha``: declarative table scan; filters/column pruning/limit are
+    pushed into the database's SQL. With ``partition_col`` + ``bounds`` the
+    scan runs as ``num_partitions`` parallel range queries."""
+    reader = spark.read.format("jdbc").options(**_opts(url, options)).option("dbtable", table)
+    if partition_col and bounds:
+        reader = (
+            reader.option("partitionColumn", partition_col)
+            .option("lowerBound", str(bounds[0]))
+            .option("upperBound", str(bounds[1]))
+            .option("numPartitions", str(num_partitions))
+        )
+    df = reader.load()
+    if predicate:
+        df = df.filter(predicate)
+    if columns:
+        df = df.select(*columns)
+    if limit:
+        df = df.limit(limit)
+    return df
+
+
+def read_query(
+    spark: SparkSession,
+    url: str,
+    sql: str,
+    params: Mapping[str, str] | None = None,
+    options: Mapping[str, str] | None = None,
+) -> DataFrame:
+    """``dbrequest``: ship a SQL query to the database. ``params`` performs
+    the reference's ``%name%`` templating (plan-time string substitution —
+    values come from the job context, never from row data)."""
+    for k, v in (params or {}).items():
+        sql = sql.replace(f"%{k}%", str(v))
+    return (
+        spark.read.format("jdbc")
+        .options(**_opts(url, options))
+        .option("query", sql)
+        .load()
+    )
+
+
+def write_table(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    transaction_size: int = 1000,
+    options: Mapping[str, str] | None = None,
+) -> None:
+    """``dbwrite``: block-buffered bulk load. ``transaction_size`` (reference
+    default 1000, traitement_db.py:782) maps to JDBC ``batchsize``; each
+    executor task streams its partition in batches."""
+    (
+        df.write.format("jdbc")
+        .options(**_opts(url, options))
+        .option("dbtable", table)
+        .option("batchsize", str(transaction_size))
+        .mode(mode)
+        .save()
+    )
+
+
+def max_val(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    column: str,
+    options: Mapping[str, str] | None = None,
+):
+    """``dbmaxval``: incremental-read watermark — one MAX() evaluated by the
+    database, one row back."""
+    row = read_query(
+        spark, url, f"SELECT MAX({column}) AS m FROM {table}", options=options
+    ).first()
+    return row["m"] if row else None

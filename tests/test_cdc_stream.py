@@ -130,3 +130,36 @@ def test_metrics_and_lineage_tables(spark, events_dir, oracle_state, tmp_path):
     assert lin["events_in"].sum() == N_EVENTS
     assert (lin.groupby("batch_id")["bucket"].nunique() <= 8).all()
     assert ((lin["upserts"] + lin["deletes"]) == lin["events_in"]).all()
+
+
+def test_stream_processing_time_trigger(spark, tmp_path):
+    """continuous tail: events land WHILE the query runs on a
+    Trigger.ProcessingTime cadence (the reference's polling-loop recast);
+    the table converges to the oracle without restarts."""
+    import time
+
+    events_dir = str(tmp_path / "ev")
+    n, gen = 1200, dict(n_repos=20, paths_per_repo=10, seed=7)
+    write_event_batches(spark, events_dir, n // 2, n_batches=2, **gen)
+
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), keys=["repo", "path"], nbuckets=4)
+    ingest = StreamingIngest(
+        spark, events_dir, table, str(tmp_path / "ckpt"),
+        max_files_per_trigger=10, processing_time="1 seconds",
+    )
+    q = ingest.start()
+    try:
+        # late arrivals: the second half lands mid-stream
+        time.sleep(2)
+        df = change_events(spark, n, start=n // 2, **gen)
+        df.write.mode("overwrite").parquet(f"{events_dir}/batch_late")
+        deadline = time.time() + 120
+        expect = replay_oracle(change_events(spark, n, **gen).toPandas())
+        while time.time() < deadline:
+            if table.max_seq() == n - 1:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    got = visible(table)
+    assert content_hashes(got) == content_hashes(expect)
