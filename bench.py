@@ -30,6 +30,8 @@ from pyetl_spark.session import get_spark  # noqa: E402
 
 BENCH_QUERIES = [
     "tpch_q1",
+    "tpch_q3",
+    "tpch_q6",
     "stat_table",
     "merge_rows",
     "join_denorm",
