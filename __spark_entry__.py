@@ -187,6 +187,29 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_supplier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi-hop broadcast denorm (supplier→nation→region) + stat rollup —
+    the reference's join-then-stat composition (join traitement_alpha.py:876
+    feeding stat traitement_aux.py:259)."""
+    sup = _t(spark, sf_dir, "supplier").withColumnRenamed("s_nationkey", "n_nationkey")
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_regionkey").alias("r_regionkey")
+    )
+    reg = _t(spark, sf_dir, "region")
+    denorm = join_lookup(
+        join_lookup(sup, nat, keys="n_nationkey", how="inner"),
+        reg,
+        keys="r_regionkey",
+        how="inner",
+    )
+    out = stat(
+        denorm,
+        "r_name",
+        {"n_suppliers": ("cnt", "s_suppkey"), "acctbal_sum": ("somme", "s_acctbal")},
+    )
+    return out.select("r_name", "n_suppliers", F.round("acctbal_sum", 4).alias("acctbal_sum"))
+
+
 def q_stat_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     out = stat(
@@ -549,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q6": q_tpch_q6,
+        "supplier_rollup": q_supplier_rollup,
         "stat_table": q_stat_table,
         "stat_pivot": q_stat_pivot,
         "merge_rows": q_merge_rows,
@@ -710,6 +734,14 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
+        """,
+        "supplier_rollup": """
+            SELECT r_name, count(s_suppkey) AS n_suppliers,
+                   round(sum(s_acctbal), 4) AS acctbal_sum
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "stat_table": """
             SELECT l_returnflag, count(l_orderkey) AS n,
