@@ -55,17 +55,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """CDC full replay on synthetic change events (SURVEY §7.1 P0 slice):
-    out-of-order batched MERGE into a snapshot table; returns the final
-    visible state with the per-row sha256(content) invariant column."""
+    """CDC full replay on synthetic change events — the complete flagship
+    pipeline per the north_rule: per-attribute transform rules (compiled to
+    native Columns by the rule engine) → out-of-order batched LWW MERGE into
+    a snapshot table → final visible state carrying the per-row
+    sha256(content) invariant column (input_hint)."""
+    transform = apply_rules_factory()
     events = change_events(spark, 5000, n_repos=50, paths_per_repo=20, seed=42)
     root = tempfile.mkdtemp(prefix="pyetl_spark_entry_")
     table = SnapshotTable.create(spark, os.path.join(root, "code"), keys=["repo", "path"], nbuckets=8)
     for b in (1, 0, 2):  # deliberately out of order
         batch = events.filter((F.col("seq") >= b * 1700) & (F.col("seq") < (b + 1) * 1700))
-        table.merge(batch, batch_id=f"entry:{b}")
-    state = table.read()
-    return state.withColumn("content_sha", F.sha2(F.col("content"), 256)).orderBy("repo", "path")
+        table.merge(transform(batch), batch_id=f"entry:{b}")
+    return table.read().orderBy("repo", "path")
+
+
+def apply_rules_factory():
+    """flagship transform stage: normalize lang, stamp content_sha + origin."""
+    from pyetl_spark.rules import compile_rules
+
+    rules = [
+        Rule(op="upper", out="lang", inp="lang"),
+        Rule(op="checksum", out="content_sha", inp="content"),
+        Rule(op="set", out="origin", default="cdc:[repo]"),
+    ]
+    return compile_rules(rules, RuleContext())
 
 
 # =====================================================================
