@@ -201,6 +201,29 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """as-of join (SURVEY §2.4): each click event picks up the latest
+    at-or-before view event's value per user — union+window, one shuffle,
+    never a theta join."""
+    from pyetl_spark.operators import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    # dedupe right timestamps per key for deterministic ASOF ties
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("view_ts"))
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = asof_join(
+        clicks, views, keys="user_id", left_on="click_ts", right_on="view_ts",
+        right_values=["view_value"],
+    )
+    return out.select("user_id", "click_id", "view_value")
+
+
 def q_supplier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multi-hop broadcast denorm (supplier→nation→region) + stat rollup —
     the reference's join-then-stat composition (join traitement_alpha.py:876
@@ -587,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q6": q_tpch_q6,
         "supplier_rollup": q_supplier_rollup,
+        "asof_join": q_asof_join,
         "stat_table": q_stat_table,
         "stat_pivot": q_stat_pivot,
         "merge_rows": q_merge_rows,
@@ -748,6 +772,14 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
+        """,
+        "asof_join": """
+            SELECT c.user_id, c.event_id AS click_id, v.view_value
+            FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (
+                SELECT user_id, ts, max(value) AS view_value
+                FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+            ) v ON c.user_id = v.user_id AND c.ts >= v.ts
         """,
         "supplier_rollup": """
             SELECT r_name, count(s_suppkey) AS n_suppliers,

@@ -12,6 +12,7 @@ from pyetl_spark.operators.relational import (
     compare,
     multiplex,
     topk,
+    asof_join,
     sample_1_in_n,
     getkey,
     changed,
@@ -30,6 +31,7 @@ __all__ = [
     "compare",
     "multiplex",
     "topk",
+    "asof_join",
     "sample_1_in_n",
     "getkey",
     "changed",

@@ -284,6 +284,64 @@ def compare(
     return joined.select(*key_cols, *payload, status.alias(status_col))
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: str | Sequence[str],
+    left_on: str,
+    right_on: str,
+    right_values: Sequence[str],
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row per key with
+    ``right_on <= left_on`` (absent in the reference — SURVEY §2.4 notes
+    Spark composition gives it; the CDC shape is "state of key K as of
+    sequence S").
+
+    Implementation: union both sides on (key, time), one window pass with
+    ``last(value, ignorenulls=True)`` over rows-unbounded-preceding, keep
+    left rows. ONE shuffle on (key), linear in |L|+|R| — never the O(|L|·|R|)
+    theta join a naive ``right_on <= left_on`` condition would plan. Ties
+    (right_on == left_on) are visible to the left row, matching SQL ASOF
+    (``l.t >= r.t``); duplicate right timestamps per key should be deduped
+    upstream for determinism.
+    """
+    keys = _keys(keys)
+    lcols = [c for c in left.columns if c not in keys and c != left_on]
+    if set(right_values) & set(lcols):
+        raise ValueError("asof_join: right_values collide with left columns — alias upstream")
+    r2 = right.select(
+        *keys,
+        F.col(right_on).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(v) for v in right_values],
+    )
+    l2 = left.select(
+        *keys,
+        F.col(left_on).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+    )
+    unioned = l2.unionByName(r2, allowMissingColumns=True)
+    # right rows sort before left rows at equal time → "<=" visibility
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        *keys,
+        "__t",
+        "__side",
+        *[F.col(c) for c in lcols],
+        *[F.last(F.col(v), ignorenulls=True).over(w).alias(v) for v in right_values],
+    )
+    return (
+        filled.filter(F.col("__side") == 1)
+        .drop("__side")
+        .withColumnRenamed("__t", left_on)
+    )
+
+
 # ------------------------------------------------------------------- routing
 
 

@@ -182,3 +182,26 @@ def test_sessionize(spark):
     assert by_t[("u", 1)] == by_t[("u", 3)] == 1
     assert by_t[("u", 10)] == by_t[("u", 11)] == 2
     assert by_t[("v", 1)] == 1
+
+
+def test_asof_join(spark):
+    """latest right value at-or-before each left time, per key."""
+    from pyetl_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 5), ("a", 10), ("a", 2), ("b", 7), ("c", 1)], "k string, t long"
+    )
+    right = spark.createDataFrame(
+        [("a", 3, "a@3"), ("a", 10, "a@10"), ("b", 1, "b@1"), ("b", 9, "b@9"), ("d", 1, "d@1")],
+        "k string, rt long, rv string",
+    )
+    out = asof_join(left, right, keys="k", left_on="t", right_on="rt", right_values=["rv"])
+    got = {(r["k"], r["t"]): r["rv"] for r in out.collect()}
+    assert got == {
+        ("a", 2): None,      # nothing at or before 2
+        ("a", 5): "a@3",
+        ("a", 10): "a@10",   # tie: right row AT left time is visible
+        ("b", 7): "b@1",
+        ("c", 1): None,      # key absent on right
+    }
+    assert out.count() == left.count()  # every left row survives
