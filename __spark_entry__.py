@@ -224,6 +224,26 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "click_id", "view_value")
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bucketed range join (SURVEY §2.4): clicks within ±5 minutes of each
+    error event, per user — equi join on (user, time-bucket), never a
+    nested loop."""
+    from pyetl_spark.operators import range_join_window
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").cast("timestamp").cast("double").alias("err_t"), F.col("event_id").alias("err_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").cast("timestamp").cast("double").alias("click_t"), F.col("event_id").alias("click_id")
+    )
+    out = range_join_window(
+        errors, clicks, keys="user_id", left_on="err_t", right_on="click_t",
+        lower=-300.0, upper=300.0,
+    )
+    return out.select("user_id", "err_id", "click_id")
+
+
 def q_supplier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multi-hop broadcast denorm (supplier→nation→region) + stat rollup —
     the reference's join-then-stat composition (join traitement_alpha.py:876
@@ -611,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "supplier_rollup": q_supplier_rollup,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "stat_table": q_stat_table,
         "stat_pivot": q_stat_pivot,
         "merge_rows": q_merge_rows,
@@ -772,6 +793,13 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
+        """,
+        "range_join": """
+            SELECT e.user_id, e.event_id AS err_id, c.event_id AS click_id
+            FROM events e JOIN events c
+              ON e.user_id = c.user_id
+             AND c.ts BETWEEN e.ts - INTERVAL 300 SECOND AND e.ts + INTERVAL 300 SECOND
+            WHERE e.event_type = 'error' AND c.event_type = 'click'
         """,
         "asof_join": """
             SELECT c.user_id, c.event_id AS click_id, v.view_value

@@ -342,6 +342,47 @@ def asof_join(
     )
 
 
+def range_join_window(
+    left: DataFrame,
+    right: DataFrame,
+    keys: str | Sequence[str],
+    left_on: str,
+    right_on: str,
+    lower: float,
+    upper: float,
+    bucket_width: float | None = None,
+) -> DataFrame:
+    """Inner join of rows with ``left_on + lower <= right_on <= left_on +
+    upper`` per key (absent in the reference; the GIS analog is the spatial
+    bbox join ``dbgeo`` traitement_db.py:337-392).
+
+    Implementation: both sides are bucketed to ``bucket_width`` (default =
+    window span); the left side explodes to the buckets its window overlaps
+    (a small constant), the join runs as a plain EQUI join on (key, bucket)
+    — shuffle-hash/broadcast-able, cost ∝ matches — then the exact range
+    predicate filters. A naive range condition would force a
+    BroadcastNestedLoopJoin: O(|L|·|R|) and a 100 TB non-starter.
+    """
+    keys = _keys(keys)
+    span = upper - lower
+    width = bucket_width or max(span, 1e-9)
+    n_buckets = int(span / width) + 2
+
+    l2 = left.withColumn(
+        "__b0", F.floor((F.col(left_on) + F.lit(lower)) / F.lit(width)).cast("long")
+    ).withColumn(
+        "__b", F.explode(F.sequence(F.col("__b0"), F.col("__b0") + F.lit(n_buckets - 1)))
+    ).drop("__b0")
+    r2 = right.withColumn("__b", F.floor(F.col(right_on) / F.lit(width)).cast("long"))
+    joined = l2.join(r2, [*keys, "__b"]).drop("__b")
+    # no dedup needed: the right row has exactly ONE bucket, so each
+    # (left, right) pair meets in at most one exploded bucket
+    return joined.filter(
+        (F.col(right_on) >= F.col(left_on) + F.lit(lower))
+        & (F.col(right_on) <= F.col(left_on) + F.lit(upper))
+    )
+
+
 # ------------------------------------------------------------------- routing
 
 

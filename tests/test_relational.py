@@ -205,3 +205,29 @@ def test_asof_join(spark):
         ("c", 1): None,      # key absent on right
     }
     assert out.count() == left.count()  # every left row survives
+
+
+def test_range_join_window(spark):
+    """bucketed range join == naive range condition, without the nested loop."""
+    from pyetl_spark.operators import range_join_window
+
+    left = spark.createDataFrame(
+        [("a", 100.0, "L1"), ("a", 200.0, "L2"), ("b", 50.0, "L3")], "k string, t double, lid string"
+    )
+    right = spark.createDataFrame(
+        [("a", 95.0, "R1"), ("a", 112.0, "R2"), ("a", 190.0, "R3"), ("b", 70.0, "R4"), ("b", 20.0, "R5")],
+        "k string, rt double, rid string",
+    )
+    out = range_join_window(left, right, keys="k", left_on="t", right_on="rt", lower=-10, upper=15)
+    got = sorted((r["lid"], r["rid"]) for r in out.collect())
+    # naive mirror
+    want = sorted(
+        (lr["lid"], rr["rid"])
+        for lr in left.collect()
+        for rr in right.collect()
+        if lr["k"] == rr["k"] and lr["t"] - 10 <= rr["rt"] <= lr["t"] + 15
+    )
+    assert got == want and ("L1", "R1") in got and ("L1", "R2") in got
+    # plan: equi join, not a nested-loop
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
