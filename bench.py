@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "cdc_lww_events",
     "window_hourly",
     "compare_cdc",
+    "asof_join",
+    "range_join",
+    "supplier_rollup",
     "rules_scalar",
     "text_tokens",
     "text_quality",
