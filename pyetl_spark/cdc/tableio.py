@@ -51,6 +51,13 @@ SEQ = "_seq"
 DELETED = "_deleted"
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this merge's snapshot read and its
+    commit attempt (Iceberg's optimistic-concurrency CommitFailedException
+    analog). The merge's data files are orphaned, never referenced — safe to
+    retry the merge or let snapshot expiry collect them."""
+
+
 def _bucket_col(keys: Sequence[str], nbuckets: int):
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(nbuckets)).cast("int")
 
@@ -341,6 +348,14 @@ class SnapshotTable:
             "parent": m["version"],
             "committed_ts": time.time(),
         }
+        # optimistic concurrency: the snapshot this merge was planned against
+        # must still be current at commit time (single-writer contract; on a
+        # conflict the new version's files are unreferenced → retry-safe)
+        if self.current_version() != m["version"]:
+            raise ConcurrentWriteError(
+                f"table advanced to v{self.current_version()} while merging "
+                f"against v{m['version']}; retry the merge"
+            )
         self._write_manifest(manifest)
         self._swap_pointer(version)
 

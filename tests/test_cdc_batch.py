@@ -190,3 +190,33 @@ def test_expire_snapshots(spark, events, oracle_state, tmp_path):
     assert_state_matches(table, oracle_state)  # current snapshot intact
     prev = table.manifest(table.current_version() - 1)  # retained version readable
     assert table.read_raw(version=prev["version"]).count() > 0
+
+
+def test_concurrent_write_detection(spark, events, tmp_path):
+    """a merge planned against a stale snapshot must fail at commit, not
+    silently drop the other writer's version (optimistic concurrency)."""
+    from pyetl_spark.cdc.tableio import ConcurrentWriteError
+
+    root = str(tmp_path / "t9")
+    t1 = SnapshotTable.create(spark, root, keys=["repo", "path"], nbuckets=2)
+    t1.merge(events.filter("seq < 500"), "b1")
+
+    # a second handle commits while the first handle's merge is "in flight":
+    # simulate by monkeypatching the slow part — plan against v1, advance the
+    # table from elsewhere, then let the original commit race
+    t2 = SnapshotTable(spark, root)
+    m_before = t1.manifest()
+    assert m_before["version"] == 1
+    t2.merge(events.filter("seq >= 500 and seq < 800"), "b2")  # other writer wins
+    with pytest.raises(ConcurrentWriteError):
+        # t1's merge reads the manifest at call time — force the stale view
+        orig_manifest = t1.manifest
+        t1.manifest = lambda version=None: m_before if version is None else orig_manifest(version)
+        try:
+            t1.merge(events.filter("seq >= 800 and seq < 900"), "b3")
+        finally:
+            t1.manifest = orig_manifest
+
+    # the winning writer's state is intact and readable
+    assert t2.current_version() == 2
+    assert set(t2.committed_batches()) == {"b1", "b2"}
