@@ -566,6 +566,15 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fsim.ann_topk(embs, q, k=10, bits=5)
 
 
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (no SQL oracle: k-means quantizer internals; pytest checks
+    recall against brute force)."""
+    embs = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cents = fsim.ivf_fit(embs, n_centroids=8, seed=42)
+    return fsim.ivf_topk(embs, cents, q, k=10, nprobe=3)
+
+
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _t(spark, sf_dir, "embeddings")
     dim = len(embs.select("embedding").first()[0])
@@ -661,6 +670,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_brute_topk": q_sim_brute_topk,
         "sim_knn_block": q_sim_knn_block,
         "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ivf_topk": q_sim_ivf_topk,
+        "dedup_simhash_near": lambda spark, sf_dir: fdedup.simhash_near_dup_pairs(
+            _t(spark, sf_dir, "documents"), max_hamming=3, bands=4
+        ),
         "emb_near_dup": q_emb_near_dup,
         "schema_cast_infer": q_schema_cast_infer,
         "schema_enum_recode": q_schema_enum_recode,

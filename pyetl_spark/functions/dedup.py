@@ -275,11 +275,74 @@ def simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> Data
 
 
 def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """identical-sketch duplicate groups (hamming-0; banded variant for
-    hamming-k would bucket on sketch byte slices)."""
+    """identical-sketch duplicate groups (hamming-0); near-miss tolerance is
+    :func:`simhash_near_dup_pairs`."""
     return (
         simhash(df, text_col)
         .groupBy("simhash")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
         .filter(F.col("n_dups") >= 2)
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """near-duplicate pairs with Hamming distance <= ``max_hamming`` on the
+    64-bit SimHash — the classic banded pigeonhole: split the sketch into
+    ``bands`` slices; two sketches within hamming k < bands must agree
+    EXACTLY on at least one slice, so candidates come from an equi
+    groupBy/join on (band_idx, slice-bits), never an all-pairs scan. The
+    exact popcount filter then verifies. Requires ``max_hamming < bands``
+    for zero false negatives (pigeonhole).
+    """
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole guarantee needs max_hamming < bands")
+    width = 64 // bands
+    sk = simhash(df.select(F.col(id_col).alias("id"), F.col(text_col)), text_col, out="sk")
+
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftrightunsigned(F.col("sk"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("band_bits"),
+            )
+            for b in range(bands)
+        ]
+    )
+    melted = sk.select("id", "sk", F.explode(slices).alias("s")).select(
+        "id", "sk", F.col("s.band_idx").alias("band_idx"), F.col("s.band_bits").alias("band_bits")
+    )
+    sizes = melted.groupBy("band_idx", "band_bits").agg(F.count("*").alias("n"))
+    ok = sizes.filter((F.col("n") >= 2) & (F.col("n") <= max_bucket)).drop("n")
+    melted = melted.join(ok, ["band_idx", "band_bits"], "left_semi")
+
+    l, r = melted.alias("l"), melted.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_bits") == F.col("r.band_bits"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.col("l.sk").alias("ska"),
+            F.col("r.sk").alias("skb"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    hamming = F.bit_count(F.col("ska").bitwiseXOR(F.col("skb")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
     )

@@ -193,3 +193,56 @@ def test_frame_sampling(spark):
     frames = multimodal.sample_frames(media, every_n=8)
     pdf = frames.toPandas()
     assert (pdf["frame_idx"] % 8 == 0).all()
+
+
+def test_simhash_near_dup_pairs(spark):
+    """hamming-banded candidates + exact popcount verify == brute force."""
+    import itertools
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+            (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+            (3, "the quick brown fox leaps over the lazy dog near the river bank today"),
+            (4, "completely different text about spark structured streaming state stores"),
+            (5, "another unrelated document discussing parquet bucketing and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in dedup.simhash_near_dup_pairs(docs, max_hamming=3, bands=4).collect()
+    }
+    # brute-force mirror over the same sketches
+    sk = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    want = {
+        (a, b): bin((sk[a] ^ sk[b]) & (2**64 - 1)).count("1")
+        for a, b in itertools.combinations(sorted(sk), 2)
+        if bin((sk[a] ^ sk[b]) & (2**64 - 1)).count("1") <= 3
+    }
+    assert got == want and len(got) >= 1  # the near-identical docs pair up
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_near_dup_pairs(docs, max_hamming=4, bands=4)
+
+
+def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
+    """IVF (k-means cells + nprobe) finds most of the true top-k."""
+    from pyetl_spark.functions import similarity as fsim
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in embs.filter("vec_id = 1").first()["embedding"]]
+
+    cents = fsim.ivf_fit(embs, n_centroids=8, seed=42)
+    assert len(cents) == 8 and len(cents[0]) == len(q)
+
+    truth = {r["vec_id"] for r in fsim.brute_force_topk(embs, q, k=10).collect()}
+    got = {r["vec_id"] for r in fsim.ivf_topk(embs, cents, q, k=10, nprobe=3).collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.6, recall
+
+    # cells cover the space: every vector is assigned to a valid cell
+    assigned = fsim.ivf_assign(embs, cents)
+    n_cells = assigned.select("ivf_cell").distinct().count()
+    assert 1 < n_cells <= 8
+    assert assigned.filter("ivf_cell < 0 OR ivf_cell > 7").count() == 0
