@@ -244,6 +244,22 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "err_id", "click_id")
 
 
+def q_stat_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi-dimensional stat table via CUBE — beyond the reference's
+    multi-key stat (SURVEY §2.5 notes cube/rollup come free in Spark)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 4).alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n",
+            "qty",
+        )
+    )
+
+
 def q_supplier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multi-hop broadcast denorm (supplier→nation→region) + stat rollup —
     the reference's join-then-stat composition (join traitement_alpha.py:876
@@ -639,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q6": q_tpch_q6,
         "supplier_rollup": q_supplier_rollup,
+        "stat_cube": q_stat_cube,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "stat_table": q_stat_table,
@@ -821,6 +838,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, ts, max(value) AS view_value
                 FROM events WHERE event_type = 'view' GROUP BY user_id, ts
             ) v ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+        "stat_cube": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   count(*) AS n, round(sum(l_quantity), 4) AS qty
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "supplier_rollup": """
             SELECT r_name, count(s_suppkey) AS n_suppliers,

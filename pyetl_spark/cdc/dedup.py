@@ -54,6 +54,24 @@ def lww_dedup(
     return out.select(*keys, *[F.col(f"__w.{c}").alias(c) for c in payload])
 
 
+def stream_dedup_within_watermark(
+    stream: DataFrame,
+    keys: Sequence[str] = ("repo", "path", "commit"),
+    event_time_col: str = "event_ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """At-source streaming dedup of redelivered events:
+    ``withWatermark + dropDuplicatesWithinWatermark`` (SURVEY §2.9 — the
+    reference's unbounded in-memory ``unique`` set becomes bounded,
+    checkpointed state that expires with the watermark).
+
+    This is an OPTIMIZATION stage, not the correctness mechanism: the MERGE
+    sink is already idempotent (LWW by seq + batch ledger), so dropping
+    duplicate deliveries here only saves downstream work. Key includes the
+    commit so distinct updates to the same path are NOT collapsed."""
+    return stream.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(list(keys))
+
+
 def lww_dedup_salted(
     df: DataFrame,
     keys: Sequence[str] = ("repo", "path"),

@@ -163,3 +163,32 @@ def test_stream_processing_time_trigger(spark, tmp_path):
         q.stop()
     got = visible(table)
     assert content_hashes(got) == content_hashes(expect)
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """redelivered events inside the watermark are dropped at source;
+    distinct commits for the same key are kept."""
+    from pyspark.sql import functions as F2
+
+    from pyetl_spark.cdc.dedup import stream_dedup_within_watermark
+
+    ev = change_events(spark, 400, n_repos=5, paths_per_repo=4, seed=5).withColumn(
+        "event_ts", F2.to_timestamp(F2.lit("2024-01-01 00:00:00")) + F2.make_interval(secs=F2.col("seq"))
+    )
+    d = str(tmp_path / "ev")
+    ev.write.mode("overwrite").parquet(f"{d}/b0")
+    ev.write.mode("overwrite").parquet(f"{d}/b1")  # full redelivery
+
+    schema = ev.schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").option(
+        "recursiveFileLookup", "true"
+    ).parquet(d)
+    deduped = stream_dedup_within_watermark(stream)
+    q = (
+        deduped.writeStream.format("memory").queryName("wm_dedup")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("SELECT * FROM wm_dedup")
+    assert got.count() == 400  # the redelivered copy was dropped
+    assert got.select("repo", "path", "commit").distinct().count() == 400
