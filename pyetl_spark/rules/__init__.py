@@ -13,6 +13,8 @@ from pyetl_spark.rules.spec import Rule, RuleContext, bind_param
 from pyetl_spark.rules.predicates import compile_predicate
 from pyetl_spark.rules.compiler import compile_rules, apply_rules
 from pyetl_spark.rules.scalar import COMMANDS
+from pyetl_spark.rules.csv_front import parse_script, run_script
+from pyetl_spark.rules.macros import MacroStore, when_param
 
 __all__ = [
     "Rule",
@@ -22,4 +24,8 @@ __all__ = [
     "compile_rules",
     "apply_rules",
     "COMMANDS",
+    "parse_script",
+    "run_script",
+    "MacroStore",
+    "when_param",
 ]
