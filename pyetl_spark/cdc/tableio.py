@@ -229,6 +229,15 @@ class SnapshotTable:
             "removed_files": removed_files,
         }
 
+    def rollback(self, version: int) -> None:
+        """Iceberg ``rollback_to_snapshot`` analog: point the table back at a
+        retained earlier version (manifests/files are immutable, so this is
+        one atomic pointer swap). Batches committed after that version leave
+        the ledger with it, so they can be legitimately re-merged."""
+        if not os.path.exists(self._manifest_path(version)):
+            raise ValueError(f"version {version} not retained (expired or never existed)")
+        self._swap_pointer(version)
+
     # ----------------------------------------------------------------- merge
 
     def merge(

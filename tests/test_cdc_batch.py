@@ -220,3 +220,21 @@ def test_concurrent_write_detection(spark, events, tmp_path):
     # the winning writer's state is intact and readable
     assert t2.current_version() == 2
     assert set(t2.committed_batches()) == {"b1", "b2"}
+
+
+def test_rollback_to_snapshot(spark, events, tmp_path):
+    table = SnapshotTable.create(spark, str(tmp_path / "t10"), keys=["repo", "path"], nbuckets=2)
+    table.merge(events.filter("seq < 1000"), "b1")
+    n1 = table.read().count()
+    table.merge(events.filter("seq >= 1000 and seq < 2000"), "b2")
+    assert table.read().count() != n1
+
+    table.rollback(1)
+    assert table.current_version() == 1 and table.read().count() == n1
+    assert "b2" not in table.committed_batches()
+    # b2 can be re-merged after the rollback (ledger rolled back with it)
+    s = table.merge(events.filter("seq >= 1000 and seq < 2000"), "b2")
+    assert not s.skipped and table.current_version() == 2
+
+    with pytest.raises(ValueError, match="not retained"):
+        table.rollback(99)
