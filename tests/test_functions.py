@@ -233,16 +233,16 @@ def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = [float(x) for x in embs.filter("vec_id = 1").first()["embedding"]]
 
-    cents = fsim.ivf_fit(embs, n_centroids=8, seed=42)
-    assert len(cents) == 8 and len(cents[0]) == len(q)
+    cents = fsim.ivf_fit(embs, n_centroids=4, seed=42)
+    assert len(cents) == 4 and len(cents[0]) == len(q)
 
     truth = {r["vec_id"] for r in fsim.brute_force_topk(embs, q, k=10).collect()}
-    got = {r["vec_id"] for r in fsim.ivf_topk(embs, cents, q, k=10, nprobe=3).collect()}
+    got = {r["vec_id"] for r in fsim.ivf_topk(embs, cents, q, k=10, nprobe=2).collect()}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.6, recall
 
     # cells cover the space: every vector is assigned to a valid cell
     assigned = fsim.ivf_assign(embs, cents)
     n_cells = assigned.select("ivf_cell").distinct().count()
-    assert 1 < n_cells <= 8
-    assert assigned.filter("ivf_cell < 0 OR ivf_cell > 7").count() == 0
+    assert 1 < n_cells <= 4
+    assert assigned.filter("ivf_cell < 0 OR ivf_cell > 3").count() == 0

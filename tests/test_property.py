@@ -21,7 +21,7 @@ from pyetl_spark.cdc import lww_dedup, lww_dedup_salted
 from pyetl_spark.rules import Rule, RuleContext, apply_rules, compile_predicate
 
 SETTINGS = dict(
-    max_examples=12,
+    max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
