@@ -260,6 +260,21 @@ def q_stat_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stat_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hierarchical ROLLUP over (returnflag, linestatus) — the other
+    free-in-Spark grouping-set shape (SURVEY §2.5)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n",
+        )
+    )
+
+
 def q_supplier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multi-hop broadcast denorm (supplier→nation→region) + stat rollup —
     the reference's join-then-stat composition (join traitement_alpha.py:876
@@ -656,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "supplier_rollup": q_supplier_rollup,
         "stat_cube": q_stat_cube,
+        "stat_rollup": q_stat_rollup,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "stat_table": q_stat_table,
@@ -838,6 +854,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, ts, max(value) AS view_value
                 FROM events WHERE event_type = 'view' GROUP BY user_id, ts
             ) v ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+        "stat_rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "stat_cube": """
             SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,

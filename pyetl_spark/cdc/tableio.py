@@ -229,6 +229,39 @@ class SnapshotTable:
             "removed_files": removed_files,
         }
 
+    def compact(self, min_files: int = 2) -> dict:
+        """Iceberg ``rewrite_data_files`` analog: rewrite any bucket whose
+        snapshot spans >= ``min_files`` files into one file, commit as a new
+        version. Data is untouched (pure rewrite, LWW state identical) and
+        the commit is the same atomic pointer swap as a MERGE. Buckets can
+        fragment when AQE splits a skewed write or maxRecordsPerFile caps
+        file size; read amplification of a fragmented hot bucket is the
+        scale cost this repays."""
+        m = self.manifest()
+        frag = {b: fs for b, fs in m["buckets"].items() if len(fs) >= min_files}
+        if not frag:
+            return {"compacted_buckets": 0, "files_before": 0, "files_after": 0}
+
+        version = m["version"] + 1
+        vdir = os.path.join(self.root, "data", f"v{version:08d}")
+        new_buckets = dict(m["buckets"])
+        before = after = 0
+        for b, files in frag.items():
+            bdir = os.path.join(vdir, f"__b={b}")
+            self._read_files(files).coalesce(1).write.mode("overwrite").parquet(bdir)
+            out = sorted(
+                os.path.join(bdir, f) for f in os.listdir(bdir) if f.endswith(".parquet")
+            )
+            new_buckets[b] = out
+            before += len(files)
+            after += len(out)
+
+        if self.current_version() != m["version"]:
+            raise ConcurrentWriteError("table advanced during compaction; retry")
+        self._write_manifest({**m, "version": version, "buckets": new_buckets, "parent": m["version"], "committed_ts": time.time()})
+        self._swap_pointer(version)
+        return {"compacted_buckets": len(frag), "files_before": before, "files_after": after}
+
     def rollback(self, version: int) -> None:
         """Iceberg ``rollback_to_snapshot`` analog: point the table back at a
         retained earlier version (manifests/files are immutable, so this is

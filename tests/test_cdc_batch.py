@@ -238,3 +238,28 @@ def test_rollback_to_snapshot(spark, events, tmp_path):
 
     with pytest.raises(ValueError, match="not retained"):
         table.rollback(99)
+
+
+def test_compact_fragmented_buckets(spark, events, oracle_state, tmp_path):
+    """fragment a bucket (multi-file write), compact, state byte-identical."""
+    import glob
+
+    table = SnapshotTable.create(spark, str(tmp_path / "t11"), keys=["repo", "path"], nbuckets=2)
+    table.merge(events, "full")
+    # fragment: rewrite bucket files split into many small ones
+    m = table.manifest()
+    b0_files = m["buckets"]["0"]
+    frag_dir = str(tmp_path / "t11" / "data" / "vfrag" / "__b=0")
+    spark.read.parquet(*b0_files).repartition(5).write.mode("overwrite").parquet(frag_dir)
+    m["buckets"]["0"] = sorted(glob.glob(f"{frag_dir}/*.parquet"))
+    m["version"] += 1
+    table._write_manifest(m)
+    table._swap_pointer(m["version"])
+    assert len(table.manifest()["buckets"]["0"]) == 5
+
+    res = table.compact()
+    assert res["compacted_buckets"] >= 1 and res["files_after"] < res["files_before"]
+    assert all(len(fs) == 1 for fs in table.manifest()["buckets"].values())
+    assert_state_matches(table, oracle_state)
+    # idempotent: nothing left to compact
+    assert table.compact()["compacted_buckets"] == 0
