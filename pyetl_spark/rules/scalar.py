@@ -331,6 +331,45 @@ def cmd_ren(rule: Rule, ctx: RuleContext) -> Effect:
     return DataFrameEffect(fn)
 
 
+@command("cnt")
+def cmd_cnt(rule: Rule, ctx: RuleContext) -> Effect:
+    """per-rule row counter — ``f_cnt`` traitement_alpha.py:845-873.
+
+    The reference counted rows in single-stream arrival order; Spark needs
+    the order made explicit (SURVEY §2.8): ``p1`` = order column (required),
+    ``inp`` = optional partition key(s) for a per-key counter (the
+    ``unique;N`` occurrence-rank shape)."""
+    if not rule.p1:
+        raise ValueError("cnt requires p1 = explicit order column (no stream order in Spark)")
+    out = rule.outs()[0]
+    order = F.col(rule.p1)
+    keys = rule.inps()
+
+    def fn(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy(order)
+        return df.withColumn(out, F.row_number().over(w))
+
+    return DataFrameEffect(fn)
+
+
+@command("getkey")
+def cmd_getkey(rule: Rule, ctx: RuleContext) -> Effect:
+    """dense incremental key per distinct value — ``f_getkey``
+    traitement_divers.py:770-790 (global window; join a key-dimension table
+    at large cardinality, see operators.getkey)."""
+    out = rule.outs()[0]
+    val = rule.inp
+
+    def fn(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        return df.withColumn(out, F.dense_rank().over(Window.orderBy(F.col(val))))
+
+    return DataFrameEffect(fn)
+
+
 @command("supp")
 def cmd_supp(rule: Rule, ctx: RuleContext) -> Effect:
     """drop attributes — ``f_supp`` traitement_alpha.py:696-783."""

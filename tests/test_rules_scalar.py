@@ -263,3 +263,29 @@ def test_extractbloc(spark):
     )
     out = apply_rules(df, [Rule(op="extractbloc", out="blk", inp="t", p1="fn \\w+", p2="{}")])
     assert rows(out, "blk") == [("{a{b}c}",), ("{d}",)]
+
+
+def test_cmd_cnt_and_getkey(spark):
+    from pyetl_spark.rules import Rule, RuleContext, apply_rules
+
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 1), ("b", 2), ("a", 2)], "k string, seq long"
+    )
+    out = apply_rules(
+        df,
+        [
+            Rule(op="cnt", out="n", p1="seq"),               # global counter by seq
+            Rule(op="cnt", out="occ", inp="k", p1="seq"),    # per-key occurrence
+            Rule(op="getkey", out="kid", inp="k"),           # dense key per value
+        ],
+        RuleContext(),
+    )
+    rows = {(r["k"], r["seq"]): r for r in out.collect()}
+    assert rows[("a", 1)]["n"] == 1 and rows[("a", 3)]["n"] == 4
+    assert rows[("a", 1)]["occ"] == 1 and rows[("a", 3)]["occ"] == 3 and rows[("b", 2)]["occ"] == 1
+    assert rows[("a", 1)]["kid"] == 1 and rows[("b", 2)]["kid"] == 2
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="explicit order"):
+        apply_rules(df, [Rule(op="cnt", out="n")], RuleContext())
