@@ -145,15 +145,18 @@ def main() -> None:
     levels = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(",")]
     rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
     raw: list[dict] = []
+    failures: list[str] = []
     for _ in range(rounds):  # alternate levels across JVMs to decorrelate host noise
         for cpus in levels:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
                 capture_output=True,
                 text=True,
-                check=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
+            if out.returncode != 0:  # one dead JVM must not lose the campaign
+                failures.append(f"worker {cpus}: rc={out.returncode} {out.stderr[-200:]}")
+                continue
             raw.append(json.loads(out.stdout.strip().splitlines()[-1]))
 
     best: dict[int, dict[str, float]] = {}
@@ -192,6 +195,7 @@ def main() -> None:
                 "efficiency_n_to_4n": eff,
                 "levels": levels_out,
                 "raw_runs": raw,
+                **({"worker_failures": failures} if failures else {}),
                 "note": (
                     "same job, same deterministic input (seed=42), same table "
                     "bucket layout; alternating fresh JVMs per level, full-job "
