@@ -885,9 +885,11 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag
         """,
         "stat_pivot": """
+            -- CAST: DuckDB integer sum() yields HUGEINT (int128); the driver's
+            -- hash is type-sensitive, so align to Spark's BIGINT.
             SELECT l_returnflag,
-                   sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-                   sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_done
+                   CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+                   CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_done
             FROM lineitem GROUP BY l_returnflag
         """,
         "merge_rows": """
@@ -970,7 +972,8 @@ def oracle_sql() -> dict[str, str]:
                                            ROWS UNBOUNDED PRECEDING) AS session_id
                 FROM g
             )
-            SELECT user_id, max(session_id) AS n_sessions FROM s GROUP BY user_id
+            -- CAST: windowed integer sum() is HUGEINT in DuckDB (type-sensitive hash)
+            SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions FROM s GROUP BY user_id
         """,
         "getkey_dense": """
             SELECT p_brand, dense_rank() OVER (ORDER BY p_brand) AS brand_key
