@@ -535,16 +535,32 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-banded minhash near-dup pairs (no SQL oracle: xxhash64-specific;
-    the pytest suite verifies recall against exact Jaccard instead)."""
+    """LSH-banded minhash near-dup pairs, md5 hash family: every stage
+    (shingle hashes, universal-hash minima, band keys, bucket cap, exact
+    Jaccard verify) is value-exact recomputable by the DuckDB oracle.
+    The xxhash64 family stays the corpus-scale default (pytest recall)."""
     docs = _t(spark, sf_dir, "documents")
-    return fdedup.minhash_lsh_pairs(docs, n_hashes=32, bands=16, threshold=0.12)
+    return fdedup.minhash_lsh_pairs(
+        docs, n_hashes=32, bands=16, threshold=0.12, hash_family="md5"
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash sketch groups (no SQL oracle: custom 64-bit sketch)."""
+    """SimHash sketch groups — codegen'd 60-bit md5-family sketch
+    (simhash_agg), oracle-recomputable bit-for-bit."""
     docs = _t(spark, sf_dir, "documents")
-    return fdedup.simhash_dup_groups(docs)
+    return fdedup.simhash_dup_groups(docs, method="agg")
+
+
+def q_dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """banded-pigeonhole SimHash near-dup pairs. With max_hamming < bands and
+    no bucket cap the banded output is IDENTICAL to the all-pairs scan, so
+    the oracle is the straightforward all-pairs hamming filter."""
+    docs = _t(spark, sf_dir, "documents")
+    out = fdedup.simhash_near_dup_pairs(
+        docs, max_hamming=3, bands=4, max_bucket=None, method="agg"
+    )
+    return out.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
 
 
 # =====================================================================
@@ -568,7 +584,10 @@ def q_sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("cos_sim"), F.col("vec_id")).limit(10)
 
 
-def q_sim_knn_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_sim_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT k-NN for 20 probe rows — deliberately a broadcast-nested-loop
+    theta join, bounded by the probe-side filter. This is the exactness
+    baseline; the scale path is q_sim_knn_blocked (bucketed equi join)."""
     embs = _t(spark, sf_dir, "embeddings")
     dim = len(embs.select("embedding").first()[0])
     left = embs.filter(F.col("vec_id") < 20)
@@ -589,20 +608,33 @@ def q_sim_knn_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
 
 
+_RHP_DIM = 64  # embeddings table dimension (TESTDATA.md; constant across SFs)
+
+
+def q_sim_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN JOIN blocked by shared RHP bucket — the scale-safe shape: an
+    equi join on the signature, never a nested loop. Hyperplanes are
+    plan-time literals, so the oracle recomputes the identical buckets."""
+    embs = _t(spark, sf_dir, "embeddings")
+    return fsim.knn_join_blocked(embs, embs, k=3, bits=4, seed=42, dim=_RHP_DIM)
+
+
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RHP-bucketed ANN (no SQL oracle: hyperplane internals; pytest checks
-    recall against the brute-force baseline)."""
+    """RHP-bucketed ANN with hamming-1 multiprobe. Hyperplanes are literal
+    floats and signature dots evaluate strictly left-to-right on both
+    engines, so the oracle recomputes buckets + probe set exactly."""
     embs = _t(spark, sf_dir, "embeddings")
     q = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
     return fsim.ann_topk(embs, q, k=10, bits=5)
 
 
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (no SQL oracle: k-means quantizer internals; pytest checks
-    recall against brute force)."""
+    """IVF ANN with the deterministic seeds quantizer (centroids = rows
+    vec_id 0..7) — oracle-recomputable assignment/probe/scan. The sampled
+    k-means quantizer (ivf_fit) remains the quality path (pytest recall)."""
     embs = _t(spark, sf_dir, "embeddings")
     q = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
-    cents = fsim.ivf_fit(embs, n_centroids=8, seed=42)
+    cents = fsim.ivf_fit_seeds(embs, list(range(8)))
     return fsim.ivf_topk(embs, cents, q, k=10, nprobe=3)
 
 
@@ -701,12 +733,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "sim_brute_topk": q_sim_brute_topk,
-        "sim_knn_block": q_sim_knn_block,
+        "sim_knn_brute": q_sim_knn_brute,
+        "sim_knn_blocked": q_sim_knn_blocked,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ivf_topk": q_sim_ivf_topk,
-        "dedup_simhash_near": lambda spark, sf_dir: fdedup.simhash_near_dup_pairs(
-            _t(spark, sf_dir, "documents"), max_hamming=3, bands=4
-        ),
+        "dedup_simhash_near": q_dedup_simhash_near,
         "emb_near_dup": q_emb_near_dup,
         "schema_cast_infer": q_schema_cast_infer,
         "schema_enum_recode": q_schema_enum_recode,
@@ -766,6 +797,182 @@ def _ngram_jaccard_oracle(k: int = 3, threshold: float = 0.12) -> str:
     WHERE len(list_intersect(l.s, r.s)) * 1.0 /
           greatest(len(list_distinct(list_concat(l.s, r.s))), 1) >= {threshold}
     """
+
+
+# --------------------------------------------------------------------------
+# generated oracles for the hash-family / LSH / ANN queries: the SQL is
+# assembled in Python from the SAME literals the engine plans with
+# (universal-hash params, hyperplane floats), so DuckDB recomputes every
+# stage value-exactly.
+# --------------------------------------------------------------------------
+
+# words after normalize_text (lower + collapse whitespace + trim); the
+# (CASE …) shingle construction matches word_shingles (k-grams joined by ' ')
+_NWORDS = r"regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
+_MD5H60 = "('0x' || substr(md5({x}),1,15))::BIGINT"
+
+
+def _duck_shingle_hash_list(k: int = 3) -> str:
+    """DuckDB expr: distinct md5-60bit hashes of word k-shingles — mirrors
+    word_shingle_hashes_md5 + array_distinct."""
+    sh = (
+        "(CASE WHEN len({w}) >= {k} THEN "
+        "list_transform(range(1, len({w}) - {k} + 2), i -> array_to_string({w}[i:i+{k}-1], ' ')) "
+        "ELSE [] END)"
+    ).format(w=_NWORDS, k=k)
+    return f"list_distinct(list_transform({sh}, s -> {_MD5H60.format(x='s')}))"
+
+
+def _minhash_lsh_oracle(
+    n_hashes: int = 32, bands: int = 16, k: int = 3,
+    threshold: float = 0.12, max_bucket: int = 50,
+) -> str:
+    from pyetl_spark.functions.dedup import _MERSENNE_P as P
+    from pyetl_spark.functions.dedup import _uh_params
+
+    rows = n_hashes // bands
+    mins = ",\n               ".join(
+        f"min(({a}::BIGINT * (u % {P}) + {b}) % {P}) AS h{i}"
+        for i, (a, b) in enumerate(_uh_params(n_hashes))
+    )
+    melt = "\n      UNION ALL ".join(
+        "SELECT id, {b} AS band_idx, {key} AS bk FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(f"h{i}::VARCHAR" for i in range(b * rows, (b + 1) * rows)),
+        )
+        for b in range(bands)
+    )
+    jac = ("round(len(list_intersect(sa.s, sb.s)) * 1.0 / "
+           "greatest(len(list_distinct(list_concat(sa.s, sb.s))), 1), 6)")
+    return f"""
+    WITH sh AS (SELECT doc_id AS id, {_duck_shingle_hash_list(k)} AS s FROM documents),
+    ex AS (SELECT id, unnest(s) AS u FROM sh),
+    sig AS (SELECT id, {mins} FROM ex GROUP BY id),
+    melt AS ({melt}),
+    ok AS (SELECT band_idx, bk FROM melt GROUP BY band_idx, bk
+           HAVING count(*) BETWEEN 2 AND {max_bucket}),
+    m2 AS (SELECT melt.* FROM melt JOIN ok USING (band_idx, bk)),
+    cand AS (SELECT DISTINCT l.id AS a, r.id AS b
+             FROM m2 l JOIN m2 r
+               ON l.band_idx = r.band_idx AND l.bk = r.bk AND l.id < r.id)
+    SELECT c.a, c.b, {jac} AS jaccard
+    FROM cand c JOIN sh sa ON sa.id = c.a JOIN sh sb ON sb.id = c.b
+    WHERE {jac} >= {threshold}
+    """
+
+
+def _duck_simhash_ctes(bits: int = 60) -> str:
+    """CTE chain ending in allsk(id, simhash) — mirrors simhash_agg: distinct
+    words, md5-60bit hashes, per-bit majorities (2*cnt >= n), empty docs
+    sketch 0."""
+    w = r"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')"
+    sums = ", ".join(f"sum((h >> {b}) & 1) AS c{b}" for b in range(bits))
+    sketch = " + ".join(
+        f"(CASE WHEN 2*c{b} >= n THEN {1 << b}::BIGINT ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+    wx AS (SELECT doc_id AS id, unnest(list_distinct({w})) AS wd FROM documents),
+    hx AS (SELECT id, {_MD5H60.format(x='wd')} AS h FROM wx),
+    cx AS (SELECT id, count(*) AS n, {sums} FROM hx GROUP BY id),
+    skx AS (SELECT id, {sketch} AS simhash FROM cx),
+    allsk AS (SELECT d.doc_id AS id, coalesce(s.simhash, 0::BIGINT) AS simhash
+              FROM documents d LEFT JOIN skx s ON s.id = d.doc_id)"""
+
+
+def _simhash_groups_oracle() -> str:
+    return f"""
+    WITH {_duck_simhash_ctes()}
+    SELECT simhash, min(id) AS keep_id, count(*) AS n_dups
+    FROM allsk GROUP BY simhash HAVING count(*) >= 2
+    """
+
+
+def _simhash_near_oracle(max_hamming: int = 3) -> str:
+    # banded pigeonhole with max_hamming < bands and no bucket cap is
+    # EXACTLY the all-pairs scan — so the oracle is the all-pairs scan.
+    return f"""
+    WITH {_duck_simhash_ctes()}
+    SELECT l.id AS a, r.id AS b,
+           CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+    FROM allsk l JOIN allsk r ON l.id < r.id
+    WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
+    """
+
+
+def _unrolled_dot(vexpr: str, plane: list[float]) -> str:
+    """v[1]*p1 + v[2]*p2 + … — strict left-to-right, same order as the
+    engine's dot_fixed Column and _seq_dot."""
+    return " + ".join(f"{vexpr}[{i + 1}] * ({plane[i]!r})" for i in range(len(plane)))
+
+
+def _rhp_sig_sql(vexpr: str, planes: list[list[float]]) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_unrolled_dot(vexpr, p)} >= 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+        for i, p in enumerate(planes)
+    )
+
+
+def _ann_lsh_oracle(dim: int = _RHP_DIM, bits: int = 5, k: int = 10) -> str:
+    planes = fsim.hyperplanes(dim, bits, seed=42)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    s AS (SELECT vec_id, v, {_rhp_sig_sql('v', planes)} AS sig FROM e),
+    qs AS (SELECT {_rhp_sig_sql('qv', planes)} AS sig FROM q),
+    cand AS (SELECT s.vec_id, s.v FROM s, qs WHERE bit_count(xor(s.sig, qs.sig)) <= 1)
+    SELECT c.vec_id, round(list_cosine_similarity(c.v, q.qv), 6) AS cos_sim
+    FROM cand c, q ORDER BY cos_sim DESC, c.vec_id LIMIT {k}
+    """
+
+
+def _knn_blocked_oracle(dim: int = _RHP_DIM, bits: int = 4, k: int = 3) -> str:
+    planes = fsim.hyperplanes(dim, bits, seed=42)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, v, {_rhp_sig_sql('v', planes)} AS sig FROM e),
+    p AS (SELECT l.vec_id AS left_id, r.vec_id AS right_id,
+                 round(list_cosine_similarity(l.v, r.v), 6) AS cos_sim
+          FROM s l JOIN s r ON l.sig = r.sig AND l.vec_id <> r.vec_id)
+    SELECT left_id, right_id, cos_sim,
+           row_number() OVER (PARTITION BY left_id ORDER BY cos_sim DESC, right_id) AS rank
+    FROM p QUALIFY rank <= {k}
+    """
+
+
+def _ivf_topk_oracle(dim: int = _RHP_DIM, n_seeds: int = 8, nprobe: int = 3, k: int = 10) -> str:
+    """mirrors ivf_fit_seeds(ids=0..n_seeds-1) + ivf_assign + ivf_topk: the
+    expanded L2 (vv - 2 v·c + cc) with sequential sums, first-min argmin,
+    probe ranking by the same expanded distance."""
+    vv = _unrolled_sq("e.v", dim)
+    vcv = _unrolled_prod("e.v", "c.cv", dim)
+    cvcv = _unrolled_sq("c.cv", dim)
+    qq = _unrolled_sq("q.qv", dim)
+    qcv = _unrolled_prod("q.qv", "c.cv", dim)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {n_seeds}),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    d AS (SELECT e.vec_id, e.v, c.cid,
+                 ({vv}) - 2.0 * ({vcv}) + ({cvcv}) AS dist
+          FROM e CROSS JOIN c),
+    a AS (SELECT vec_id, v, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d),
+    cells AS (SELECT vec_id, v, cid AS cell FROM a WHERE rn = 1),
+    qd AS (SELECT c.cid, ({qq}) - 2.0 * ({qcv}) + ({cvcv}) AS dist FROM c, q),
+    probe AS (SELECT cid FROM qd ORDER BY dist, cid LIMIT {nprobe}),
+    cand AS (SELECT vec_id, v FROM cells WHERE cell IN (SELECT cid FROM probe))
+    SELECT cd.vec_id, round(list_cosine_similarity(cd.v, q.qv), 6) AS cos_sim
+    FROM cand cd, q ORDER BY cos_sim DESC, cd.vec_id LIMIT {k}
+    """
+
+
+def _unrolled_sq(vexpr: str, dim: int) -> str:
+    return " + ".join(f"{vexpr}[{i}] * {vexpr}[{i}]" for i in range(1, dim + 1))
+
+
+def _unrolled_prod(a: str, b: str, dim: int) -> str:
+    return " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(1, dim + 1))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1025,15 +1232,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
-        # dedup_minhash_lsh, dedup_simhash, sim_ann_lsh: engine-specific
-        # hashes/planes — rows-only check; exactness covered in pytest.
+        "dedup_minhash_lsh": _minhash_lsh_oracle(),
+        "dedup_simhash": _simhash_groups_oracle(),
+        "dedup_simhash_near": _simhash_near_oracle(),
+        "sim_ann_lsh": _ann_lsh_oracle(),
+        "sim_ivf_topk": _ivf_topk_oracle(),
+        "sim_knn_blocked": _knn_blocked_oracle(),
         "sim_brute_topk": """
             SELECT e.vec_id,
                    round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cos_sim
             FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
             ORDER BY cos_sim DESC, e.vec_id LIMIT 10
         """,
-        "sim_knn_block": """
+        "sim_knn_brute": """
             SELECT l.vec_id AS left_id, r.vec_id AS right_id,
                    round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) AS cos_sim,
                    row_number() OVER (PARTITION BY l.vec_id

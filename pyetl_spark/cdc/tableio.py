@@ -124,6 +124,28 @@ class SnapshotTable:
             os.fsync(f.fileno())
         os.replace(tmp, path)
 
+    def _commit_manifest(self, manifest: dict) -> None:
+        """Atomic commit arbitration (ADVICE r01): exclusively create the
+        version's manifest file (O_EXCL). Two writers racing to the same next
+        version cannot both succeed — the loser raises
+        :class:`ConcurrentWriteError` and its data files stay unreferenced
+        (retry-safe). This closes the check-then-act window a plain
+        ``current_version()`` pre-check leaves open. Crash mid-write leaves a
+        partial manifest that the pointer never references; recovery = delete
+        manifests newer than the pointer."""
+        path = self._manifest_path(manifest["version"])
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"version {manifest['version']} already committed by a "
+                "concurrent writer; retry against the new snapshot"
+            ) from None
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+
     def _swap_pointer(self, version: int) -> None:
         ptr = os.path.join(self.root, "_current")
         tmp = ptr + ".tmp"
@@ -132,6 +154,20 @@ class SnapshotTable:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, ptr)
+
+    def _next_version(self, planned_against: int) -> int:
+        """Next commit's version id: one past BOTH the snapshot this write was
+        planned against and any manifest already on disk. After a rollback the
+        rolled-past manifests still exist (retained history), so blindly using
+        ``current+1`` would collide with — and under the old os.replace commit,
+        silently clobber — a retained snapshot's manifest and data dir. Races
+        on the same number are arbitrated by ``_commit_manifest``'s O_EXCL."""
+        existing = [
+            int(f[1:-5])
+            for f in os.listdir(os.path.join(self.root, "_versions"))
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max([planned_against, *existing]) + 1
 
     def current_version(self) -> int:
         with open(os.path.join(self.root, "_current")) as f:
@@ -200,10 +236,20 @@ class SnapshotTable:
             if f.startswith("v") and f.endswith(".json")
         )
         keep = set(versions[-keep_last:]) | {current}
-        referenced: set[str] = set()
+
+        # liveness compares ROOT-RELATIVE identities (version dir, bucket dir,
+        # filename), never raw path strings: manifests record paths as the
+        # writer spelled self.root, and a reader opening the table through a
+        # different spelling (relative cwd, symlinked root like /dev/shm)
+        # must not see every referenced file "missing" and delete live data.
+        def _file_id(p: str) -> tuple[str, str, str]:
+            parts = os.path.normpath(p).split(os.sep)
+            return tuple(parts[-3:])
+
+        referenced: set[tuple[str, str, str]] = set()
         for v in keep:
             for files in self.manifest(v)["buckets"].values():
-                referenced.update(files)
+                referenced.update(_file_id(f) for f in files)
 
         removed_files = 0
         data_root = os.path.join(self.root, "data")
@@ -214,7 +260,7 @@ class SnapshotTable:
                     continue
                 for f in os.listdir(full_b):
                     full = os.path.join(full_b, f)
-                    if f.endswith(".parquet") and full not in referenced:
+                    if f.endswith(".parquet") and _file_id(full) not in referenced:
                         os.remove(full)
                         removed_files += 1
 
@@ -242,7 +288,7 @@ class SnapshotTable:
         if not frag:
             return {"compacted_buckets": 0, "files_before": 0, "files_after": 0}
 
-        version = m["version"] + 1
+        version = self._next_version(m["version"])
         vdir = os.path.join(self.root, "data", f"v{version:08d}")
         new_buckets = dict(m["buckets"])
         before = after = 0
@@ -258,7 +304,7 @@ class SnapshotTable:
 
         if self.current_version() != m["version"]:
             raise ConcurrentWriteError("table advanced during compaction; retry")
-        self._write_manifest({**m, "version": version, "buckets": new_buckets, "parent": m["version"], "committed_ts": time.time()})
+        self._commit_manifest({**m, "version": version, "buckets": new_buckets, "parent": m["version"], "committed_ts": time.time()})
         self._swap_pointer(version)
         return {"compacted_buckets": len(frag), "files_before": before, "files_after": after}
 
@@ -344,7 +390,7 @@ class SnapshotTable:
         merged = lww_dedup(union, keys=keys, seq=SEQ)
 
         # 5. write only the touched buckets to the new version dir
-        version = m["version"] + 1
+        version = self._next_version(m["version"])
         vdir = os.path.join(self.root, "data", f"v{version:08d}")
         (
             merged.withColumn("__b", _bucket_col(keys, nbuckets))
@@ -398,7 +444,7 @@ class SnapshotTable:
                 f"table advanced to v{self.current_version()} while merging "
                 f"against v{m['version']}; retry the merge"
             )
-        self._write_manifest(manifest)
+        self._commit_manifest(manifest)
         self._swap_pointer(version)
 
         return MergeStats(

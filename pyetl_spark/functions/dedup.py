@@ -31,8 +31,10 @@ from pyspark.sql import functions as F
 
 from pyetl_spark.functions.text import (
     fingerprint_md5,
+    md5_int60,
     normalize_text,
     word_shingle_hashes,
+    word_shingle_hashes_md5,
     word_shingles,
     words,
 )
@@ -102,16 +104,22 @@ def minhash_signatures_agg(
     id_col: str = "doc_id",
     n_hashes: int = 32,
     k_shingle: int = 3,
+    hash_family: str = "xx",
 ) -> DataFrame:
     """per-doc MinHash signature via explode + n_hashes min-aggregates — the
     codegen'd, partially-combinable formulation. Output: (id, h0..h{n-1},
     n_shingles). Cost: one shuffle keyed by id over (doc × shingle) rows;
     each WORD is string-hashed once (shingle identity = combined word
     hashes), per-permutation values derived arithmetically (universal
-    hashing)."""
+    hashing).
+
+    ``hash_family``: ``"xx"`` (xxhash64 chain — fastest, engine-internal) or
+    ``"md5"`` (md5-derived 60-bit shingle hashes a SQL oracle can recompute
+    value-exactly — the contract/parity configuration)."""
+    hasher = word_shingle_hashes if hash_family == "xx" else word_shingle_hashes_md5
     ex = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_shingle_hashes(F.col(text_col), k_shingle))).alias("s"),
+        F.explode(F.array_distinct(hasher(F.col(text_col), k_shingle))).alias("s"),
     ).select("id", F.pmod(F.col("s"), F.lit(_MERSENNE_P)).alias("h"))
     aggs = [F.min(_uh(F.col("h"), a, b)).alias(f"h{i}") for i, (a, b) in enumerate(_uh_params(n_hashes))]
     return ex.groupBy("id").agg(*aggs, F.count("*").alias("n_shingles"))
@@ -126,24 +134,29 @@ def minhash_lsh_pairs(
     k_shingle: int = 3,
     threshold: float = 0.8,
     max_bucket: int = 50,
+    hash_family: str = "xx",
 ) -> DataFrame:
     """near-duplicate pairs (a < b) with exact-Jaccard verification.
 
     signature → ``bands`` bands of ``n_hashes/bands`` rows; docs sharing any
     band bucket become candidates; candidates are verified with exact
     Jaccard over distinct shingles. Returns (a, b, jaccard).
+
+    ``hash_family="md5"`` makes the whole pipeline value-exact against a SQL
+    oracle: md5-derived shingle hashes and plain concatenated band keys
+    (instead of xxhash64 band hashes) — both recomputable in DuckDB.
     """
     rows = n_hashes // bands
-    sig = minhash_signatures_agg(df, text_col, id_col, n_hashes, k_shingle)
+    sig = minhash_signatures_agg(df, text_col, id_col, n_hashes, k_shingle, hash_family)
 
-    # band hashes as plain columns (codegen'd), melted to (id, band_idx, band_hash)
-    band_cols = [
-        F.xxhash64(
-            F.concat_ws(",", *[F.col(f"h{i}").cast("string") for i in range(b * rows, (b + 1) * rows)]),
-            F.lit(b),
-        ).alias(f"bh{b}")
-        for b in range(bands)
-    ]
+    # band keys as plain columns (codegen'd), melted to (id, band_idx, band_hash)
+    def _band_key(b: int):
+        joined = F.concat_ws(",", *[F.col(f"h{i}").cast("string") for i in range(b * rows, (b + 1) * rows)])
+        if hash_family == "md5":
+            return joined.alias(f"bh{b}")  # oracle-recomputable string key
+        return F.xxhash64(joined, F.lit(b)).alias(f"bh{b}")
+
+    band_cols = [_band_key(b) for b in range(bands)]
     melted = sig.select("id", *band_cols).select(
         "id",
         F.posexplode(F.array(*[F.col(f"bh{b}") for b in range(bands)])).alias(
@@ -154,12 +167,12 @@ def minhash_lsh_pairs(
     # Spark does not CSE across joins, so without this the whole
     # shingle-explode + 32-agg lineage re-executes per consumer. The
     # persisted set is small: n_docs x bands rows of (id, int, long).
-    melted = melted.persist()
+    melted_cached = melted.persist()
 
     # cap degenerate buckets (log-and-drop, never silent at scale)
-    sizes = melted.groupBy("band_idx", "band_hash").agg(F.count("*").alias("bsz"))
+    sizes = melted_cached.groupBy("band_idx", "band_hash").agg(F.count("*").alias("bsz"))
     ok = sizes.filter((F.col("bsz") >= 2) & (F.col("bsz") <= max_bucket)).drop("bsz")
-    melted = melted.join(ok, ["band_idx", "band_hash"], "left_semi")
+    melted = melted_cached.join(ok, ["band_idx", "band_hash"], "left_semi")
 
     # candidate pairs via band-bucket self-join
     l = melted.alias("l")
@@ -180,9 +193,10 @@ def minhash_lsh_pairs(
     # lineage per consumer otherwise); at corpus scale this is the stage to
     # give StorageLevel.DISK_ONLY or to re-derive per side if storage is
     # tighter than CPU.
+    hasher = word_shingle_hashes if hash_family == "xx" else word_shingle_hashes_md5
     sh = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(word_shingle_hashes(F.col(text_col), k_shingle)).alias("sh"),
+        F.array_distinct(hasher(F.col(text_col), k_shingle)).alias("sh"),
     ).persist()
     verified = (
         cand.join(sh.select(F.col("id").alias("a"), F.col("sh").alias("sha_")), "a")
@@ -192,11 +206,20 @@ def minhash_lsh_pairs(
         F.size(F.array_intersect("sha_", "shb_"))
         / F.greatest(F.size(F.array_union("sha_", "shb_")), F.lit(1))
     )
-    return (
+    result = (
         verified.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+    # materialize once (localCheckpoint cuts the lineage) so both persisted
+    # intermediates can be released HERE — repeated calls in a long-lived
+    # session (bench loop, notebook) must not accumulate cached blocks in
+    # executor storage (ADVICE r01). The checkpointed result is small
+    # (verified pairs only).
+    result = result.localCheckpoint(eager=True)
+    melted_cached.unpersist()
+    sh.unpersist()
+    return result
 
 
 def ngram_jaccard_pairs(
@@ -274,12 +297,65 @@ def simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> Data
     return df.withColumn(out, _simhash64(normalize_text(F.col(text_col))))
 
 
-def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+SIMHASH_AGG_BITS = 60  # md5_int60 width; keeps 1<<b inside ANSI int64
+
+
+def simhash_agg(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out: str = "simhash",
+) -> DataFrame:
+    """SimHash as pure Column expressions: explode distinct words, md5-derived
+    60-bit word hashes (:func:`pyetl_spark.functions.text.md5_int60`), one
+    hash-aggregate with 60 per-bit popcounts, sketch assembled from strict
+    bit majorities (``2*cnt >= n_words``).
+
+    Two wins over the pandas-UDF sketch (:func:`simhash`): stays in
+    whole-stage codegen with map-side partial aggregation (the 100 TB shape),
+    and every step is value-exact recomputable in DuckDB SQL, so the driver
+    oracle can certify it. Docs with no words get sketch 0 (same as the UDF).
+
+    Output: ``df`` columns ``(id_col, out)`` for every input row.
+    """
+    bits = SIMHASH_AGG_BITS
+    ex = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(words(normalize_text(F.col(text_col))))).alias("__w"),
+    ).select(F.col(id_col), md5_int60(F.col("__w")).alias("__h"))
+    aggs = [
+        F.sum(F.shiftrightunsigned("__h", b).bitwiseAND(F.lit(1))).alias(f"__c{b}")
+        for b in range(bits)
+    ] + [F.count("*").alias("__n")]
+    counts = ex.groupBy(id_col).agg(*aggs)
+    sketch = F.lit(0).cast("long")
+    for b in range(bits):
+        sketch = sketch + F.when(
+            F.col(f"__c{b}") * 2 >= F.col("__n"), F.lit(1 << b)
+        ).otherwise(F.lit(0))
+    sk = counts.select(F.col(id_col), sketch.alias(out))
+    # keep empty-word docs (explode dropped them): sketch 0
+    return df.select(id_col).join(sk, id_col, "left").select(
+        F.col(id_col), F.coalesce(F.col(out), F.lit(0).cast("long")).alias(out)
+    )
+
+
+def simhash_dup_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    method: str = "udf",
+) -> DataFrame:
     """identical-sketch duplicate groups (hamming-0); near-miss tolerance is
-    :func:`simhash_near_dup_pairs`."""
+    :func:`simhash_near_dup_pairs`. ``method="agg"`` uses the codegen'd,
+    oracle-checkable sketch (:func:`simhash_agg`)."""
+    sk = (
+        simhash_agg(df, text_col, id_col)
+        if method == "agg"
+        else simhash(df, text_col).select(id_col, "simhash")
+    )
     return (
-        simhash(df, text_col)
-        .groupBy("simhash")
+        sk.groupBy("simhash")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
         .filter(F.col("n_dups") >= 2)
     )
@@ -291,20 +367,28 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 4,
-    max_bucket: int = 200,
+    max_bucket: int | None = 200,
+    method: str = "udf",
 ) -> DataFrame:
     """near-duplicate pairs with Hamming distance <= ``max_hamming`` on the
-    64-bit SimHash — the classic banded pigeonhole: split the sketch into
+    SimHash sketch — the classic banded pigeonhole: split the sketch into
     ``bands`` slices; two sketches within hamming k < bands must agree
     EXACTLY on at least one slice, so candidates come from an equi
     groupBy/join on (band_idx, slice-bits), never an all-pairs scan. The
     exact popcount filter then verifies. Requires ``max_hamming < bands``
-    for zero false negatives (pigeonhole).
+    for zero false negatives (pigeonhole); with ``max_bucket=None``
+    (uncapped) the output is therefore IDENTICAL to the all-pairs scan — the
+    oracle-checkable configuration. ``method="agg"`` uses the codegen'd
+    60-bit :func:`simhash_agg` sketch.
     """
     if max_hamming >= bands:
         raise ValueError("pigeonhole guarantee needs max_hamming < bands")
-    width = 64 // bands
-    sk = simhash(df.select(F.col(id_col).alias("id"), F.col(text_col)), text_col, out="sk")
+    nbits = SIMHASH_AGG_BITS if method == "agg" else 64
+    width = nbits // bands
+    if method == "agg":
+        sk = simhash_agg(df, text_col, id_col, out="sk").withColumnRenamed(id_col, "id")
+    else:
+        sk = simhash(df.select(F.col(id_col).alias("id"), F.col(text_col)), text_col, out="sk")
 
     slices = F.array(
         *[
@@ -321,7 +405,10 @@ def simhash_near_dup_pairs(
         "id", "sk", F.col("s.band_idx").alias("band_idx"), F.col("s.band_bits").alias("band_bits")
     )
     sizes = melted.groupBy("band_idx", "band_bits").agg(F.count("*").alias("n"))
-    ok = sizes.filter((F.col("n") >= 2) & (F.col("n") <= max_bucket)).drop("n")
+    keep = F.col("n") >= 2
+    if max_bucket is not None:
+        keep = keep & (F.col("n") <= max_bucket)
+    ok = sizes.filter(keep).drop("n")
     melted = melted.join(ok, ["band_idx", "band_bits"], "left_semi")
 
     l, r = melted.alias("l"), melted.alias("r")

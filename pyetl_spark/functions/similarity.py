@@ -96,6 +96,16 @@ def brute_force_topk(
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
 
+def _seq_dot(a, b) -> float:
+    """strict left-to-right float64 dot — the same operation order as the
+    unrolled ``dot_fixed`` Column and a ``v[1]*p1 + v[2]*p2 + …`` SQL
+    expression, for cross-engine sign agreement."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
 def hyperplanes(dim: int, bits: int = 8, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((bits, dim)).tolist()
@@ -127,8 +137,15 @@ def ann_topk(
     exact cosine re-rank inside. Recall/efficiency dial = bits, multiprobe."""
     dim = len(query)
     planes = hyperplanes(dim, bits, seed)
-    qv = np.array(query)
-    qsig = sum((1 << i) for i, p in enumerate(planes) if float(np.dot(qv, np.array(p))) >= 0)
+    # sequential left-to-right dot (NOT np.dot's pairwise summation): matches
+    # bit-for-bit the unrolled dot_fixed the corpus side and the SQL oracle
+    # evaluate, so a near-zero projection can't flip a signature bit on one
+    # side only.
+    qsig = sum(
+        (1 << i)
+        for i, p in enumerate(planes)
+        if _seq_dot(query, p) >= 0
+    )
     probe = {qsig}
     if multiprobe_hamming >= 1:
         probe |= {qsig ^ (1 << i) for i in range(bits)}
@@ -253,6 +270,28 @@ def ivf_fit(
     return c.tolist()
 
 
+def ivf_fit_seeds(
+    df: DataFrame,
+    ids: list[int],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic coarse quantizer: centroids = the embeddings of the
+    given row ids, in the given order (the "random seeds" IVF variant —
+    no Lloyd iterations). Data-derived but reproducible from the table
+    alone, so a SQL oracle can recompute the full IVF pipeline
+    (assignment → probe → scan) value-exactly; :func:`ivf_fit` (sampled
+    k-means) remains the quality path."""
+    rows = {
+        r[id_col]: r[vec_col]
+        for r in df.filter(F.col(id_col).isin(list(ids))).select(id_col, vec_col).collect()
+    }
+    missing = [i for i in ids if i not in rows]
+    if missing:
+        raise ValueError(f"ivf_fit_seeds: ids not in table: {missing}")
+    return [[float(x) for x in rows[i]] for i in ids]
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],
@@ -292,8 +331,12 @@ def ivf_topk(
     only the ``nprobe`` nearest cells, exact cosine re-rank inside. With the
     table partitioned by cell, the scan prunes to nprobe/n_centroids of the
     data before any distance math."""
-    qv = np.array(query)
-    order = np.argsort([float(np.sum((qv - np.array(c)) ** 2)) for c in centroids])
+    # expanded form (qq - 2 q·c + cc) with strict left-to-right sums — the
+    # same operation order as ivf_assign's Column expression and the SQL
+    # oracle, so probe ranking agrees across engines even on near-ties.
+    qq = _seq_dot(query, query)
+    qdists = [qq - 2.0 * _seq_dot(query, c) + _seq_dot(c, c) for c in centroids]
+    order = np.argsort(qdists, kind="stable")
     probe = [int(x) for x in order[:nprobe]]
     cand = ivf_assign(df, centroids, vec_col).filter(F.col("ivf_cell").isin(probe))
     scored = cand.select(

@@ -139,6 +139,26 @@ def word_shingle_hashes(col: Column, k: int = 3) -> Column:
     return F.slice(acc, 1, F.greatest(n - (k - 1), F.lit(0)))
 
 
+def md5_int60(col: Column) -> Column:
+    """60-bit non-negative int64 from the md5 hex prefix (15 hex chars).
+
+    The cross-engine-checkable hash primitive: DuckDB computes the identical
+    value as ``('0x' || substr(md5(x),1,15))::BIGINT``, so any operator built
+    on it (MinHash families, SimHash sketches) gets a value-exact SQL oracle.
+    60 bits keeps universal-hash arithmetic (a*h+b, a,h < 2^31) far from
+    ANSI-mode int64 overflow."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def word_shingle_hashes_md5(col: Column, k: int = 3) -> Column:
+    """array<long> of md5-derived 60-bit hashes of word k-shingles — the
+    oracle-checkable sibling of :func:`word_shingle_hashes` (which chains
+    xxhash64, engine-internal). Builds shingle STRINGS first (interpreted
+    HOF), so it is the parity/contract path; the xxhash64 form remains the
+    corpus-scale default."""
+    return F.transform(word_shingles(col, k), md5_int60)
+
+
 def char_ngrams(col: Column, n: int = 5) -> Column:
     """array of character n-grams over normalized text."""
     t = normalize_text(col)

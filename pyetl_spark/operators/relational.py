@@ -307,13 +307,17 @@ def asof_join(
     """
     keys = _keys(keys)
     lcols = [c for c in left.columns if c not in keys and c != left_on]
-    if set(right_values) & set(lcols):
+    if set(right_values) & (set(lcols) | set(keys) | {left_on}):
         raise ValueError("asof_join: right_values collide with left columns — alias upstream")
+    # right values travel inside ONE struct: the struct itself is non-null for
+    # every right row, so last(ignorenulls) picks the latest right ROW and a
+    # legitimately-NULL value column propagates as NULL (SQL ASOF semantics)
+    # instead of being backfilled from an earlier row (ADVICE r01).
     r2 = right.select(
         *keys,
         F.col(right_on).alias("__t"),
         F.lit(0).alias("__side"),
-        *[F.col(v) for v in right_values],
+        F.struct(*[F.col(v) for v in right_values]).alias("__rv"),
     )
     l2 = left.select(
         *keys,
@@ -333,12 +337,16 @@ def asof_join(
         "__t",
         "__side",
         *[F.col(c) for c in lcols],
-        *[F.last(F.col(v), ignorenulls=True).over(w).alias(v) for v in right_values],
+        F.last(F.col("__rv"), ignorenulls=True).over(w).alias("__rv"),
     )
     return (
         filled.filter(F.col("__side") == 1)
-        .drop("__side")
-        .withColumnRenamed("__t", left_on)
+        .select(
+            *keys,
+            F.col("__t").alias(left_on),
+            *[F.col(c) for c in lcols],
+            *[F.col("__rv")[v].alias(v) for v in right_values],
+        )
     )
 
 

@@ -97,9 +97,14 @@ def parse_script(
                 warnings.append(f"line {lineno}: no command, skipped")
             return
         mod = ""
-        while commande[:1] in "+->":
+        # NB: guard on non-empty first — '' is a substring of "+->" and a
+        # modifier-only field ('>' or '+-') must warn, not IndexError
+        while commande and commande[0] in "+->":
             mod += commande[0]
             commande = commande[1:]
+        if not commande:
+            warnings.append(f"line {lineno}: no command, skipped")
+            return
         if commande not in COMMANDS:
             msg = f"line {lineno}: command {commande!r} not supported by the engine"
             if strict:

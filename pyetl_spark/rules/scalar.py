@@ -436,6 +436,66 @@ def cmd_attencode(rule: Rule, ctx: RuleContext) -> Effect:
     return ColumnEffect({out: F.decode(F.encode(F.col(rule.inp or out), "UTF-8"), charset)})
 
 
+def _fernet(key: str):
+    """Fernet instance from a passphrase (sha256-derived urlsafe key).
+    Gated: the ``cryptography`` wheel ships in most Spark images but stays
+    an optional dependency of this engine."""
+    try:
+        from cryptography.fernet import Fernet
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("crypt/decrypt need the 'cryptography' package") from e
+    import base64
+    import hashlib
+
+    return Fernet(base64.urlsafe_b64encode(hashlib.sha256(key.encode()).digest()))
+
+
+@command("crypt")
+def cmd_crypt(rule: Rule, ctx: RuleContext) -> Effect:
+    """symmetric-encrypt an attr with a passphrase — ``f_crypt``
+    traitement_crypt.py:393-408 (Fernet level; key from p1 or the
+    ``defaultkey`` variable). Arrow-batched pandas UDF: Fernet is Python-only
+    but the batch path keeps it off the per-row interpreter."""
+    key = bind_value(rule.p1, ctx) or str(ctx.param("defaultkey", ""))
+    inp = rule.inp
+
+    @F.pandas_udf("string")
+    def do_crypt(s: pd.Series) -> pd.Series:
+        f = _fernet(key)
+        return s.map(lambda v: None if v is None else f.encrypt(str(v).encode()).decode())
+
+    # Fernet tokens embed a random IV: mark nondeterministic so Catalyst
+    # neither collapses nor reorders the call across filters
+    return ColumnEffect({rule.outs()[0]: do_crypt.asNondeterministic()(F.col(inp))})
+
+
+@command("decrypt")
+def cmd_decrypt(rule: Rule, ctx: RuleContext) -> Effect:
+    """decrypt an attr — ``f_decrypt`` traitement_crypt.py:410-422; on a bad
+    token the reference keeps the input value (``decrypte if decrypte else
+    val``), mirrored here."""
+    key = bind_value(rule.p1, ctx) or str(ctx.param("defaultkey", ""))
+    inp = rule.inp
+
+    @F.pandas_udf("string")
+    def do_decrypt(s: pd.Series) -> pd.Series:
+        from cryptography.fernet import InvalidToken
+
+        f = _fernet(key)
+
+        def dec(v):
+            if v is None:
+                return None
+            try:
+                return f.decrypt(str(v).encode()).decode()
+            except (InvalidToken, ValueError):
+                return v
+
+        return s.map(dec)
+
+    return ColumnEffect({rule.outs()[0]: do_decrypt(F.col(inp))})
+
+
 # ------------------------------------------------------------------ map / json
 
 
@@ -474,9 +534,121 @@ def cmd_json_get(rule: Rule, ctx: RuleContext) -> Effect:
 
 @command("jsonsplit")
 def cmd_jsonsplit(rule: Rule, ctx: RuleContext) -> Effect:
-    """flat json → hstore map attr — ``f_jsonsplit`` traitement_alpha.py:1291-1391."""
+    """json → hstore map attr — ``f_jsonsplit1`` traitement_alpha.py:1312-1357.
+
+    Default: one-level map (non-string values re-serialized as json by the
+    oracle-friendly ``map<string,string>`` cast). ``p2="flat"``: RECURSIVE
+    flatten via ``jflatten`` semantics (traitement_alpha.py:1301-1310) —
+    nested dict keys joined with '_' (reference keeps a leading '_' from the
+    empty root prefix; mirrored), lists/scalars json-encoded. Unknown nested
+    schema → Arrow-batched pandas UDF (schema-free json has no Column form).
+    """
     out = rule.outs()[0] if rule.out else rule.inp
-    return ColumnEffect({out: F.from_json(F.col(rule.inp), "map<string,string>")})
+    if (rule.p2 or "").strip() != "flat":
+        return ColumnEffect({out: F.from_json(F.col(rule.inp), "map<string,string>")})
+
+    @F.pandas_udf("map<string,string>")
+    def flat(s: pd.Series) -> pd.Series:
+        import json
+
+        def jflatten(struct, fields, racine=""):
+            for nom, valeur in struct.items():
+                nom_champ = racine + "_" + nom
+                if isinstance(valeur, dict):
+                    jflatten(valeur, fields, racine=nom_champ)
+                else:
+                    fields[nom_champ] = valeur if isinstance(valeur, str) else json.dumps(valeur)
+
+        def parse(v):
+            if v is None:
+                return None
+            try:
+                struct = json.loads(v)
+            except (ValueError, TypeError):
+                return None
+            if not isinstance(struct, dict):
+                return None
+            fields: dict[str, str] = {}
+            jflatten(struct, fields)
+            return fields
+
+        return s.map(parse)
+
+    return ColumnEffect({out: flat(F.col(rule.inp))})
+
+
+def _stringify_nested(col: Column, dtype) -> Column:
+    """recursively cast every LEAF of a nested column to string, preserving
+    structure — the typed-Spark recast of ``txtstruct``'s repr-leaves walk
+    (traitement_alpha.py:1261-1271): struct → struct, array → array,
+    map → map, leaf → string."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.StructType):
+        return F.struct(
+            *[_stringify_nested(col[f.name], f.dataType).alias(f.name) for f in dtype.fields]
+        )
+    if isinstance(dtype, T.ArrayType):
+        return F.transform(col, lambda x: _stringify_nested(x, dtype.elementType))
+    if isinstance(dtype, T.MapType):
+        return F.map_from_arrays(
+            F.transform(F.map_keys(col), lambda k: k.cast("string")),
+            F.transform(F.map_values(col), lambda v: _stringify_nested(v, dtype.valueType)),
+        )
+    return col.cast("string")
+
+
+@command("txtstruct")
+def cmd_txtstruct(rule: Rule, ctx: RuleContext) -> Effect:
+    """complex attr → same structure with all-text leaves — ``f_txtstruct``
+    traitement_alpha.py:1274-1289. Schema-driven Column recursion (codegen),
+    no Python in the row path: Spark's typed schema replaces the reference's
+    runtime type sniffing."""
+    inp = rule.inp
+    out = rule.outs()[0] if rule.out else inp
+
+    def fn(df: DataFrame) -> DataFrame:
+        dtype = df.schema[inp].dataType
+        return df.withColumn(out, _stringify_nested(F.col(inp), dtype))
+
+    return DataFrameEffect(fn)
+
+
+def describe_dtype(dtype, indent: int = 0) -> str:
+    """recursive type tree of a (possibly nested) column type — the metadata
+    half of ``f_infoatt``/``affiche_iterable`` traitement_alpha.py:1232-1259
+    (schema-time in Spark: no data scan needed)."""
+    from pyspark.sql import types as T
+
+    pad = "--" * indent
+    if isinstance(dtype, T.StructType):
+        lines = [f"{pad}struct"]
+        lines += [
+            f"{'--' * (indent + 1)}{f.name}: {describe_dtype(f.dataType, 0)}" for f in dtype.fields
+        ]
+        return "\n".join(lines)
+    if isinstance(dtype, T.ArrayType):
+        return f"{pad}array<{describe_dtype(dtype.elementType, 0)}>"
+    if isinstance(dtype, T.MapType):
+        return (
+            f"{pad}map<{describe_dtype(dtype.keyType, 0)}, "
+            f"{describe_dtype(dtype.valueType, 0)}>"
+        )
+    return f"{pad}{dtype.simpleString()}"
+
+
+@command("infoatt")
+def cmd_infoatt(rule: Rule, ctx: RuleContext) -> Effect:
+    """print an attribute's recursive type info — ``f_infoatt``
+    traitement_alpha.py:1249-1259. Driver-side metadata only (the schema IS
+    the type info; the reference had to walk a sample object)."""
+    inp = rule.inp
+
+    def fn(df: DataFrame) -> DataFrame:
+        print(f"analyse attribut {inp}\n{describe_dtype(df.schema[inp].dataType)}")
+        return df
+
+    return DataFrameEffect(fn)
 
 
 # ----------------------------------------------------------------- hstore ops

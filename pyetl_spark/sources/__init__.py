@@ -17,6 +17,7 @@ from pyetl_spark.sources.io import (
     sink,
     write_any,
 )
+from pyetl_spark.sources.smallfiles import read_dbf, read_xlsx, write_dbf, write_xlsx
 
 __all__ = [
     "FORMATS",
@@ -27,4 +28,8 @@ __all__ = [
     "attwriter",
     "preload",
     "sink",
+    "read_xlsx",
+    "write_xlsx",
+    "read_dbf",
+    "write_dbf",
 ]

@@ -56,6 +56,11 @@ FORMATS: dict[str, tuple[str, dict, dict]] = {
     "avro": ("avro", {}, {}),
     "text": ("text", {}, {}),
     "line": ("text", {}, {}),
+    # driver-side small-file formats (pyetl format_excel.py / format_dbf.py):
+    # handled by pyetl_spark.sources.smallfiles, dispatched in read_any/write_any
+    "xlsx": ("xlsx", {}, {}),
+    "xls": ("xlsx", {}, {}),
+    "dbf": ("dbf", {}, {}),
 }
 
 
@@ -99,6 +104,20 @@ def read_any(
     declarative plan so every constraint reaches the source scan.
     """
     spark_fmt, ropts, _ = _fmt_for(path, fmt)
+    if spark_fmt in ("xlsx", "xls", "dbf"):  # driver-side small-file formats
+        from pyetl_spark.sources import smallfiles
+
+        if spark_fmt == "dbf":
+            df = smallfiles.read_dbf(spark, path, **(options or {}))
+        else:
+            df = smallfiles.read_xlsx(spark, path, **(options or {}))
+        if read_filter is not None:
+            df = df.filter(read_filter)
+        if columns:
+            df = df.select(*columns)
+        if max_rows:
+            df = df.limit(max_rows)
+        return df
     reader = spark.read.format(spark_fmt).options(**{**ropts, **(options or {})})
     if schema is not None:
         reader = reader.schema(schema)
@@ -151,6 +170,14 @@ def write_any(
     laid out per class directory, readable back with partition pruning.
     """
     spark_fmt, _, wopts = _fmt_for(path, fmt)
+    if spark_fmt in ("xlsx", "xls", "dbf"):  # driver-side small-file formats
+        from pyetl_spark.sources import smallfiles
+
+        if spark_fmt == "dbf":
+            smallfiles.write_dbf(df, path, **(options or {}))
+        else:
+            smallfiles.write_xlsx(df, path, **(options or {}))
+        return
     writer = df.write.format(spark_fmt).options(**{**wopts, **(options or {})}).mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

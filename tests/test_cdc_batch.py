@@ -232,9 +232,14 @@ def test_rollback_to_snapshot(spark, events, tmp_path):
     table.rollback(1)
     assert table.current_version() == 1 and table.read().count() == n1
     assert "b2" not in table.committed_batches()
-    # b2 can be re-merged after the rollback (ledger rolled back with it)
+    # b2 can be re-merged after the rollback (ledger rolled back with it).
+    # The new commit takes the next FREE version (3): the retained v2
+    # snapshot's manifest + data dir must never be clobbered by a
+    # post-rollback write.
+    n2 = table.read_raw(version=2).count()
     s = table.merge(events.filter("seq >= 1000 and seq < 2000"), "b2")
-    assert not s.skipped and table.current_version() == 2
+    assert not s.skipped and table.current_version() == 3
+    assert table.read_raw(version=2).count() == n2  # retained snapshot intact
 
     with pytest.raises(ValueError, match="not retained"):
         table.rollback(99)
@@ -263,3 +268,45 @@ def test_compact_fragmented_buckets(spark, events, oracle_state, tmp_path):
     assert_state_matches(table, oracle_state)
     # idempotent: nothing left to compact
     assert table.compact()["compacted_buckets"] == 0
+
+
+def test_expire_snapshots_via_symlinked_root(spark, events, oracle_state, tmp_path):
+    """liveness must compare root-relative file identities: opening the table
+    through a different path spelling (symlink) and expiring must not delete
+    live data (ADVICE r01)."""
+    import os
+
+    real = str(tmp_path / "t_real")
+    table = SnapshotTable.create(spark, real, keys=["repo", "path"], nbuckets=4)
+    for i, (lo, hi) in enumerate([(0, 1500), (1500, 3000), (3000, N_EVENTS)]):
+        table.merge(events.filter(f"seq >= {lo} and seq < {hi}"), f"b{i}")
+
+    link = str(tmp_path / "t_link")
+    os.symlink(real, link)
+    aliased = SnapshotTable(spark, link)
+    res = aliased.expire_snapshots(keep_last=1)
+    assert res["removed_manifests"] >= 1
+
+    assert_state_matches(table, oracle_state)  # live data intact
+
+
+def test_commit_arbitration_is_exclusive(spark, events, tmp_path):
+    """two writers racing to the same next version: the manifest file is
+    created O_EXCL, so the loser fails even when the pointer has not moved
+    yet (closes the check-then-act window; ADVICE r01)."""
+    from pyetl_spark.cdc.tableio import ConcurrentWriteError
+
+    root = str(tmp_path / "t_excl")
+    table = SnapshotTable.create(spark, root, keys=["repo", "path"], nbuckets=2)
+    table.merge(events.filter("seq < 300"), "b1")
+
+    # another writer has created v2's manifest but NOT yet swapped the
+    # pointer. A well-behaved writer allocates the next FREE version, so to
+    # exercise the O_EXCL race arbitration we pin the version allocator to
+    # the collision (both writers computed next=2 before either committed).
+    import os
+
+    open(os.path.join(root, "_versions", "v00000002.json"), "w").write("{}")
+    table._next_version = lambda planned_against: 2
+    with pytest.raises(ConcurrentWriteError):
+        table.merge(events.filter("seq >= 300 and seq < 600"), "b2")

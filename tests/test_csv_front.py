@@ -81,3 +81,12 @@ def test_calc_predicate_and_negation(spark, df):
     out = run_script(df, script)
     got = {r["name"]: r["big"] for r in out.collect()}
     assert got["bob"] == "1" and got["alice"] in (None, "")
+
+
+def test_modifier_only_command_warns_not_crashes():
+    """a command field of only modifier chars ('>' / '+-') must warn like an
+    empty command, not IndexError (ADVICE r01)."""
+    script = HEADER + ";;;;x;;name;>;;;;\n" + ";;;;y;;name;+-;;;;\n"
+    rules, warnings = parse_script(script, strict=False)
+    assert rules == []
+    assert sum("no command" in w for w in warnings) == 2

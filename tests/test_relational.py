@@ -231,3 +231,30 @@ def test_range_join_window(spark):
     # plan: equi join, not a nested-loop
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
+
+
+def test_asof_join_null_value_not_backfilled(spark):
+    """a matched right row whose value column is NULL must yield NULL, not
+    the previous non-null value (SQL ASOF semantics; ADVICE r01)."""
+    from pyetl_spark.operators import asof_join
+
+    left = spark.createDataFrame([("a", 5), ("a", 12)], "k string, t long")
+    right = spark.createDataFrame(
+        [("a", 3, "early"), ("a", 10, None)], "k string, rt long, rv string"
+    )
+    out = asof_join(left, right, keys="k", left_on="t", right_on="rt", right_values=["rv"])
+    got = {r["t"]: r["rv"] for r in out.collect()}
+    assert got == {5: "early", 12: None}
+
+
+def test_asof_join_collision_with_key_raises(spark):
+    from pyetl_spark.operators import asof_join
+
+    left = spark.createDataFrame([("a", 5)], "k string, t long")
+    right = spark.createDataFrame([("a", 3)], "k string, rt long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        asof_join(left, right, keys="k", left_on="t", right_on="rt", right_values=["k"])
+    with _pytest.raises(ValueError):
+        asof_join(left, right, keys="k", left_on="t", right_on="rt", right_values=["t"])

@@ -289,3 +289,61 @@ def test_cmd_cnt_and_getkey(spark):
 
     with _pt.raises(ValueError, match="explicit order"):
         apply_rules(df, [Rule(op="cnt", out="n")], RuleContext())
+
+
+def test_crypt_decrypt_roundtrip(spark):
+    """mirrors the reference #test (traitement_crypt.py:397): set X='toto',
+    Y=crypt(X,'ffff'), Z=decrypt(Y,'ffff') → Z == 'toto'. Also: decrypt of a
+    non-token keeps the input value, wrong key keeps ciphertext."""
+    from pyetl_spark.rules import Rule, apply_rules
+
+    df = spark.createDataFrame([("toto",), ("autre",), (None,)], "x string")
+    rules = [
+        Rule(op="crypt", out="y", inp="x", p1="ffff"),
+        Rule(op="decrypt", out="z", inp="y", p1="ffff"),
+        Rule(op="decrypt", out="bad", inp="y", p1="WRONG"),
+        Rule(op="decrypt", out="raw", inp="x", p1="ffff"),
+    ]
+    out = apply_rules(df, rules).collect()
+    for r in out:
+        assert r["z"] == r["x"]                       # roundtrip
+        if r["x"] is not None:
+            assert r["y"] != r["x"]                   # actually encrypted
+            # wrong key never yields plaintext (keeps the ciphertext input;
+            # note Catalyst may inline the nondeterministic crypt per
+            # consumer, so bad's ciphertext instance can differ from y's)
+            assert r["bad"] != r["x"] and r["bad"].startswith("gAAAA")
+            assert r["raw"] == r["x"]                 # non-token → keep input
+
+
+def test_jsonsplit_recursive_flat(spark):
+    """p2='flat' flattens nested dicts with '_'-joined keys (leading '_' as
+    in the reference jflatten), json-encodes lists (traitement_alpha.py:1301)."""
+    from pyetl_spark.rules import Rule, apply_rules
+
+    df = spark.createDataFrame(
+        [('{"a": "1", "b": {"c": "x", "d": {"e": "y"}}, "l": [1, 2]}',), ("not json",)],
+        "j string",
+    )
+    out = apply_rules(df, [Rule(op="jsonsplit", out="h", inp="j", p2="flat")]).collect()
+    assert out[0]["h"] == {"_a": "1", "_b_c": "x", "_b_d_e": "y", "_l": "[1, 2]"}
+    assert out[1]["h"] is None
+
+
+def test_txtstruct_and_infoatt(spark, capsys):
+    """nested struct/array/map leaves all become strings, structure kept;
+    infoatt prints the recursive type tree."""
+    from pyetl_spark.rules import Rule, apply_rules
+
+    df = spark.createDataFrame(
+        [(1, {"n": 2, "arr": [1.5, 2.5], "m": {"k": 7}},)],
+        "id int, payload struct<n int, arr array<double>, m map<string,int>>",
+    )
+    out = apply_rules(df, [Rule(op="txtstruct", out="txt", inp="payload"),
+                           Rule(op="infoatt", inp="payload")])
+    row = out.collect()[0]
+    assert row["txt"]["n"] == "2"
+    assert row["txt"]["arr"] == ["1.5", "2.5"]
+    assert row["txt"]["m"] == {"k": "7"}
+    printed = capsys.readouterr().out
+    assert "analyse attribut payload" in printed and "array<double>" in printed

@@ -117,3 +117,91 @@ def test_special_sinks(spark, sample):
     assert sink(sample, "#comptage") == 4
     assert len(sink(sample, "#store")) == 4
     assert sink(sample, "#poubelle") is None
+
+
+def test_xlsx_roundtrip(spark, tmp_path):
+    """xlsx write → read_any roundtrip (reference format_excel.py); all-text
+    model, header row, shared/inline string handling."""
+    from pyetl_spark.sources import read_any, write_any
+
+    df = spark.createDataFrame(
+        [("alice", "10", "a & b <c>"), ("bob", "2.5", None), ("carol", "-3", "été")],
+        "name string, amount string, note string",
+    )
+    p = str(tmp_path / "t.xlsx")
+    write_any(df, p, fmt="xlsx")
+    back = read_any(spark, p)
+    assert back.columns == ["name", "amount", "note"]
+    got = sorted((r["name"], r["amount"], r["note"] or "") for r in back.collect())
+    assert got == [("alice", "10", "a & b <c>"), ("bob", "2.5", ""), ("carol", "-3", "été")]
+
+
+def test_xlsx_shared_strings_and_sheet_select(spark, tmp_path):
+    """a hand-built workbook with sharedStrings + two sheets reads the
+    requested sheet by name."""
+    import zipfile
+
+    from pyetl_spark.sources.smallfiles import (
+        _XLSX_CONTENT_TYPES, _XLSX_RELS, read_xlsx,
+    )
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    shared = (
+        f'<sst xmlns="{ns}"><si><t>h1</t></si><si><t>val</t></si></sst>'
+    )
+    sheet1 = (
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>1</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    sheet2 = (
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>other</t></is></c></row>'
+        '<row r="2"><c r="A2"><v>42</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    wb = (
+        f'<workbook xmlns="{ns}" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="first" sheetId="1" r:id="rId1"/>'
+        '<sheet name="second" sheetId="2" r:id="rId2"/></sheets></workbook>'
+    )
+    p = str(tmp_path / "two.xlsx")
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("[Content_Types].xml", _XLSX_CONTENT_TYPES)
+        z.writestr("_rels/.rels", _XLSX_RELS)
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/sharedStrings.xml", shared)
+        z.writestr("xl/worksheets/sheet1.xml", sheet1)
+        z.writestr("xl/worksheets/sheet2.xml", sheet2)
+
+    got1 = read_xlsx(spark, p, sheet="first")
+    assert got1.columns == ["h1"] and [r["h1"] for r in got1.collect()] == ["val"]
+    got2 = read_xlsx(spark, p, sheet="second")
+    assert got2.columns == ["other"] and [r["other"] for r in got2.collect()] == ["42"]
+
+
+def test_dbf_roundtrip(spark, tmp_path):
+    """dbf write → read_any roundtrip (reference format_dbf.py); deleted
+    records skipped, accents via cp1252."""
+    from pyetl_spark.sources import read_any, write_any
+
+    df = spark.createDataFrame(
+        [("r1", "café", "100"), ("r2", "plain", None)],
+        "id string, label string, qty string",
+    )
+    p = str(tmp_path / "t.dbf")
+    write_any(df, p, fmt="dbf")
+    back = read_any(spark, p)
+    assert back.columns == ["id", "label", "qty"]
+    got = sorted((r["id"], r["label"], r["qty"]) for r in back.collect())
+    assert got == [("r1", "café", "100"), ("r2", "plain", None)]
+
+    # flip r2's deletion flag by hand → only r1 survives
+    raw = bytearray(open(p, "rb").read())
+    header_size = int.from_bytes(raw[8:10], "little")
+    record_size = int.from_bytes(raw[10:12], "little")
+    raw[header_size + record_size] = ord("*")
+    open(p, "wb").write(bytes(raw))
+    assert [r["id"] for r in read_any(spark, p).collect()] == ["r1"]
