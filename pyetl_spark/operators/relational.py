@@ -147,8 +147,19 @@ def merge_rows(
     uniq/cnt. With ``order`` given, first/last/list respect that order
     (implemented via ``min_by``/``max_by``/sorted ``collect_list`` so the
     aggregation stays hash-based and partially combinable).
+
+    ``first``/``last``/``list`` REQUIRE ``order``: the reference had stream
+    order, but an unordered hash agg silently depends on partitioning — a
+    non-deterministic answer at scale is a bug, not a default. Use ``set``
+    for the explicit any-value semantic.
     """
     keys = _keys(keys)
+    missing_order = [c for c, r in reducers.items() if r in ("first", "last", "list") and not order]
+    if missing_order:
+        raise ValueError(
+            f"merge_rows: reducers on {missing_order} need order= for deterministic "
+            "results (use 'set' for the explicit any-value semantic)"
+        )
     aggs: list[Column] = []
     for col, red in reducers.items():
         if order and red in ("first", "last"):
@@ -417,15 +428,50 @@ def sample_1_in_n(df: DataFrame, n: int, key: str | None = None) -> DataFrame:
     return df.filter(F.pmod(col, F.lit(n)) == 0)
 
 
-def getkey(df: DataFrame, value_col: str, out: str = "key") -> DataFrame:
+def dense_key_dimension(values: DataFrame, value_col: str, out: str = "key") -> DataFrame:
+    """distinct values → dense 1..N keys in value order, fully distributed
+    (the zipWithIndex recipe in DataFrame terms): range-repartition the
+    distinct values, local ``row_number`` per partition, then add the
+    per-partition offsets (ONE driver-side collect bounded by the partition
+    count, never by cardinality). No single-partition global sort anywhere.
+    """
+    dims = values.select(value_col).distinct()
+    ranged = dims.repartitionByRange(F.col(value_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy(F.col(value_col))
+    local = ranged.withColumn("__rn", F.row_number().over(w))
+    # partition counts → offsets: ≤ shuffle-partition-count rows on the driver
+    counts = {r["__pid"]: r["n"] for r in local.groupBy("__pid").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):  # range partitions are ordered by pid
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), F.col("__pid")
+    )
+    return local.select(
+        F.col(value_col), (F.col("__rn") + F.coalesce(off_expr, F.lit(0))).cast("int").alias(out)
+    )
+
+
+def getkey(df: DataFrame, value_col: str, out: str = "key", method: str = "dim") -> DataFrame:
     """dense incremental integer key per distinct value — traitement_divers.py:770-790.
 
-    Scale note: ``dense_rank`` over a global ORDER BY is a single-partition
-    sort; for large cardinality prefer joining a precomputed key-dimension
-    table. Used here for parity on small dims.
+    ``method="dim"`` (default): build the key dimension distributed
+    (:func:`dense_key_dimension`) and join it back — scale-safe at any
+    cardinality (Spark broadcasts the dimension when small).
+    ``method="window"``: the small-dim parity fast path — ``dense_rank`` over
+    a global ORDER BY (single-partition sort; only for dims that fit one
+    partition). Both orderings are identical (dense, ascending value order).
     """
-    w = Window.orderBy(F.col(value_col))
-    return df.withColumn(out, F.dense_rank().over(w))
+    if method == "window":
+        w = Window.orderBy(F.col(value_col))
+        return df.withColumn(out, F.dense_rank().over(w))
+    dim = dense_key_dimension(df, value_col, out).withColumnRenamed(value_col, "__gv")
+    # null-safe equi join (<=> is a hash-join key) so NULL values keep their
+    # rank like dense_rank gives them
+    return df.join(dim, F.col(value_col).eqNullSafe(F.col("__gv")), "left").drop("__gv")
 
 
 def changed(df: DataFrame, col: str, order: str, partition: str | Sequence[str] | None = None, out: str = "changed") -> DataFrame:

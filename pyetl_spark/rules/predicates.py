@@ -113,6 +113,21 @@ def _compile(pred: str, ctx: RuleContext) -> Column:
     if cond.startswith("sample:"):
         n = int(cond[7:])
         return F.pmod(F.xxhash64(col), F.lit(n)) == 0
+    if cond in ("is:file", "is:dir"):
+        # attr value names an existing file/dir — f_is_file/f_is_dir
+        # traitement_conditions.py:781-817. Arrow-batched os.path check;
+        # on a cluster this requires the path visible from executors
+        # (shared FS), same contract as any file-path-driven rule.
+        kind = cond[3:]
+
+        @F.pandas_udf("boolean")
+        def _check(s):
+            import os
+
+            fn = os.path.isfile if kind == "file" else os.path.isdir
+            return s.fillna("").map(fn)
+
+        return _check(col)
     raise ValueError(f"unknown predicate condition: {pred!r}")
 
 

@@ -357,15 +357,17 @@ def cmd_cnt(rule: Rule, ctx: RuleContext) -> Effect:
 @command("getkey")
 def cmd_getkey(rule: Rule, ctx: RuleContext) -> Effect:
     """dense incremental key per distinct value — ``f_getkey``
-    traitement_divers.py:770-790 (global window; join a key-dimension table
-    at large cardinality, see operators.getkey)."""
+    traitement_divers.py:770-790. Delegates to the scale-safe
+    distributed key-dimension operator (no global single-partition sort);
+    ``p1="window"`` selects the small-dim dense_rank fast path."""
     out = rule.outs()[0]
     val = rule.inp
+    method = bind_value(rule.p1, ctx) or "dim"
 
     def fn(df: DataFrame) -> DataFrame:
-        from pyspark.sql import Window
+        from pyetl_spark.operators import getkey as op_getkey
 
-        return df.withColumn(out, F.dense_rank().over(Window.orderBy(F.col(val))))
+        return op_getkey(df, val, out=out, method=method)
 
     return DataFrameEffect(fn)
 

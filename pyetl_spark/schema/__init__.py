@@ -3,6 +3,8 @@
 moteur/fonctions/traitement_schema.py; see SURVEY §1.2-1.3, §2.11)."""
 
 from pyetl_spark.schema.ops import (
+    apply_mapping,
+    parse_mapping_spec,
     TYPE_CODES,
     cast_layer,
     enum_recode,
@@ -15,6 +17,8 @@ from pyetl_spark.schema.ops import (
 )
 
 __all__ = [
+    "apply_mapping",
+    "parse_mapping_spec",
     "TYPE_CODES",
     "cast_layer",
     "infer_type_codes",

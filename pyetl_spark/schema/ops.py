@@ -167,6 +167,76 @@ def enum_recode(
     return df.withColumn(column, F.coalesce(recoded, fallback))
 
 
+def parse_mapping_spec(text: str) -> list[tuple[str, str, dict[str, str]]]:
+    """Parse the reference's inline mapping spec
+    ``{src_class,dst_class,a=>b,c=>d:src2,dst2:...}``
+    (charge_mapping traitement_mapping.py:139-146) into
+    ``[(src_class, dst_class, {src_att: dst_att}), ...]``."""
+    text = text.strip()
+    if text.startswith("{") and text.endswith("}"):
+        text = text[1:-1]
+    out: list[tuple[str, str, dict[str, str]]] = []
+    for block in text.split(":"):
+        if not block.strip():
+            continue
+        parts = [p.strip() for p in block.split(",")]
+        src, dst = parts[0], parts[1] if len(parts) > 1 else parts[0]
+        atts = {}
+        for pair in parts[2:]:
+            if "=>" in pair:
+                a, b = pair.split("=>", 1)
+                atts[a.strip()] = b.strip()
+        out.append((src, dst, atts))
+    return out
+
+
+def apply_mapping(
+    tables: Mapping[str, DataFrame],
+    mapping: Sequence[tuple[str, str, Mapping[str, str]]] | str,
+) -> dict[str, DataFrame]:
+    """Wholesale class + attribute remap driven by a mapping table —
+    ``f_map``/``_map_schemas`` traitement_mapping.py:328-397.
+
+    ``mapping`` entries are ``(src_class, dst_class, {src_att: dst_att})``;
+    ``src_class`` may end with ``*`` — the wildcard expansion
+    (traitement_mapping.py:231-245): every class starting with the prefix is
+    renamed with the prefix replaced by ``dst_class``'s, and the entry's
+    attribute renames apply to all of them. A mapped attribute missing from
+    a class is created empty (``obj.attributs.get(orig, "")``,
+    traitement_mapping.py:385). Unmapped classes pass through untouched.
+
+    Plan-time-only metadata work (withColumnsRenamed, zero data movement) —
+    the scale cost of a remap is nothing, which is exactly why it's modeled
+    declaratively rather than per-object as in the reference.
+    """
+    if isinstance(mapping, str):
+        mapping = parse_mapping_spec(mapping)
+    # expand wildcards against the actual class list
+    expanded: dict[str, tuple[str, Mapping[str, str]]] = {}
+    for src, dst, atts in mapping:
+        if src.endswith("*"):
+            prefix = src[:-1]
+            for cls in tables:
+                if cls.startswith(prefix):
+                    expanded.setdefault(cls, (cls.replace(prefix, dst, 1), atts))
+        else:
+            expanded[src] = (dst, atts)
+
+    out: dict[str, DataFrame] = {}
+    for cls, df in tables.items():
+        if cls not in expanded:
+            out[cls] = df
+            continue
+        dst, atts = expanded[cls]
+        cols = set(df.columns)
+        missing = [a for a in atts if a not in cols]
+        for a in missing:  # reference: absent source attr → empty value
+            df = df.withColumn(a, F.lit(""))
+        df = df.withColumnsRenamed(dict(atts))
+        out[dst] = df
+    return out
+
+
 def validate_enum(df: DataFrame, column: str, domain: Sequence[str]) -> DataFrame:
     """Conformance check (``valide_schema`` traitement_schema.py:194):
     flags out-of-domain values in ``<column>__conforme`` instead of dropping

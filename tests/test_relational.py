@@ -258,3 +258,45 @@ def test_asof_join_collision_with_key_raises(spark):
         asof_join(left, right, keys="k", left_on="t", right_on="rt", right_values=["k"])
     with _pytest.raises(ValueError):
         asof_join(left, right, keys="k", left_on="t", right_on="rt", right_values=["t"])
+
+
+def test_getkey_dim_matches_window_and_handles_nulls(spark):
+    """distributed key-dimension getkey == dense_rank window getkey,
+    including a NULL value (null-safe join keeps its rank)."""
+    from pyetl_spark.operators import getkey
+
+    df = spark.createDataFrame(
+        [("b",), ("a",), ("c",), ("a",), (None,), ("b",)], "v string"
+    ).repartition(4)
+    via_dim = {(r["v"], r["k"]) for r in getkey(df, "v", out="k").collect()}
+    via_win = {(r["v"], r["k"]) for r in getkey(df, "v", out="k", method="window").collect()}
+    assert via_dim == via_win
+    assert {r for r in via_dim} == {(None, 1), ("a", 2), ("b", 3), ("c", 4)}
+
+
+def test_getkey_dim_large_cardinality(spark):
+    """dense 1..N over more distinct values than any single partition should
+    sort — exercises the range-partition + offset path."""
+    from pyetl_spark.operators import getkey
+
+    df = spark.range(0, 5000).select(
+        F.concat(F.lit("v"), F.format_string("%06d", (F.col("id") * 7919) % 5000)).alias("v")
+    )
+    out = getkey(df, "v", out="k")
+    ks = [r["k"] for r in out.select("k").distinct().collect()]
+    assert sorted(ks) == list(range(1, 5001))
+    # key order follows value order
+    two = {r["v"]: r["k"] for r in out.filter(F.col("v").isin("v000000", "v004999")).collect()}
+    assert two["v000000"] == 1 and two["v004999"] == 5000
+
+
+def test_merge_rows_first_last_require_order(spark):
+    from pyetl_spark.operators import merge_rows
+
+    df = spark.createDataFrame([("a", 1, "x")], "k string, o long, v string")
+    with pytest.raises(ValueError, match="need order="):
+        merge_rows(df, "k", {"v": "first"})
+    with pytest.raises(ValueError, match="need order="):
+        merge_rows(df, "k", {"v": "list"})
+    # 'set' stays the explicit any-value escape hatch
+    assert merge_rows(df, "k", {"v": "set"}).collect()[0]["v"] == "x"

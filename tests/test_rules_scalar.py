@@ -347,3 +347,19 @@ def test_txtstruct_and_infoatt(spark, capsys):
     assert row["txt"]["m"] == {"k": "7"}
     printed = capsys.readouterr().out
     assert "analyse attribut payload" in printed and "array<double>" in printed
+
+
+def test_is_file_is_dir_predicates(spark, tmp_path):
+    """is:file / is:dir test the attr VALUE as a path
+    (traitement_conditions.py:781-817)."""
+    from pyetl_spark.rules.predicates import compile_predicate
+
+    f = tmp_path / "exists.txt"
+    f.write_text("x")
+    df = spark.createDataFrame(
+        [(str(f),), (str(tmp_path),), ("/no/such/thing",), (None,)], "p string"
+    )
+    files = [r["p"] for r in df.filter(compile_predicate("p is:file")).collect()]
+    dirs = [r["p"] for r in df.filter(compile_predicate("p is:dir")).collect()]
+    assert files == [str(f)]
+    assert dirs == [str(tmp_path)]

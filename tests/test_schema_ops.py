@@ -104,3 +104,39 @@ def test_cast_layer_with_date_format(spark):
     df = spark.createDataFrame([("02/01/2024 13:30",)], "d string")
     out = cast_layer(df, {"d": "D"}, date_fmt="dd/MM/yyyy HH:mm")
     assert out.first().d == datetime.datetime(2024, 1, 2, 13, 30)
+
+
+def test_apply_mapping_bulk_remap(spark):
+    """table-driven wholesale remap (f_map traitement_mapping.py:328-397):
+    exact + wildcard class renames, attribute renames, missing source attr
+    created empty, unmapped classes untouched."""
+    from pyetl_spark.schema import apply_mapping
+
+    tables = {
+        "stock_items": spark.createDataFrame([("i1", "5")], "code string, qty string"),
+        "stock_moves": spark.createDataFrame([("m1",)], "code string"),
+        "clients": spark.createDataFrame([("c1",)], "id string"),
+    }
+    mapping = [
+        ("stock_*", "inv_", {"code": "ref", "missing_att": "extra"}),
+        ("clients", "customers", {"id": "customer_id"}),
+    ]
+    out = apply_mapping(tables, mapping)
+    assert set(out) == {"inv_items", "inv_moves", "customers"}
+    assert out["inv_items"].columns == ["ref", "qty", "extra"]
+    row = out["inv_items"].collect()[0]
+    assert (row["ref"], row["qty"], row["extra"]) == ("i1", "5", "")
+    assert out["customers"].columns == ["customer_id"]
+
+
+def test_apply_mapping_inline_spec(spark):
+    """the reference's inline {src,dst,a=>b:...} spec string parses and
+    applies (charge_mapping traitement_mapping.py:139-146)."""
+    from pyetl_spark.schema import apply_mapping, parse_mapping_spec
+
+    spec = "{old_cls,new_cls,a=>b:keepme,keepme}"
+    parsed = parse_mapping_spec(spec)
+    assert parsed == [("old_cls", "new_cls", {"a": "b"}), ("keepme", "keepme", {})]
+    tables = {"old_cls": spark.createDataFrame([("x",)], "a string")}
+    out = apply_mapping(tables, spec)
+    assert set(out) == {"new_cls"} and out["new_cls"].columns == ["b"]
