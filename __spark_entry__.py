@@ -574,12 +574,11 @@ def q_sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = len(embs.select("embedding").first()[0])
     scored = embs.crossJoin(F.broadcast(q0)).select(
         "vec_id",
-        F.round(
-            fsim.cosine_fixed(
-                F.col("embedding").cast("array<double>"), F.col("qv").cast("array<double>"), dim
-            ),
-            6,
-        ).alias("cos_sim"),
+        F.col("embedding").cast("array<double>").alias("__v"),
+        F.col("qv").cast("array<double>").alias("__q"),
+    ).select(
+        "vec_id",
+        F.round(F.expr(fsim.cosine_fixed_sql("__v", "__q", dim)), 6).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.col("vec_id")).limit(10)
 
@@ -597,12 +596,12 @@ def q_sim_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pairs.select(
         F.col("l.vec_id").alias("left_id"),
         F.col("r.vec_id").alias("right_id"),
-        F.round(
-            fsim.cosine_fixed(
-                F.col("l.embedding").cast("array<double>"), F.col("r.embedding").cast("array<double>"), dim
-            ),
-            6,
-        ).alias("cos_sim"),
+        F.col("l.embedding").cast("array<double>").alias("__a"),
+        F.col("r.embedding").cast("array<double>").alias("__b"),
+    ).select(
+        "left_id",
+        "right_id",
+        F.round(F.expr(fsim.cosine_fixed_sql("__a", "__b", dim)), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("left_id").orderBy(F.desc("cos_sim"), F.col("right_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
@@ -616,7 +615,7 @@ def q_sim_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi join on the signature, never a nested loop. Hyperplanes are
     plan-time literals, so the oracle recomputes the identical buckets."""
     embs = _t(spark, sf_dir, "embeddings")
-    return fsim.knn_join_blocked(embs, embs, k=3, bits=4, seed=42, dim=_RHP_DIM)
+    return fsim.knn_join_blocked(embs, embs, k=3, bits=6, seed=42, dim=_RHP_DIM)
 
 
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -651,7 +650,7 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(
             F.col("l.vec_id").alias("a"),
             F.col("r.vec_id").alias("b"),
-            F.round(fsim.cosine_fixed(F.col("l.v"), F.col("r.v"), dim), 6).alias("cos_sim"),
+            F.round(F.expr(fsim.cosine_fixed_sql("l.v", "r.v", dim)), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.93)
     )
@@ -812,15 +811,30 @@ _NWORDS = r"regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', '
 _MD5H60 = "('0x' || substr(md5({x}),1,15))::BIGINT"
 
 
+def _duck_wordhash_expr() -> str:
+    """DuckDB expr: per-word md5 hashes mod 2^31-1 — mirrors the inner
+    transform of word_shingle_hashes_md5."""
+    from pyetl_spark.functions.text import MERSENNE31
+
+    return f"list_transform({_NWORDS}, w -> {_MD5H60.format(x='w')} % {MERSENNE31})"
+
+
 def _duck_shingle_hash_list(k: int = 3) -> str:
-    """DuckDB expr: distinct md5-60bit hashes of word k-shingles — mirrors
-    word_shingle_hashes_md5 + array_distinct."""
+    """DuckDB expr over a column ``wm`` (per-word hashes, see
+    :func:`_duck_wordhash_expr`): distinct Horner-combined word k-shingle
+    hashes — mirrors word_shingle_hashes_md5 + array_distinct."""
+    from pyetl_spark.functions.text import MERSENNE31 as P
+    from pyetl_spark.functions.text import SHINGLE_A as A
+
+    expr = "wm[i]"
+    for j in range(1, k):
+        expr = f"(({expr}) * {A} + wm[i+{j}]) % {P}"
     sh = (
-        "(CASE WHEN len({w}) >= {k} THEN "
-        "list_transform(range(1, len({w}) - {k} + 2), i -> array_to_string({w}[i:i+{k}-1], ' ')) "
-        "ELSE [] END)"
-    ).format(w=_NWORDS, k=k)
-    return f"list_distinct(list_transform({sh}, s -> {_MD5H60.format(x='s')}))"
+        f"(CASE WHEN len(wm) >= {k} THEN "
+        f"list_transform(range(1, len(wm) - {k} + 2), i -> {expr}) "
+        f"ELSE [] END)"
+    )
+    return f"list_distinct({sh})"
 
 
 def _minhash_lsh_oracle(
@@ -835,17 +849,20 @@ def _minhash_lsh_oracle(
         f"min(({a}::BIGINT * (u % {P}) + {b}) % {P}) AS h{i}"
         for i, (a, b) in enumerate(_uh_params(n_hashes))
     )
+    def _bk(b: int) -> str:
+        idx = list(range(b * rows, (b + 1) * rows))
+        if rows == 2:  # exact arithmetic packing, mirrors the engine
+            return f"h{idx[0]}::BIGINT * {P} + h{idx[1]}"
+        return " || ',' || ".join(f"h{i}::VARCHAR" for i in idx)
+
     melt = "\n      UNION ALL ".join(
-        "SELECT id, {b} AS band_idx, {key} AS bk FROM sig".format(
-            b=b,
-            key=" || ',' || ".join(f"h{i}::VARCHAR" for i in range(b * rows, (b + 1) * rows)),
-        )
-        for b in range(bands)
+        f"SELECT id, {b} AS band_idx, {_bk(b)} AS bk FROM sig" for b in range(bands)
     )
     jac = ("round(len(list_intersect(sa.s, sb.s)) * 1.0 / "
            "greatest(len(list_distinct(list_concat(sa.s, sb.s))), 1), 6)")
     return f"""
-    WITH sh AS (SELECT doc_id AS id, {_duck_shingle_hash_list(k)} AS s FROM documents),
+    WITH wmx AS (SELECT doc_id AS id, {_duck_wordhash_expr()} AS wm FROM documents),
+    sh AS (SELECT id, {_duck_shingle_hash_list(k)} AS s FROM wmx),
     ex AS (SELECT id, unnest(s) AS u FROM sh),
     sig AS (SELECT id, {mins} FROM ex GROUP BY id),
     melt AS ({melt}),
@@ -925,7 +942,7 @@ def _ann_lsh_oracle(dim: int = _RHP_DIM, bits: int = 5, k: int = 10) -> str:
     """
 
 
-def _knn_blocked_oracle(dim: int = _RHP_DIM, bits: int = 4, k: int = 3) -> str:
+def _knn_blocked_oracle(dim: int = _RHP_DIM, bits: int = 6, k: int = 3) -> str:
     planes = fsim.hyperplanes(dim, bits, seed=42)
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

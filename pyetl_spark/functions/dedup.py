@@ -147,11 +147,36 @@ def minhash_lsh_pairs(
     (instead of xxhash64 band hashes) — both recomputable in DuckDB.
     """
     rows = n_hashes // bands
-    sig = minhash_signatures_agg(df, text_col, id_col, n_hashes, k_shingle, hash_family)
+    hasher = word_shingle_hashes if hash_family == "xx" else word_shingle_hashes_md5
+
+    # distinct shingle-hash sets, computed ONCE and persisted: both the
+    # signature path (explode + min-agg) and the exact-Jaccard verification
+    # consume them, and the string→hash work (per-word md5 in the oracle
+    # family, interpreted HOFs) is the most expensive scalar stage — paying
+    # it twice doubled the whole query's cost.
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(hasher(F.col(text_col), k_shingle)).alias("sh"),
+    ).persist()
+
+    ex = sh.select("id", F.explode("sh").alias("s")).select(
+        "id", F.pmod(F.col("s"), F.lit(_MERSENNE_P)).alias("h")
+    )
+    aggs = [
+        F.min(_uh(F.col("h"), a, b)).alias(f"h{i}")
+        for i, (a, b) in enumerate(_uh_params(n_hashes))
+    ]
+    sig = ex.groupBy("id").agg(*aggs)
 
     # band keys as plain columns (codegen'd), melted to (id, band_idx, band_hash)
     def _band_key(b: int):
-        joined = F.concat_ws(",", *[F.col(f"h{i}").cast("string") for i in range(b * rows, (b + 1) * rows)])
+        cols = [F.col(f"h{i}") for i in range(b * rows, (b + 1) * rows)]
+        if hash_family == "md5" and rows == 2:
+            # exact packing: h values live in [0, P), so h0*P + h1 is a
+            # bijective BIGINT key (< 2^62) — collision-free, cheaper to
+            # shuffle/join than a string, and trivially oracle-recomputable
+            return (cols[0] * F.lit(_MERSENNE_P) + cols[1]).alias(f"bh{b}")
+        joined = F.concat_ws(",", *[c.cast("string") for c in cols])
         if hash_family == "md5":
             return joined.alias(f"bh{b}")  # oracle-recomputable string key
         return F.xxhash64(joined, F.lit(b)).alias(f"bh{b}")
@@ -188,16 +213,9 @@ def minhash_lsh_pairs(
         .dropDuplicates(["a", "b"])
     )
 
-    # exact-Jaccard verification: ship shingle sets only for candidates.
-    # persisted because both pair sides consume it (Spark re-executes
-    # lineage per consumer otherwise); at corpus scale this is the stage to
-    # give StorageLevel.DISK_ONLY or to re-derive per side if storage is
-    # tighter than CPU.
-    hasher = word_shingle_hashes if hash_family == "xx" else word_shingle_hashes_md5
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(hasher(F.col(text_col), k_shingle)).alias("sh"),
-    ).persist()
+    # exact-Jaccard verification over the same persisted shingle sets (at
+    # corpus scale this is the stage to give StorageLevel.DISK_ONLY or to
+    # re-derive per side if storage is tighter than CPU)
     verified = (
         cand.join(sh.select(F.col("id").alias("a"), F.col("sh").alias("sha_")), "a")
         .join(sh.select(F.col("id").alias("b"), F.col("sh").alias("shb_")), "b")

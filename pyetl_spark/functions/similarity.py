@@ -69,6 +69,62 @@ def _vec_lit(v: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in v])
 
 
+# ---------------------------------------------------------------- SQL builders
+#
+# Unrolled fixed-dim expressions built Column-by-Column cost thousands of
+# py4j driver round-trips (seconds of plan-CONSTRUCTION latency per query at
+# dim=64). These builders emit the identical expression as ONE SQL string
+# parsed JVM-side by a single F.expr call — same operators, same
+# left-to-right evaluation order, same values (repr(float) round-trips
+# exactly and the 'D' suffix parses as double). Operand strings should be
+# plain (possibly alias-qualified) column names of array<double> columns —
+# cast/alias the array first, then reference it by name.
+
+
+def _flit(x: float) -> str:
+    return f"{float(x)!r}D"
+
+
+def dot_fixed_sql(a: str, b: str, dim: int) -> str:
+    """Σ a[i]*b[i], left-to-right (Spark SQL subscripts are 0-based)."""
+    return " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dim))
+
+
+def dot_const_sql(a: str, q: list[float]) -> str:
+    """Σ a[i]*q_i against a literal vector."""
+    return " + ".join(f"{a}[{i}] * {_flit(q[i])}" for i in range(len(q)))
+
+
+def norm_fixed_sql(a: str, dim: int) -> str:
+    return f"sqrt({dot_fixed_sql(a, a, dim)})"
+
+
+def cosine_fixed_sql(a: str, b: str, dim: int) -> str:
+    """same float ops/order as :func:`cosine_fixed`."""
+    return (
+        f"({dot_fixed_sql(a, b, dim)}) / "
+        f"greatest(({norm_fixed_sql(a, dim)}) * ({norm_fixed_sql(b, dim)}), 1e-12D)"
+    )
+
+
+def cosine_const_sql(a: str, q: list[float]) -> str:
+    """same float ops/order as :func:`cosine_const`."""
+    qnorm = float(np.sqrt(sum(x * x for x in q))) or 1e-12
+    return (
+        f"({dot_const_sql(a, q)}) / "
+        f"greatest(({norm_fixed_sql(a, len(q))}) * {_flit(qnorm)}, 1e-12D)"
+    )
+
+
+def rhp_signature_sql(vexpr: str, planes: list[list[float]]) -> str:
+    """same bit tests/order as :func:`rhp_signature` (sum type widens to
+    BIGINT, value-identical)."""
+    return " + ".join(
+        f"(CASE WHEN {dot_const_sql(vexpr, p)} >= 0 THEN {1 << i}L ELSE 0L END)"
+        for i, p in enumerate(planes)
+    )
+
+
 def cosine_const(vec: Column, query: list[float]) -> Column:
     """cosine(vec, literal query): the query norm folds to a literal, so the
     expression is ONE unrolled dot + one self-dot — half the codegen of
@@ -88,10 +144,11 @@ def brute_force_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """exact cosine top-k vs one query vector (the correctness baseline)."""
-    q = _vec_lit(query)
     scored = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).select(
         F.col(id_col),
-        F.round(cosine_const(F.col(vec_col).cast("array<double>"), query), 6).alias("cos_sim"),
+        F.round(F.expr(cosine_const_sql("__v", query)), 6).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
@@ -151,11 +208,11 @@ def ann_topk(
         probe |= {qsig ^ (1 << i) for i in range(bits)}
 
     dfv = df.withColumn("__vecd", F.col(vec_col).cast("array<double>"))
-    sig = rhp_signature(F.col("__vecd"), planes)
+    sig = F.expr(rhp_signature_sql("__vecd", planes))
     cand = dfv.withColumn("__sig", sig).filter(F.col("__sig").isin(list(probe)))
     scored = cand.select(
         F.col(id_col),
-        F.round(cosine_const(F.col("__vecd"), query), 6).alias("cos_sim"),
+        F.round(F.expr(cosine_const_sql("__vecd", query)), 6).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
@@ -180,19 +237,28 @@ def knn_join_blocked(
     planes = hyperplanes(dim, bits, seed)
 
     def prep(df: DataFrame, side: str) -> DataFrame:
-        v = F.col(vec_col).cast("array<double>")
+        # norms are per-ROW properties: hoist them before the join so the
+        # per-pair work is ONE dot, not dot + two 64-term self-dots (3x)
+        vc = f"{side}_vec"
         return df.select(
             F.col(id_col).alias(f"{side}_id"),
-            v.alias(f"{side}_vec"),
-            rhp_signature(v, planes).alias("__sig"),
+            F.col(vec_col).cast("array<double>").alias(vc),
+        ).select(
+            "*",
+            F.expr(norm_fixed_sql(vc, dim)).alias(f"{side}_norm"),
+            F.expr(rhp_signature_sql(vc, planes)).alias("__sig"),
         )
 
     l, r = prep(left, "left"), prep(right, "right")
     pairs = l.join(r, "__sig").filter(F.col("left_id") != F.col("right_id"))
+    # same float ops in the same order as cosine_fixed, just hoisted
+    cos = F.expr(dot_fixed_sql("left_vec", "right_vec", dim)) / F.greatest(
+        F.col("left_norm") * F.col("right_norm"), F.lit(1e-12)
+    )
     scored = pairs.select(
         "left_id",
         "right_id",
-        F.round(cosine_fixed(F.col("left_vec"), F.col("right_vec"), dim), 6).alias("cos_sim"),
+        F.round(cos, 6).alias("cos_sim"),
     )
     w = Window.partitionBy("left_id").orderBy(F.desc("cos_sim"), F.col("right_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -209,18 +275,28 @@ def embedding_near_dup_pairs(
     """embedding-cosine near-duplicate pairs (a < b) within RHP buckets."""
     dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(dim, bits, seed)
-    v = F.col(vec_col).cast("array<double>")
-    base = df.select(F.col(id_col).alias("id"), v.alias("vec"), rhp_signature(v, planes).alias("__sig"))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).select(
+        "*",
+        F.expr(norm_fixed_sql("vec", dim)).alias("nrm"),
+        F.expr(rhp_signature_sql("vec", planes)).alias("__sig"),
+    )
     l = base.alias("l")
     r = base.alias("r")
     pairs = l.join(
         r, (F.col("l.__sig") == F.col("r.__sig")) & (F.col("l.id") < F.col("r.id"))
     )
+    # norms hoisted per row (same float ops/order as cosine_fixed)
+    cos = F.expr(dot_fixed_sql("l.vec", "r.vec", dim)) / F.greatest(
+        F.col("l.nrm") * F.col("r.nrm"), F.lit(1e-12)
+    )
     return (
         pairs.select(
             F.col("l.id").alias("a"),
             F.col("r.id").alias("b"),
-            F.round(cosine_fixed(F.col("l.vec"), F.col("r.vec"), dim), 6).alias("cos_sim"),
+            F.round(cos, 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -302,20 +378,21 @@ def ivf_assign(
     Column expressions (unrolled distances + array argmin), codegen'd; at
     write time this column is the partition key of the vector table."""
     dim = len(centroids[0])
-    v = F.col(vec_col).cast("array<double>")
     # ||v||^2 hoisted once (argmin is invariant to it, kept for clarity of
     # true distances); per-centroid work = one unrolled dot + two literals
-    with_vv = df.withColumn("__vv", dot_fixed(v, v, dim))
+    with_vv = df.withColumn("__vd", F.col(vec_col).cast("array<double>")).withColumn(
+        "__vv", F.expr(dot_fixed_sql("__vd", "__vd", dim))
+    )
     dists = F.array(
         *[
             F.col("__vv")
-            - F.lit(2.0) * dot_fixed(v, _vec_lit(c), dim)
+            - F.lit(2.0) * F.expr(dot_const_sql("__vd", c))
             + F.lit(float(sum(x * x for x in c)))
             for c in centroids
         ]
     )
     cell = F.array_position(dists, F.array_min(dists)) - 1
-    return with_vv.withColumn(out, cell.cast("int")).drop("__vv")
+    return with_vv.withColumn(out, cell.cast("int")).drop("__vv", "__vd")
 
 
 def ivf_topk(
@@ -340,7 +417,9 @@ def ivf_topk(
     probe = [int(x) for x in order[:nprobe]]
     cand = ivf_assign(df, centroids, vec_col).filter(F.col("ivf_cell").isin(probe))
     scored = cand.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).select(
         F.col(id_col),
-        F.round(cosine_const(F.col(vec_col).cast("array<double>"), query), 6).alias("cos_sim"),
+        F.round(F.expr(cosine_const_sql("__v", query)), 6).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)

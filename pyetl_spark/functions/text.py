@@ -150,13 +150,39 @@ def md5_int60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+# shingle combine constants for the md5 hash family: values stay in
+# [0, MERSENNE31) so Horner steps (h*A + w) peak below 2^62 — safe under
+# ANSI int64 in Spark AND DuckDB's overflow-checked BIGINT arithmetic.
+MERSENNE31 = (1 << 31) - 1
+SHINGLE_A = 1_000_003
+
+
 def word_shingle_hashes_md5(col: Column, k: int = 3) -> Column:
-    """array<long> of md5-derived 60-bit hashes of word k-shingles — the
+    """array<long> of md5-derived hashes of word k-shingles — the
     oracle-checkable sibling of :func:`word_shingle_hashes` (which chains
-    xxhash64, engine-internal). Builds shingle STRINGS first (interpreted
-    HOF), so it is the parity/contract path; the xxhash64 form remains the
-    corpus-scale default."""
-    return F.transform(word_shingles(col, k), md5_int60)
+    xxhash64, engine-internal).
+
+    Each WORD is md5-hashed once (mod 2^31-1), then adjacent word hashes are
+    Horner-combined arithmetically (``(h*A + w) mod P``) with whole-array
+    ``zip_with`` — no per-shingle string materialization, no per-shingle
+    md5. That keeps the only interpreted-HOF cost at one md5+conv per word;
+    a SQL oracle mirrors the exact values with ``list_transform`` over the
+    same literals (see __spark_entry__._duck_shingle_hash_list). 31-bit
+    shingle identities are fine for parity corpora; the 64-bit xxhash64
+    family remains the corpus-scale default."""
+    p = F.lit(MERSENNE31)
+    wm = F.transform(words(normalize_text(col)), lambda w: F.pmod(md5_int60(w), p))
+    acc = wm
+    for j in range(1, k):
+        # zip_with pads the shorter slice with null; null propagates through
+        # the arithmetic and the tail is sliced off below
+        acc = F.zip_with(
+            acc,
+            F.slice(wm, j + 1, F.size(wm)),
+            lambda a, b: F.pmod(a * F.lit(SHINGLE_A) + b, p),
+        )
+    n = F.size(wm)
+    return F.slice(acc, 1, F.greatest(n - (k - 1), F.lit(0)))
 
 
 def char_ngrams(col: Column, n: int = 5) -> Column:
