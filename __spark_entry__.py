@@ -478,6 +478,26 @@ def q_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-envelope parse path (pyetl_spark/cdc/kafka_source.py): wrap
+    every event row in the broker envelope (value = JSON bytes, key-hash
+    partition, offset), then parse it back with from_json. Output must be
+    value-identical to the source rows — the oracle is the identity select,
+    so this certifies JSON encode/decode fidelity (timestamps, doubles) of
+    the binlog-tail source seam."""
+    from pyetl_spark.cdc.kafka_source import events_to_envelope, parse_kafka_envelope
+
+    ev = _t(spark, sf_dir, "events")
+    env = events_to_envelope(ev, key_cols=("event_id",), offset_col="event_id")
+    parsed = parse_kafka_envelope(
+        env,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+        keep_meta=False,
+    )
+    return parsed.filter(~F.col("_corrupt")).drop("_corrupt")
+
+
 # =====================================================================
 # text analysis (training-data ops)
 # =====================================================================
@@ -722,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_salted": q_cdc_lww_salted,
         "uniq_first_n": q_uniq_first_n,
         "window_hourly": q_window_hourly,
+        "kafka_roundtrip": q_kafka_roundtrip,
         "text_tokens": q_text_tokens,
         "text_stats": q_text_stats,
         "text_lang_id": q_text_lang_id,
@@ -1223,6 +1244,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
                    event_type, count(*) AS n, round(sum(value), 4) AS v
             FROM events GROUP BY 1, 2
+        """,
+        # envelope wrap + from_json parse must be lossless -> identity oracle
+        "kafka_roundtrip": """
+            SELECT event_id, ts, user_id, event_type, value, props FROM events
         """,
         "text_tokens": f"""
             SELECT doc_id,

@@ -1,0 +1,188 @@
+"""Kafka-shaped CDC source adapter.
+
+Spark's Kafka source (``readStream.format("kafka")``) yields a fixed
+envelope: ``(key binary, value binary, topic string, partition int,
+offset long, timestamp timestamp, timestampType int)``. No broker exists in
+this sandbox, so the adapter is split the way a production job is anyway:
+
+- :func:`parse_kafka_envelope` — envelope rows → typed change events
+  (``from_json`` over the value bytes, pure Column expressions). Malformed
+  payloads are FLAGGED (``_corrupt``), never dropped silently and never
+  stream-killing; callers route them to a dead-letter sink. This function is
+  source-agnostic: it works identically on a real Kafka stream.
+- :func:`events_to_envelope` / :func:`write_kafka_envelope_batches` /
+  :func:`kafka_envelope_stream` — a deterministic file-backed simulation of
+  a topic (same envelope schema, key-hash partitioning, offset = seq), so
+  tests drive the parse path end-to-end.
+- :func:`kafka_ingest` — StreamingIngest over the simulated topic; swapping
+  in a real broker is the one-line source swap promised in
+  ``stream.py``'s module docstring.
+
+Reference: pyetl has only polling file/DB readers (generic_io.py,
+parallel.py:729-763 iter_boucle); a binlog/WAL tail has no direct analog —
+this is the SURVEY §2.9 scale recast of its streaming seam.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyetl_spark.cdc.datagen import EVENT_SCHEMA
+from pyetl_spark.cdc.stream import StreamingIngest
+from pyetl_spark.cdc.tableio import SnapshotTable
+
+KAFKA_ENVELOPE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+_KAFKA_META = ["_topic", "_partition", "_offset", "_corrupt"]
+
+# full-microsecond timestamps in the JSON payload: to_json always writes
+# ISO millis (it ignores timestampFormat), silently losing event-time
+# precision — so the producer formats timestamp columns explicitly with
+# date_format at this pattern, and the parser hands the same pattern to
+# from_json.
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+_JSON_OPTS = {"timestampFormat": _TS_FMT}
+
+
+def events_to_envelope(
+    events: DataFrame,
+    topic: str = "code_changes",
+    n_partitions: int = 8,
+    key_cols: tuple[str, ...] = ("repo", "path"),
+    offset_col: str = "seq",
+) -> DataFrame:
+    """Wrap typed events in the Kafka envelope (the producer side of the
+    simulation). Deterministic: key = the join of ``key_cols`` (Kafka's
+    same-key→same-partition contract via hash), offset = ``offset_col``,
+    timestamp derived from the offset — no wall clock, so the same input
+    always yields a byte-identical topic."""
+    key = F.concat_ws("\x00", *[F.col(c) for c in key_cols])
+    fields = [
+        F.date_format(f.name, _TS_FMT).alias(f.name)
+        if f.dataType.typeName().startswith("timestamp")
+        else F.col(f.name)
+        for f in events.schema.fields
+    ]
+    value = F.to_json(F.struct(*fields))
+    return events.select(
+        key.cast("binary").alias("key"),
+        value.cast("binary").alias("value"),
+        F.lit(topic).alias("topic"),
+        F.pmod(F.xxhash64(key), F.lit(n_partitions)).cast("int").alias("partition"),
+        F.col(offset_col).cast("long").alias("offset"),
+        F.timestamp_millis(F.col(offset_col).cast("long")).alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+
+
+def parse_kafka_envelope(
+    df: DataFrame,
+    value_schema: str = EVENT_SCHEMA,
+    keep_meta: bool = True,
+) -> DataFrame:
+    """Envelope → typed events: ``from_json`` over the value bytes.
+
+    A payload that fails to parse gets ``_corrupt = true`` with its event
+    columns null (PERMISSIVE mode + ``columnNameOfCorruptRecord`` — Spark
+    yields an all-null row for malformed JSON, and the corrupt-record column
+    carries the raw text, which is the reliable malformed signal).
+    Dead-letter them via ``df.filter("_corrupt")`` — at-scale streams always
+    carry some. Kafka metadata survives as ``_topic/_partition/_offset`` for
+    lineage."""
+    j = F.from_json(
+        F.col("value").cast("string"),
+        value_schema + ", __cr string",
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "__cr", **_JSON_OPTS},
+    )
+    out = (
+        df.select(
+            j.alias("__j"),
+            F.col("topic").alias("_topic"),
+            F.col("partition").alias("_partition"),
+            F.col("offset").alias("_offset"),
+            (F.col("value").isNotNull() & j["__cr"].isNotNull()).alias("_corrupt"),
+        )
+        .select("__j.*", *_KAFKA_META)
+        .drop("__cr")
+    )
+    if not keep_meta:
+        out = out.drop(*_KAFKA_META[:-1])
+    return out
+
+
+def write_kafka_envelope_batches(
+    spark: SparkSession,
+    events: DataFrame,
+    out_dir: str,
+    n_batches: int = 4,
+    offset_col: str = "seq",
+    **envelope_kw,
+) -> int:
+    """Simulated topic on disk: ``n_batches`` parquet file groups in offset
+    ranges (a file source's offset log replays them in deterministic order —
+    the property a broker's (partition, offset) pairs give a real consumer).
+    Returns total events written."""
+    env = events_to_envelope(events, offset_col=offset_col, **envelope_kw)
+    hi = env.agg(F.max("offset")).collect()[0][0]
+    total = 0
+    if hi is None:
+        return 0
+    step = (hi + n_batches) // n_batches
+    for b in range(n_batches):
+        part = env.filter(
+            (F.col("offset") >= b * step) & (F.col("offset") < (b + 1) * step)
+        )
+        total += part.count()
+        part.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/batch={b:04d}")
+    return total
+
+
+def kafka_envelope_stream(
+    spark: SparkSession, topic_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """readStream over the simulated topic — same schema a broker source
+    yields, so downstream code cannot tell the difference."""
+    return (
+        spark.readStream.schema(KAFKA_ENVELOPE_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .option("recursiveFileLookup", "true")
+        .parquet(topic_dir)
+    )
+
+
+def kafka_ingest(
+    spark: SparkSession,
+    topic_dir: str,
+    table: SnapshotTable,
+    checkpoint_dir: str,
+    value_schema: str = EVENT_SCHEMA,
+    **ingest_kw,
+) -> StreamingIngest:
+    """StreamingIngest whose source is the (simulated) Kafka topic: envelope
+    → parse (corrupt rows dead-lettered out of the MERGE) → the unchanged
+    exactly-once sink path. For a real broker, replace
+    :func:`kafka_envelope_stream` with ``spark.readStream.format("kafka")``
+    — nothing else changes."""
+    ingest = StreamingIngest(
+        spark,
+        events_dir=topic_dir,
+        table=table,
+        checkpoint_dir=checkpoint_dir,
+        **ingest_kw,
+    )
+    user_transform = ingest.transform
+
+    def _parse_then_transform(batch: DataFrame) -> DataFrame:
+        typed = parse_kafka_envelope(batch, value_schema, keep_meta=False)
+        typed = typed.filter(~F.col("_corrupt")).drop("_corrupt")
+        return user_transform(typed) if user_transform else typed
+
+    ingest.transform = _parse_then_transform
+    ingest.reader_factory = lambda spark_: kafka_envelope_stream(
+        spark_, topic_dir, ingest.max_files_per_trigger
+    )
+    return ingest

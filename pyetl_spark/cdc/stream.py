@@ -86,12 +86,19 @@ class StreamingIngest:
     # ---------------------------------------------------------------- driver
 
     def start(self) -> StreamingQuery:
-        reader = (
-            self.spark.readStream.schema(self.schema)
-            .option("maxFilesPerTrigger", str(self.max_files_per_trigger))
-            .option("recursiveFileLookup", "true")
-            .parquet(self.events_dir)
-        )
+        # a reader_factory (set e.g. by cdc.kafka_source.kafka_ingest)
+        # replaces the default file tail with another streaming source —
+        # the sink/exactly-once path is source-agnostic
+        factory = getattr(self, "reader_factory", None)
+        if factory is not None:
+            reader = factory(self.spark)
+        else:
+            reader = (
+                self.spark.readStream.schema(self.schema)
+                .option("maxFilesPerTrigger", str(self.max_files_per_trigger))
+                .option("recursiveFileLookup", "true")
+                .parquet(self.events_dir)
+            )
         writer = reader.writeStream.foreachBatch(self._process_batch).option(
             "checkpointLocation", self.checkpoint_dir
         )
