@@ -32,6 +32,7 @@ from pyetl_spark.operators import (
     getkey,
     join_lookup,
     merge_rows,
+    multiplex,
     objgroup,
     semi_join,
     sessionize,
@@ -104,6 +105,63 @@ def q_rules_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "p_partkey", "type_u", "brand_l", "name_len", "brand_type",
         "type_head", "name_x", "price_cat", "price_r", "label",
+    )
+
+
+def q_rules_hstore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hstore command family (hset/hget/hdel/hsplit — reference
+    traitement_hstore.py:42-263) over the part table. The surviving map is
+    emitted as a canonical sorted ``k=v`` string so the comparison is
+    independent of map-entry ordering."""
+    part = _t(spark, sf_dir, "part")
+    rules = [
+        Rule(op="hset", out="h", inp="p_brand,p_type"),
+        Rule(op="hget", out="brand2", inp="h", p1="p_brand"),
+        Rule(op="hdel", out="h", inp="h", p1="p_brand"),
+        Rule(op="hsplit", inp="h", p1="p_type"),
+    ]
+    out = apply_rules(part, rules)
+    h_str = F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(F.col("h"))),
+            lambda e: F.concat_ws("=", e["key"], e["value"]),
+        ),
+        ";",
+    )
+    return out.select(
+        "p_partkey", "brand2", F.col("p_type").alias("type2"), h_str.alias("h_str")
+    )
+
+
+def q_rules_namesplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """path ops (namejoin + namesplit — reference traitement_os.py:364-432):
+    build a file path from part columns, split it back into dir/base/ext."""
+    part = _t(spark, sf_dir, "part")
+    rules = [
+        Rule(op="namejoin", out="d2", inp="p_brand,p_type"),
+        Rule(
+            op="calc",
+            out="fp",
+            p1="concat(p_brand, '/', p_type, '/', cast(p_partkey AS string), '.dat')",
+        ),
+        Rule(op="namesplit", out="dir,base,ext", inp="fp"),
+    ]
+    out = apply_rules(part, rules)
+    return out.select("p_partkey", "d2", "dir", "base", "ext")
+
+
+def q_multiplex_autre(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multiplex routing by attribute value with the #autre fallback branch
+    (reference traitement_workflow.py:940-985): branches re-united with
+    their label, aggregated with exact-integer measures."""
+    orders = _t(spark, sf_dir, "orders")
+    branches = multiplex(orders, "o_orderstatus", ["O", "F"])
+    labeled = None
+    for name, bdf in branches.items():
+        b = bdf.withColumn("branch", F.lit(name))
+        labeled = b if labeled is None else labeled.unionByName(b)
+    return labeled.groupBy("branch").agg(
+        F.count("*").alias("n"), F.sum("o_custkey").alias("sum_cust")
     )
 
 
@@ -713,6 +771,9 @@ def q_schema_enum_recode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rules_scalar": q_rules_scalar,
+        "rules_hstore": q_rules_hstore,
+        "rules_namesplit": q_rules_namesplit,
+        "multiplex_autre": q_multiplex_autre,
         "rules_predicates": q_rules_predicates,
         "rules_branching": q_rules_branching,
         "rules_checksum": q_rules_checksum,
@@ -1027,6 +1088,28 @@ def oracle_sql() -> dict[str, str]:
                    round(p_retailprice, 0) AS price_r,
                    printf('%s#%d', p_brand, p_size) AS label
             FROM part
+        """,
+        "rules_hstore": """
+            SELECT p_partkey,
+                   p_brand AS brand2,
+                   p_type AS type2,
+                   'p_type=' || p_type AS h_str
+            FROM part
+        """,
+        "rules_namesplit": """
+            SELECT p_partkey,
+                   p_brand || '/' || p_type AS d2,
+                   p_brand || '/' || p_type AS dir,
+                   CAST(p_partkey AS VARCHAR) AS base,
+                   'dat' AS ext
+            FROM part
+        """,
+        "multiplex_autre": """
+            SELECT CASE WHEN o_orderstatus IN ('O','F') THEN o_orderstatus
+                        ELSE '#autre' END AS branch,
+                   count(*) AS n,
+                   CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+            FROM orders GROUP BY 1
         """,
         "rules_predicates": """
             SELECT l_orderkey, l_linenumber, l_quantity
