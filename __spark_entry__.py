@@ -536,6 +536,49 @@ def q_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SnapshotTable MERGE — the north-rule centerpiece — driven
+    through the driver contract: replay the events table as 3 ordered CDC
+    batches keyed on user_id (seq = event_id), then read back the final
+    visible state. Exercises bucket pruning, the batch ledger, COW manifest
+    chaining, and LWW across batches; the oracle is the SQL argmax
+    (max/max_by over event_id per user)."""
+    import shutil
+    import tempfile
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("op", F.lit("upsert"))
+        .select("user_id", "event_id", "event_type", "value", "op")
+    )
+    n = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    step = n // 3 + 1
+    root = tempfile.mkdtemp(prefix="q_cdc_merge_")
+    try:
+        table = SnapshotTable.create(
+            spark, os.path.join(root, "t"), keys=["user_id"], nbuckets=8
+        )
+        for b in range(3):
+            batch = ev.filter(
+                (F.col("event_id") >= b * step) & (F.col("event_id") < (b + 1) * step)
+            )
+            table.merge(batch, batch_id=f"q:{b}", seq_col="event_id")
+        out = (
+            table.read_raw()
+            .filter(~F.col("_deleted"))
+            .select(
+                "user_id",
+                F.col("_seq").alias("last_event"),
+                "event_type",
+                F.col("value").alias("last_value"),
+            )
+        )
+        # materialize before the table directory is removed
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kafka-envelope parse path (pyetl_spark/cdc/kafka_source.py): wrap
     every event row in the broker envelope (value = JSON bytes, key-hash
@@ -803,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_salted": q_cdc_lww_salted,
         "uniq_first_n": q_uniq_first_n,
         "window_hourly": q_window_hourly,
+        "cdc_merge_table": q_cdc_merge_table,
         "kafka_roundtrip": q_kafka_roundtrip,
         "text_tokens": q_text_tokens,
         "text_stats": q_text_stats,
@@ -1327,6 +1371,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
                    event_type, count(*) AS n, round(sum(value), 4) AS v
             FROM events GROUP BY 1, 2
+        """,
+        # final table state after 3-batch MERGE == last-writer-wins argmax
+        "cdc_merge_table": """
+            SELECT user_id,
+                   max(event_id) AS last_event,
+                   max_by(event_type, event_id) AS event_type,
+                   max_by(value, event_id) AS last_value
+            FROM events GROUP BY user_id
         """,
         # envelope wrap + from_json parse must be lossless -> identity oracle
         "kafka_roundtrip": """
