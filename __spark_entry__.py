@@ -150,6 +150,28 @@ def q_rules_namesplit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("p_partkey", "d2", "dir", "base", "ext")
 
 
+def q_rules_extractbloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extractbloc (reference traitement_alpha.py:1162-1229): stateful
+    balanced-delimiter block extraction after a regex key — the engine's one
+    genuinely-stateful scalar, an Arrow-batched pandas UDF + explode. The
+    input is constructed deterministically from part columns (two nested
+    blocks per row), so the oracle enumerates the expected blocks in SQL."""
+    part = _t(spark, sf_dir, "part")
+    rules = [
+        Rule(
+            op="calc",
+            out="src",
+            p1=(
+                "concat('obj ', p_brand, ' {a {', p_type, '} b} tail "
+                "obj x {', cast(p_partkey AS string), '}')"
+            ),
+        ),
+        Rule(op="extractbloc", out="bloc", inp="src", p1="obj", p2="{}"),
+    ]
+    out = apply_rules(part, rules)
+    return out.select("p_partkey", "bloc")
+
+
 def q_multiplex_autre(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multiplex routing by attribute value with the #autre fallback branch
     (reference traitement_workflow.py:940-985): branches re-united with
@@ -816,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rules_scalar": q_rules_scalar,
         "rules_hstore": q_rules_hstore,
         "rules_namesplit": q_rules_namesplit,
+        "rules_extractbloc": q_rules_extractbloc,
         "multiplex_autre": q_multiplex_autre,
         "rules_predicates": q_rules_predicates,
         "rules_branching": q_rules_branching,
@@ -1147,6 +1170,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(p_partkey AS VARCHAR) AS base,
                    'dat' AS ext
             FROM part
+        """,
+        "rules_extractbloc": """
+            SELECT p_partkey, '{a {' || p_type || '} b}' AS bloc FROM part
+            UNION ALL
+            SELECT p_partkey, '{' || CAST(p_partkey AS VARCHAR) || '}' FROM part
         """,
         "multiplex_autre": """
             SELECT CASE WHEN o_orderstatus IN ('O','F') THEN o_orderstatus
