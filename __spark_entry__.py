@@ -150,6 +150,24 @@ def q_rules_namesplit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("p_partkey", "d2", "dir", "base", "ext")
 
 
+def q_rules_jsonops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json command family + map_data recode (reference
+    traitement_alpha.py:1291-1391, traitement_mapping.py:400-471) over the
+    events table: json_get extracts a path from the props JSON, tojson dumps
+    an attr back to JSON, map_data recodes event_type via a plan-time map."""
+    ev = _t(spark, sf_dir, "events")
+    ctx = RuleContext(
+        params={"m": {"click": "C", "view": "V", "purchase": "P"}}
+    )
+    rules = [
+        Rule(op="json_get", out="kval", inp="props", p1="k"),
+        Rule(op="tojson", out="j", inp="event_type"),
+        Rule(op="map_data", out="etype2", inp="event_type", p1="m", default="X"),
+    ]
+    out = apply_rules(ev, rules, ctx)
+    return out.select("event_id", "kval", "j", "etype2")
+
+
 def q_rules_extractbloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """extractbloc (reference traitement_alpha.py:1162-1229): stateful
     balanced-delimiter block extraction after a regex key — the engine's one
@@ -837,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rules_scalar": q_rules_scalar,
         "rules_hstore": q_rules_hstore,
+        "rules_jsonops": q_rules_jsonops,
         "rules_namesplit": q_rules_namesplit,
         "rules_extractbloc": q_rules_extractbloc,
         "multiplex_autre": q_multiplex_autre,
@@ -1170,6 +1189,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(p_partkey AS VARCHAR) AS base,
                    'dat' AS ext
             FROM part
+        """,
+        "rules_jsonops": """
+            SELECT event_id,
+                   json_extract_string(props, '$.k') AS kval,
+                   '{"event_type":"' || event_type || '"}' AS j,
+                   CASE event_type WHEN 'click' THEN 'C' WHEN 'view' THEN 'V'
+                        WHEN 'purchase' THEN 'P' ELSE 'X' END AS etype2
+            FROM events
         """,
         "rules_extractbloc": """
             SELECT p_partkey, '{a {' || p_type || '} b}' AS bloc FROM part
