@@ -168,6 +168,24 @@ def q_rules_jsonops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "kval", "j", "etype2")
 
 
+def q_rules_crypt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """crypt → decrypt roundtrip (reference traitement_crypt.py:393-422):
+    Fernet tokens embed a random IV so ciphertext itself cannot be oracled —
+    the driver-checkable invariant is decrypt(crypt(x)) == x plus the
+    bad-token keep-input rule, both asserted by an identity oracle."""
+    part = _t(spark, sf_dir, "part")
+    rules = [
+        Rule(op="crypt", out="c", inp="p_name", p1="secret42"),
+        Rule(op="decrypt", out="back", inp="c", p1="secret42"),
+        # wrong key: reference keeps the input value -> token survives -> a
+        # second decrypt with the right key still recovers the plaintext
+        Rule(op="decrypt", out="wrong", inp="c", p1="other-key"),
+        Rule(op="decrypt", out="back2", inp="wrong", p1="secret42"),
+    ]
+    out = apply_rules(part, rules)
+    return out.select("p_partkey", "back", "back2")
+
+
 def q_rules_extractbloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """extractbloc (reference traitement_alpha.py:1162-1229): stateful
     balanced-delimiter block extraction after a regex key — the engine's one
@@ -856,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rules_scalar": q_rules_scalar,
         "rules_hstore": q_rules_hstore,
         "rules_jsonops": q_rules_jsonops,
+        "rules_crypt_roundtrip": q_rules_crypt_roundtrip,
         "rules_namesplit": q_rules_namesplit,
         "rules_extractbloc": q_rules_extractbloc,
         "multiplex_autre": q_multiplex_autre,
@@ -1197,6 +1216,10 @@ def oracle_sql() -> dict[str, str]:
                    CASE event_type WHEN 'click' THEN 'C' WHEN 'view' THEN 'V'
                         WHEN 'purchase' THEN 'P' ELSE 'X' END AS etype2
             FROM events
+        """,
+        # ciphertext embeds a random IV -> the invariant IS the roundtrip
+        "rules_crypt_roundtrip": """
+            SELECT p_partkey, p_name AS back, p_name AS back2 FROM part
         """,
         "rules_extractbloc": """
             SELECT p_partkey, '{a {' || p_type || '} b}' AS bloc FROM part
