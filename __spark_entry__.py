@@ -168,6 +168,16 @@ def q_rules_jsonops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "kval", "j", "etype2")
 
 
+def q_sample_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deterministic 1-in-N sampling predicate (reference ``sel %;N``
+    traitement_conditions.py:143-162), md5-keyed so the oracle recomputes
+    membership value-exactly. Hash-based → partition-order independent,
+    unlike the reference's modulo row counter (documented deviation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    keep = compile_predicate("l_orderkey samplemd5:7")
+    return li.filter(keep).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
 def q_rules_crypt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """crypt → decrypt roundtrip (reference traitement_crypt.py:393-422):
     Fernet tokens embed a random IV so ciphertext itself cannot be oracled —
@@ -875,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rules_hstore": q_rules_hstore,
         "rules_jsonops": q_rules_jsonops,
         "rules_crypt_roundtrip": q_rules_crypt_roundtrip,
+        "sample_md5": q_sample_md5,
         "rules_namesplit": q_rules_namesplit,
         "rules_extractbloc": q_rules_extractbloc,
         "multiplex_autre": q_multiplex_autre,
@@ -1216,6 +1227,11 @@ def oracle_sql() -> dict[str, str]:
                    CASE event_type WHEN 'click' THEN 'C' WHEN 'view' THEN 'V'
                         WHEN 'purchase' THEN 'P' ELSE 'X' END AS etype2
             FROM events
+        """,
+        "sample_md5": """
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT % 7 = 0
         """,
         # ciphertext embeds a random IV -> the invariant IS the roundtrip
         "rules_crypt_roundtrip": """

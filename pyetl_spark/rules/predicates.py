@@ -113,6 +113,14 @@ def _compile(pred: str, ctx: RuleContext) -> Column:
     if cond.startswith("sample:"):
         n = int(cond[7:])
         return F.pmod(F.xxhash64(col), F.lit(n)) == 0
+    if cond.startswith("samplemd5:"):
+        # cross-engine-checkable sampling sibling: md5-keyed, identical
+        # value in any SQL engine (see functions.text.md5_int60); xxhash64
+        # `sample:` stays the corpus-scale default
+        from pyetl_spark.functions.text import md5_int60
+
+        n = int(cond[10:])
+        return F.pmod(md5_int60(col.cast("string")), F.lit(n)) == 0
     if cond in ("is:file", "is:dir"):
         # attr value names an existing file/dir — f_is_file/f_is_dir
         # traitement_conditions.py:781-817. Arrow-batched os.path check;
