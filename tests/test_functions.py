@@ -154,6 +154,10 @@ def test_ann_recall(embs):
 def test_knn_join_blocked(embs):
     small = embs.limit(60)
     out = similarity.knn_join_blocked(small, small, k=3, bits=3)
+    # scale shape: the bucket join must plan as an equi join on the
+    # signature, never a nested loop (the O(L*R) anti-pattern)
+    plan = out._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "BroadcastNestedLoopJoin" not in plan
     pdf = out.toPandas()
     assert (pdf.groupby("left_id")["rank"].max() <= 3).all()
     assert (pdf["left_id"] != pdf["right_id"]).all()
