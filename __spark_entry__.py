@@ -631,6 +631,11 @@ def q_cdc_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("event_id") >= b * step) & (F.col("event_id") < (b + 1) * step)
             )
             table.merge(batch, batch_id=f"q:{b}", seq_col="event_id")
+        # lake maintenance must be state-invariant: compaction rewrites
+        # fragmented buckets, expiry drops unreferenced files — the SAME
+        # oracle certifies both because the visible rows cannot change
+        table.compact()
+        table.expire_snapshots(keep_last=1)
         out = (
             table.read_raw()
             .filter(~F.col("_deleted"))
@@ -642,6 +647,44 @@ def q_cdc_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         # materialize before the table directory is removed
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema evolution on MERGE (north_rule: Iceberg schema-merge analog —
+    union-with-nulls both directions): a column appears only in the second
+    half of the replay; pre-existing rows surface it as NULL, and rows whose
+    last write predates the column keep NULL after LWW. Oracle recomputes
+    the same visibility rule in SQL."""
+    import shutil
+    import tempfile
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("op", F.lit("upsert"))
+        .select("user_id", "event_id", "event_type", "op")
+    )
+    n = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    half = n // 2
+    root = tempfile.mkdtemp(prefix="q_cdc_schemaevo_")
+    try:
+        table = SnapshotTable.create(
+            spark, os.path.join(root, "t"), keys=["user_id"], nbuckets=8
+        )
+        table.merge(
+            ev.filter(F.col("event_id") < half), batch_id="q:0", seq_col="event_id"
+        )
+        late = ev.filter(F.col("event_id") >= half).withColumn(
+            "etype_tag", F.concat_ws(":", "event_type", F.col("event_id").cast("string"))
+        )
+        table.merge(late, batch_id="q:1", seq_col="event_id")
+        out = (
+            table.read_raw()
+            .filter(~F.col("_deleted"))
+            .select("user_id", F.col("_seq").alias("last_event"), "etype_tag")
+        )
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -919,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uniq_first_n": q_uniq_first_n,
         "window_hourly": q_window_hourly,
         "cdc_merge_table": q_cdc_merge_table,
+        "cdc_schema_evolution": q_cdc_schema_evolution,
         "kafka_roundtrip": q_kafka_roundtrip,
         "text_tokens": q_text_tokens,
         "text_stats": q_text_stats,
@@ -1472,6 +1516,17 @@ def oracle_sql() -> dict[str, str]:
                    max(event_id) AS last_event,
                    max_by(event_type, event_id) AS event_type,
                    max_by(value, event_id) AS last_value
+            FROM events GROUP BY user_id
+        """,
+        # column added mid-replay: visible iff the key's LAST write carried it
+        "cdc_schema_evolution": """
+            WITH bounds AS (SELECT (max(event_id) + 1) // 2 AS half FROM events)
+            SELECT user_id,
+                   max(event_id) AS last_event,
+                   CASE WHEN max(event_id) >= (SELECT half FROM bounds)
+                        THEN max_by(event_type, event_id) || ':' ||
+                             CAST(max(event_id) AS VARCHAR)
+                   END AS etype_tag
             FROM events GROUP BY user_id
         """,
         # envelope wrap + from_json parse must be lossless -> identity oracle
