@@ -604,6 +604,74 @@ def q_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV writer + reader fidelity through the generic format registry
+    (reference generic_io.py / format_csv.py): distributed write with the
+    pyetl dialect (';' sep, header), schema-driven read back — values must
+    survive exactly, so the oracle is the identity select."""
+    import shutil
+    import tempfile
+
+    from pyetl_spark.sources import io as sio
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    root = tempfile.mkdtemp(prefix="q_csv_rt_")
+    try:
+        p = os.path.join(root, "li.csv")
+        sio.write_any(li, p, fmt="csv")
+        back = sio.read_any(
+            spark,
+            p,
+            fmt="csv",
+            schema="l_orderkey long, l_linenumber int, l_quantity double, l_returnflag string",
+        )
+        return back.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_xlsx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xlsx writer + reader (reference format_excel.py, sources.smallfiles):
+    driver-side small-file ingest; read side types everything as string, so
+    the oracle casts the source columns to VARCHAR."""
+    import shutil
+    import tempfile
+
+    from pyetl_spark.sources import io as sio
+
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type", "p_size")
+    root = tempfile.mkdtemp(prefix="q_xlsx_rt_")
+    try:
+        p = os.path.join(root, "part.xlsx")
+        sio.write_any(part, p, fmt="xlsx")
+        back = sio.read_any(spark, p, fmt="xlsx")
+        return back.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_script_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the regle-CSV script front-end end-to-end (reference script format,
+    12 ';'-separated fields): an unmodified pyetl-style script — commands,
+    defaults, selectors — compiled to the Spark plan and executed."""
+    from pyetl_spark.rules.csv_front import run_script
+
+    header = (
+        "!att_tri1;valeur_tri1;att_tri2;valeur_tri2;att_sortie;defaut;"
+        "att_entree;mode;param1;param2;fin;\n"
+    )
+    script = header + (
+        ";;;;brand_u;;p_brand;upper;;;;\n"
+        ";;;;initial;;p_name;sub;^(.).*;$1;;\n"
+        "p_type;ECONOMY;;;eco;1;;set;;;;\n"
+    )
+    part = _t(spark, sf_dir, "part")
+    out = run_script(part, script)
+    return out.select("p_partkey", "brand_u", "initial", "eco")
+
+
 def q_cdc_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end SnapshotTable MERGE — the north-rule centerpiece — driven
     through the driver contract: replay the events table as 3 ordered CDC
@@ -963,6 +1031,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_hourly": q_window_hourly,
         "cdc_merge_table": q_cdc_merge_table,
         "cdc_schema_evolution": q_cdc_schema_evolution,
+        "csv_roundtrip": q_csv_roundtrip,
+        "xlsx_roundtrip": q_xlsx_roundtrip,
+        "script_front": q_script_front,
         "kafka_roundtrip": q_kafka_roundtrip,
         "text_tokens": q_text_tokens,
         "text_stats": q_text_stats,
@@ -1517,6 +1588,22 @@ def oracle_sql() -> dict[str, str]:
                    max_by(event_type, event_id) AS event_type,
                    max_by(value, event_id) AS last_value
             FROM events GROUP BY user_id
+        """,
+        # write+read roundtrips must be lossless -> identity oracles
+        "csv_roundtrip": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+        """,
+        "xlsx_roundtrip": """
+            SELECT CAST(p_partkey AS VARCHAR) AS p_partkey, p_brand, p_type,
+                   CAST(p_size AS VARCHAR) AS p_size
+            FROM part
+        """,
+        "script_front": """
+            SELECT p_partkey,
+                   upper(p_brand) AS brand_u,
+                   regexp_extract(p_name, '^(.)', 1) AS initial,
+                   CASE WHEN p_type = 'ECONOMY' THEN '1' END AS eco
+            FROM part
         """,
         # column added mid-replay: visible iff the key's LAST write carried it
         "cdc_schema_evolution": """
