@@ -652,6 +652,25 @@ def q_xlsx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_dbf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dBASE III writer + reader (reference format_dbf.py,
+    sources.smallfiles): text-model roundtrip, oracle casts to VARCHAR."""
+    import shutil
+    import tempfile
+
+    from pyetl_spark.sources import io as sio
+
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type", "p_size")
+    root = tempfile.mkdtemp(prefix="q_dbf_rt_")
+    try:
+        p = os.path.join(root, "part.dbf")
+        sio.write_any(part, p, fmt="dbf")
+        back = sio.read_any(spark, p, fmt="dbf")
+        return back.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_script_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     """the regle-CSV script front-end end-to-end (reference script format,
     12 ';'-separated fields): an unmodified pyetl-style script — commands,
@@ -1033,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "csv_roundtrip": q_csv_roundtrip,
         "xlsx_roundtrip": q_xlsx_roundtrip,
+        "dbf_roundtrip": q_dbf_roundtrip,
         "script_front": q_script_front,
         "kafka_roundtrip": q_kafka_roundtrip,
         "text_tokens": q_text_tokens,
@@ -1594,6 +1614,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
         """,
         "xlsx_roundtrip": """
+            SELECT CAST(p_partkey AS VARCHAR) AS p_partkey, p_brand, p_type,
+                   CAST(p_size AS VARCHAR) AS p_size
+            FROM part
+        """,
+        "dbf_roundtrip": """
             SELECT CAST(p_partkey AS VARCHAR) AS p_partkey, p_brand, p_type,
                    CAST(p_size AS VARCHAR) AS p_size
             FROM part

@@ -25,6 +25,7 @@ EAGER = {
     "cdc_schema_evolution",
     "csv_roundtrip",
     "xlsx_roundtrip",
+    "dbf_roundtrip",
 }
 
 # documented exceptions: nested-loop is the POINT (exact baselines), and the
