@@ -218,6 +218,27 @@ def q_rules_extractbloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("p_partkey", "bloc")
 
 
+def q_rules_xmlops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML column ops (reference traitement_xml.py:79-160): build an XML
+    document deterministically from part columns, extract the first
+    element's attribute (xmlextract), then explode one row per element
+    (xmlsplit) — the oracle enumerates both elements per part in SQL."""
+    part = _t(spark, sf_dir, "part")
+    rules = [
+        Rule(
+            op="calc",
+            out="doc",
+            p1=(
+                "concat('<g><pp v=\"', p_brand, '\"/><pp v=\"', p_type, '\"/></g>')"
+            ),
+        ),
+        Rule(op="xmlextract", out="first_v", inp="doc", p1="pp.v"),
+        Rule(op="xmlsplit", out="each_v", inp="doc", p1="pp.v"),
+    ]
+    out = apply_rules(part, rules)
+    return out.select("p_partkey", "first_v", "each_v")
+
+
 def q_multiplex_autre(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multiplex routing by attribute value with the #autre fallback branch
     (reference traitement_workflow.py:940-985): branches re-united with
@@ -1018,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_md5": q_sample_md5,
         "rules_namesplit": q_rules_namesplit,
         "rules_extractbloc": q_rules_extractbloc,
+        "rules_xmlops": q_rules_xmlops,
         "multiplex_autre": q_multiplex_autre,
         "rules_predicates": q_rules_predicates,
         "rules_branching": q_rules_branching,
@@ -1376,6 +1398,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey, '{a {' || p_type || '} b}' AS bloc FROM part
             UNION ALL
             SELECT p_partkey, '{' || CAST(p_partkey AS VARCHAR) || '}' FROM part
+        """,
+        "rules_xmlops": """
+            SELECT p_partkey, p_brand AS first_v, p_brand AS each_v FROM part
+            UNION ALL
+            SELECT p_partkey, p_brand AS first_v, p_type AS each_v FROM part
         """,
         "multiplex_autre": """
             SELECT CASE WHEN o_orderstatus IN ('O','F') THEN o_orderstatus

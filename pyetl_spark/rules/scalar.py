@@ -501,6 +501,43 @@ def cmd_decrypt(rule: Rule, ctx: RuleContext) -> Effect:
 # ------------------------------------------------------------------ map / json
 
 
+@command("xmlextract")
+def cmd_xmlextract(rule: Rule, ctx: RuleContext) -> Effect:
+    """first matching element value from an XML attr — ``f_xmlextract``
+    traitement_xml.py:79-121. Path forms: ``tag`` / ``tag.#text`` (element
+    text), ``tag.attr`` (attribute value). Native ``xpath_string`` — JVM
+    XML parsing, no Python in the row path."""
+    path = bind_value(rule.p1, ctx)
+    tag, _, attr = path.partition(".")
+    if not attr or attr == "#text":
+        xp = f"(//{tag})[1]"
+    else:
+        xp = f"(//{tag}/@{attr})[1]"
+    return ColumnEffect({rule.outs()[0]: F.xpath_string(F.col(rule.inp), F.lit(xp))})
+
+
+@command("xmlsplit")
+def cmd_xmlsplit(rule: Rule, ctx: RuleContext) -> Effect:
+    """one row per matching XML element — ``f_xmlsplit``
+    traitement_xml.py:124-160 (object-per-element), recast as explode over
+    an xpath nodeset. The per-row value is the selected attribute
+    (``tag.attr``) or element text (``tag``); rows with no match are
+    dropped, like the reference's zero-element case."""
+    path = bind_value(rule.p1, ctx)
+    tag, _, attr = path.partition(".")
+    if not attr or attr == "#text":
+        xp = f"//{tag}/text()"
+    else:
+        xp = f"//{tag}/@{attr}"
+    out = rule.outs()[0]
+    inp = rule.inp
+
+    def fn(df: DataFrame) -> DataFrame:
+        return df.withColumn(out, F.explode(F.xpath(F.col(inp), F.lit(xp))))
+
+    return DataFrameEffect(fn, generates=True)
+
+
 @command("map_data")
 def cmd_map_data(rule: Rule, ctx: RuleContext) -> Effect:
     """value recode via mapping — ``f_map_data`` traitement_mapping.py:400-471.

@@ -363,3 +363,26 @@ def test_is_file_is_dir_predicates(spark, tmp_path):
     dirs = [r["p"] for r in df.filter(compile_predicate("p is:dir")).collect()]
     assert files == [str(f)]
     assert dirs == [str(tmp_path)]
+
+
+def test_xmlextract_and_xmlsplit(spark):
+    """mirrors the reference docstring tests (traitement_xml.py:91,133-134):
+    extract an attribute of the first matching element; explode one row per
+    element."""
+    df = spark.createDataFrame(
+        [(1, '<g><pp p1="toto" p2="titi"/><pp p1="tata" p2="tutu"/></g>'),
+         (2, "<g><other/></g>")],
+        "id int, v4 string",
+    )
+    one = apply_rules(df, [Rule(op="xmlextract", out="x", inp="v4", p1="pp.p2")])
+    got = {r["id"]: r["x"] for r in one.collect()}
+    assert got[1] == "titi"
+    assert got[2] in (None, "")  # no match -> empty
+
+    many = apply_rules(df, [Rule(op="xmlsplit", out="p1v", inp="v4", p1="pp.p1")])
+    vals = sorted(r["p1v"] for r in many.collect())
+    assert vals == ["tata", "toto"]  # id=2 dropped (zero elements)
+
+    text = spark.createDataFrame([(1, "<g><t>a</t><t>b</t></g>")], "id int, v string")
+    txt = apply_rules(text, [Rule(op="xmlsplit", out="tv", inp="v", p1="t")])
+    assert sorted(r["tv"] for r in txt.collect()) == ["a", "b"]
