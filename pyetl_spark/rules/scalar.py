@@ -220,6 +220,27 @@ def cmd_round(rule: Rule, ctx: RuleContext) -> Effect:
     return ColumnEffect({out: F.round(F.col(rule.inp or out).cast("double"), n)})
 
 
+@command("vround")
+def cmd_vround(rule: Rule, ctx: RuleContext) -> Effect:
+    """round a numeric attr OR every element of a numeric array —
+    ``f_vround`` traitement_alpha.py:1032-1045 extended to the engine's
+    typed arrays (the reference's list attrs)."""
+    out = rule.outs()[0] if rule.out else rule.inp
+    n = int(rule.p1 or 0)
+    inp = rule.inp or out
+
+    def fn(df: DataFrame) -> DataFrame:
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema[inp].dataType, T.ArrayType):
+            col = F.transform(F.col(inp), lambda x: F.round(x.cast("double"), n))
+        else:
+            col = F.round(F.col(inp).cast("double"), n)
+        return df.withColumn(out, col)
+
+    return DataFrameEffect(fn)
+
+
 @command("format")
 def cmd_format(rule: Rule, ctx: RuleContext) -> Effect:
     """printf formatting of attr list — ``f_format`` traitement_alpha.py:1048-1131."""

@@ -35,6 +35,7 @@ ReadSchema in `.explain`).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -103,6 +104,27 @@ def read_any(
     max-rows — the Reader contract (generic_io.py:206-759) on one
     declarative plan so every constraint reaches the source scan.
     """
+    if (fmt or "").lower() == "zip" or path.lower().endswith(".zip"):
+        # zipped delivery (reference traitement_archives.py f_zipextract):
+        # extract once driver-side, then read the extracted tree with the
+        # same format detection. The extraction dir must outlive the lazy
+        # DataFrame, so it is NOT deleted here (OS temp cleanup owns it).
+        from pyetl_spark.sources import smallfiles
+
+        extracted_dir, inner_ext = smallfiles.zip_extract(path)
+        inner_fmt = fmt if fmt and fmt.lower() != "zip" else inner_ext
+        return read_any(
+            spark,
+            os.path.join(extracted_dir, f"*.{inner_ext}"),
+            fmt=inner_fmt,
+            options=options,
+            schema=schema,
+            all_text=all_text,
+            read_filter=read_filter,
+            columns=columns,
+            max_rows=max_rows,
+            system_columns=system_columns,
+        )
     spark_fmt, ropts, _ = _fmt_for(path, fmt)
     if spark_fmt in ("xlsx", "xls", "dbf"):  # driver-side small-file formats
         from pyetl_spark.sources import smallfiles

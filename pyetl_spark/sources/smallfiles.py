@@ -24,6 +24,7 @@ objet.py:523) every value surfaces as a string column; the schema layer
 
 from __future__ import annotations
 
+import os
 import re
 import struct
 import zipfile
@@ -238,3 +239,38 @@ def write_dbf(df: DataFrame, path: str, encoding: str = "cp1252") -> None:
     out += b"\x1a"
     with open(path, "wb") as f:
         f.write(bytes(out))
+
+
+# ------------------------------------------------------------------ archives
+
+
+def zip_list(path: str) -> list[str]:
+    """member names of a zip — ``f_zipdir`` (reference
+    traitement_archives.py:126-148, listing form)."""
+    with zipfile.ZipFile(path) as z:
+        return [n for n in z.namelist() if not n.endswith("/")]
+
+
+def zip_extract(path: str, out_dir: str | None = None) -> tuple[str, str]:
+    """extract a zipped delivery — ``f_zipextract`` (reference
+    traitement_archives.py:151-186). Returns (extraction dir, majority file
+    extension) so callers can format-detect the extracted tree; the dir is
+    the caller's to keep alive while lazy reads reference it."""
+    import collections
+    import tempfile
+
+    out_dir = out_dir or tempfile.mkdtemp(prefix="pyetl_zip_")
+    with zipfile.ZipFile(path) as z:
+        # refuse path traversal (zip-slip)
+        for n in z.namelist():
+            dest = os.path.realpath(os.path.join(out_dir, n))
+            if not dest.startswith(os.path.realpath(out_dir) + os.sep):
+                raise ValueError(f"zip member escapes extraction dir: {n!r}")
+        z.extractall(out_dir)
+    exts = collections.Counter(
+        os.path.splitext(n)[1].lstrip(".").lower()
+        for n in zip_list(path)
+        if os.path.splitext(n)[1]
+    )
+    inner = exts.most_common(1)[0][0] if exts else ""
+    return out_dir, inner

@@ -386,3 +386,12 @@ def test_xmlextract_and_xmlsplit(spark):
     text = spark.createDataFrame([(1, "<g><t>a</t><t>b</t></g>")], "id int, v string")
     txt = apply_rules(text, [Rule(op="xmlsplit", out="tv", inp="v", p1="t")])
     assert sorted(r["tv"] for r in txt.collect()) == ["a", "b"]
+
+
+def test_vround_scalar_and_array(spark):
+    df = spark.createDataFrame([(1.536, [1.234, 2.567])], "x double, xs array<double>")
+    out = apply_rules(df, [Rule(op="vround", out="r", inp="x", p1="2"),
+                           Rule(op="vround", out="rs", inp="xs", p1="1")])
+    row = out.collect()[0]
+    assert row["r"] == 1.54
+    assert row["rs"] == [1.2, 2.6]

@@ -205,3 +205,37 @@ def test_dbf_roundtrip(spark, tmp_path):
     raw[header_size + record_size] = ord("*")
     open(p, "wb").write(bytes(raw))
     assert [r["id"] for r in read_any(spark, p).collect()] == ["r1"]
+
+
+def test_zip_delivery_roundtrip(spark, tmp_path):
+    """zipped csv delivery (traitement_archives.py f_zipextract): read_any
+    transparently extracts and reads the inner files."""
+    import zipfile
+
+    from pyetl_spark.sources.io import read_any, write_any
+    from pyetl_spark.sources.smallfiles import zip_list
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    csv_dir = tmp_path / "out.csv"
+    write_any(df, str(csv_dir), fmt="csv")
+    zpath = tmp_path / "delivery.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for p in csv_dir.glob("*.csv"):
+            z.write(p, p.name)
+    assert any(n.endswith(".csv") for n in zip_list(str(zpath)))
+    back = read_any(spark, str(zpath), schema="k int, v string")
+    assert sorted((r["k"], r["v"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_zip_slip_refused(tmp_path):
+    import zipfile
+
+    import pytest as _pytest
+
+    from pyetl_spark.sources.smallfiles import zip_extract
+
+    zpath = tmp_path / "evil.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        z.writestr("../escape.txt", "x")
+    with _pytest.raises(ValueError, match="escapes"):
+        zip_extract(str(zpath), str(tmp_path / "x"))
