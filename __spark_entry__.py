@@ -673,6 +673,31 @@ def q_xlsx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_sortir_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sortir fan-out sink (reference traitement_divers.py:313-534): one
+    distributed write partitioned by the routing attribute, read back with a
+    partition-pruning filter — only the selected branch's files are touched.
+    Oracle recomputes the branch in SQL."""
+    import shutil
+    import tempfile
+
+    from pyetl_spark.sources import io as sio
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    root = tempfile.mkdtemp(prefix="q_sortir_")
+    try:
+        p = os.path.join(root, "fanout.parquet")
+        sio.write_any(orders, p, fmt="parquet", partition_by=["o_orderstatus"])
+        back = sio.read_any(
+            spark, p, fmt="parquet", read_filter="o_orderstatus = 'F'"
+        ).select("o_orderkey", "o_custkey", F.col("o_orderstatus").cast("string").alias("o_orderstatus"))
+        return back.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_dbf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dBASE III writer + reader (reference format_dbf.py,
     sources.smallfiles): text-model roundtrip, oracle casts to VARCHAR."""
@@ -1075,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip": q_csv_roundtrip,
         "xlsx_roundtrip": q_xlsx_roundtrip,
         "dbf_roundtrip": q_dbf_roundtrip,
+        "sortir_fanout": q_sortir_fanout,
         "script_front": q_script_front,
         "kafka_roundtrip": q_kafka_roundtrip,
         "text_tokens": q_text_tokens,
@@ -1649,6 +1675,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(p_partkey AS VARCHAR) AS p_partkey, p_brand, p_type,
                    CAST(p_size AS VARCHAR) AS p_size
             FROM part
+        """,
+        "sortir_fanout": """
+            SELECT o_orderkey, o_custkey, o_orderstatus
+            FROM orders WHERE o_orderstatus = 'F'
         """,
         "script_front": """
             SELECT p_partkey,

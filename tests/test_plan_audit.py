@@ -26,6 +26,7 @@ EAGER = {
     "csv_roundtrip",
     "xlsx_roundtrip",
     "dbf_roundtrip",
+    "sortir_fanout",
 }
 
 # documented exceptions: nested-loop is the POINT (exact baselines), and the
