@@ -188,28 +188,29 @@ def minhash_lsh_pairs(
             "band_idx", "band_hash"
         ),
     )
-    # melted feeds three consumers (bucket sizes + both self-join sides);
-    # Spark does not CSE across joins, so without this the whole
-    # shingle-explode + 32-agg lineage re-executes per consumer. The
-    # persisted set is small: n_docs x bands rows of (id, int, long).
-    melted_cached = melted.persist()
-
-    # cap degenerate buckets (log-and-drop, never silent at scale)
-    sizes = melted_cached.groupBy("band_idx", "band_hash").agg(F.count("*").alias("bsz"))
-    ok = sizes.filter((F.col("bsz") >= 2) & (F.col("bsz") <= max_bucket)).drop("bsz")
-    melted = melted_cached.join(ok, ["band_idx", "band_hash"], "left_semi")
-
-    # candidate pairs via band-bucket self-join
-    l = melted.alias("l")
-    r = melted.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.id") < F.col("r.id")),
+    # ONE aggregation replaces [bucket-size count + semi join + bucket
+    # self-join]: group each band bucket, cap degenerate buckets on the
+    # aggregated array size (log-and-drop, never silent at scale), expand
+    # pairs IN-ARRAY (a<b via sorted ids). Bucket size is bounded by
+    # max_bucket, so the per-group expansion is tiny; melted has a single
+    # consumer now, so no persist is needed either.
+    grouped = (
+        melted.groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
-        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+    )
+    cand = (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.a", "p.b")
         .dropDuplicates(["a", "b"])
     )
 
@@ -229,13 +230,12 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
-    # materialize once (localCheckpoint cuts the lineage) so both persisted
-    # intermediates can be released HERE — repeated calls in a long-lived
+    # materialize once (localCheckpoint cuts the lineage) so the persisted
+    # shingle sets can be released HERE — repeated calls in a long-lived
     # session (bench loop, notebook) must not accumulate cached blocks in
     # executor storage (ADVICE r01). The checkpointed result is small
     # (verified pairs only).
     result = result.localCheckpoint(eager=True)
-    melted_cached.unpersist()
     sh.unpersist()
     return result
 
