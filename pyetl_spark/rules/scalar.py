@@ -522,6 +522,30 @@ def cmd_decrypt(rule: Rule, ctx: RuleContext) -> Effect:
 # ------------------------------------------------------------------ map / json
 
 
+class RuleAbort(RuntimeError):
+    """raised by the ``fail``/``abort`` gate commands when guarded rows
+    reach them (reference ``f_fail`` traitement_workflow.py:52,
+    ``f_abort`` :223 — job-stop semantics)."""
+
+
+@command("fail")
+@command("abort")
+def cmd_fail(rule: Rule, ctx: RuleContext) -> Effect:
+    """data-quality gate: abort the run if ANY row reaches this rule.
+    Selectors route rows to the gate, so ``bad_col is:null ... fail`` stops
+    the job on the first violation batch. Recast as an EAGER existence check
+    (one ``limit(1)`` job at compile time — the price of a gate); rows pass
+    through unchanged when the gate holds."""
+    msg = bind_value(rule.p1, ctx) or f"{rule.op} rule triggered"
+
+    def fn(df: DataFrame) -> DataFrame:
+        if df.limit(1).count():
+            raise RuleAbort(str(msg))
+        return df
+
+    return DataFrameEffect(fn)
+
+
 @command("xmlextract")
 def cmd_xmlextract(rule: Rule, ctx: RuleContext) -> Effect:
     """first matching element value from an XML attr — ``f_xmlextract``

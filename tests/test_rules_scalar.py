@@ -395,3 +395,18 @@ def test_vround_scalar_and_array(spark):
     row = out.collect()[0]
     assert row["r"] == 1.54
     assert row["rs"] == [1.2, 2.6]
+
+
+def test_fail_gate(spark):
+    """fail/abort data-quality gate (traitement_workflow.py:52,223): aborts
+    when a guarded row exists, passes rows through untouched otherwise."""
+    from pyetl_spark.rules.scalar import RuleAbort
+
+    df = spark.createDataFrame([("a", 1), (None, 2)], "k string, v int")
+    clean = df.filter("k is not null")
+    out = apply_rules(clean, [Rule(op="fail", sel1="k is:null", p1="null key")])
+    assert out.count() == 1  # gate holds, rows unchanged
+    with pytest.raises(RuleAbort, match="null key"):
+        apply_rules(df, [Rule(op="fail", sel1="k is:null", p1="null key")])
+    with pytest.raises(RuleAbort):
+        apply_rules(df, [Rule(op="abort")])  # unguarded abort always stops
