@@ -840,7 +840,7 @@ def q_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value double, props string",
         keep_meta=False,
     )
-    return parsed.filter(~F.col("_corrupt")).drop("_corrupt")
+    return parsed.filter(~F.col("_corrupt")).drop("_corrupt", "_tombstone")
 
 
 # =====================================================================

@@ -37,7 +37,7 @@ KAFKA_ENVELOPE_SCHEMA = (
     "timestamp timestamp, timestampType int"
 )
 
-_KAFKA_META = ["_topic", "_partition", "_offset", "_corrupt"]
+_KAFKA_META = ["_topic", "_partition", "_offset", "_corrupt", "_tombstone"]
 
 # full-microsecond timestamps in the JSON payload: to_json always writes
 # ISO millis (it ignores timestampFormat), silently losing event-time
@@ -89,10 +89,12 @@ def parse_kafka_envelope(
     A payload that fails to parse gets ``_corrupt = true`` with its event
     columns null (PERMISSIVE mode + ``columnNameOfCorruptRecord`` — Spark
     yields an all-null row for malformed JSON, and the corrupt-record column
-    carries the raw text, which is the reliable malformed signal).
-    Dead-letter them via ``df.filter("_corrupt")`` — at-scale streams always
-    carry some. Kafka metadata survives as ``_topic/_partition/_offset`` for
-    lineage."""
+    carries the raw text, which is the reliable malformed signal). A record
+    with a NULL value — a Kafka tombstone, routine on real topics — gets
+    ``_tombstone = true`` instead: it is a deletion marker, not garbage, and
+    must not reach the MERGE as a null-key upsert. Dead-letter / route them
+    via the flags — at-scale streams always carry some. Kafka metadata
+    survives as ``_topic/_partition/_offset`` for lineage."""
     j = F.from_json(
         F.col("value").cast("string"),
         value_schema + ", __cr string",
@@ -105,12 +107,13 @@ def parse_kafka_envelope(
             F.col("partition").alias("_partition"),
             F.col("offset").alias("_offset"),
             (F.col("value").isNotNull() & j["__cr"].isNotNull()).alias("_corrupt"),
+            F.col("value").isNull().alias("_tombstone"),
         )
         .select("__j.*", *_KAFKA_META)
         .drop("__cr")
     )
-    if not keep_meta:
-        out = out.drop(*_KAFKA_META[:-1])
+    if not keep_meta:  # drop lineage columns, keep the routing flags
+        out = out.drop("_topic", "_partition", "_offset")
     return out
 
 
@@ -160,29 +163,47 @@ def kafka_ingest(
     table: SnapshotTable,
     checkpoint_dir: str,
     value_schema: str = EVENT_SCHEMA,
+    transform=None,
+    dead_letter_dir: str | None = None,
+    max_files_per_trigger: int = 4,
     **ingest_kw,
 ) -> StreamingIngest:
     """StreamingIngest whose source is the (simulated) Kafka topic: envelope
-    → parse (corrupt rows dead-lettered out of the MERGE) → the unchanged
-    exactly-once sink path. For a real broker, replace
+    → parse → route (corrupt rows to the dead-letter sink, tombstones
+    dropped as deletion markers) → the unchanged exactly-once sink path.
+    Corrupt rows are NEVER silently discarded: they are counted per batch in
+    ``ingest.dead_letters`` and, when ``dead_letter_dir`` is set, appended
+    there as parquet with their kafka identity. For a real broker, replace
     :func:`kafka_envelope_stream` with ``spark.readStream.format("kafka")``
     — nothing else changes."""
+    dead_letters: list[dict] = []
+
+    def _parse_then_transform(batch: DataFrame) -> DataFrame:
+        parsed = parse_kafka_envelope(batch, value_schema, keep_meta=True)
+        bad = parsed.filter(F.col("_corrupt"))
+        n_bad = bad.count()
+        if n_bad:
+            if dead_letter_dir:
+                bad.select("_topic", "_partition", "_offset").write.mode(
+                    "append"
+                ).parquet(dead_letter_dir)
+            dead_letters.append({"corrupt": n_bad})
+        typed = parsed.filter(~F.col("_corrupt") & ~F.col("_tombstone")).drop(
+            *_KAFKA_META
+        )
+        return transform(typed) if transform else typed
+
     ingest = StreamingIngest(
         spark,
         events_dir=topic_dir,
         table=table,
         checkpoint_dir=checkpoint_dir,
+        transform=_parse_then_transform,
+        max_files_per_trigger=max_files_per_trigger,
+        reader_factory=lambda spark_: kafka_envelope_stream(
+            spark_, topic_dir, max_files_per_trigger
+        ),
         **ingest_kw,
     )
-    user_transform = ingest.transform
-
-    def _parse_then_transform(batch: DataFrame) -> DataFrame:
-        typed = parse_kafka_envelope(batch, value_schema, keep_meta=False)
-        typed = typed.filter(~F.col("_corrupt")).drop("_corrupt")
-        return user_transform(typed) if user_transform else typed
-
-    ingest.transform = _parse_then_transform
-    ingest.reader_factory = lambda spark_: kafka_envelope_stream(
-        spark_, topic_dir, ingest.max_files_per_trigger
-    )
+    ingest.dead_letters = dead_letters
     return ingest

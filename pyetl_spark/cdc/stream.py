@@ -47,6 +47,7 @@ class StreamingIngest:
         max_files_per_trigger: int = 4,
         with_lineage: bool = True,
         processing_time: str | None = None,
+        reader_factory: Callable[[SparkSession], DataFrame] | None = None,
     ):
         self.spark = spark
         self.events_dir = events_dir
@@ -61,6 +62,10 @@ class StreamingIngest:
         # 825-988, recast as Trigger.ProcessingTime). None = availableNow:
         # drain everything present, then stop (batch-replay mode).
         self.processing_time = processing_time
+        # alternate streaming source (e.g. cdc.kafka_source.kafka_ingest):
+        # replaces the default file tail; the sink/exactly-once path is
+        # source-agnostic. When set, events_dir is only advisory.
+        self.reader_factory = reader_factory
         self.batches_seen: list[str] = []
 
     # ----------------------------------------------------------------- sink
@@ -86,12 +91,8 @@ class StreamingIngest:
     # ---------------------------------------------------------------- driver
 
     def start(self) -> StreamingQuery:
-        # a reader_factory (set e.g. by cdc.kafka_source.kafka_ingest)
-        # replaces the default file tail with another streaming source —
-        # the sink/exactly-once path is source-agnostic
-        factory = getattr(self, "reader_factory", None)
-        if factory is not None:
-            reader = factory(self.spark)
+        if self.reader_factory is not None:
+            reader = self.reader_factory(self.spark)
         else:
             reader = (
                 self.spark.readStream.schema(self.schema)

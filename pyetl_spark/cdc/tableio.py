@@ -134,17 +134,25 @@ class SnapshotTable:
         partial manifest that the pointer never references; recovery = delete
         manifests newer than the pointer."""
         path = self._manifest_path(manifest["version"])
+        # write fully to a private tmp, fsync, then LINK to the final name:
+        # os.link is atomic AND fails with EEXIST if the version was already
+        # committed — one call gives both torn-write safety (a crash can
+        # never leave a partial manifest at the final path) and the
+        # concurrent-commit arbitration.
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, path)
         except FileExistsError:
             raise ConcurrentWriteError(
                 f"version {manifest['version']} already committed by a "
                 "concurrent writer; retry against the new snapshot"
             ) from None
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
+        finally:
+            os.unlink(tmp)
 
     def _swap_pointer(self, version: int) -> None:
         ptr = os.path.join(self.root, "_current")

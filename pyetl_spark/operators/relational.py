@@ -440,9 +440,17 @@ def dense_key_dimension(values: DataFrame, value_col: str, out: str = "key") -> 
         "__pid", F.spark_partition_id()
     )
     w = Window.partitionBy("__pid").orderBy(F.col(value_col))
-    local = ranged.withColumn("__rn", F.row_number().over(w))
+    # persist BEFORE the counts collect: repartitionByRange re-SAMPLES its
+    # range bounds on every execution, so without pinning this exact
+    # partitioning the offsets (computed in the counts job) could be applied
+    # to a differently-bounded partitioning in the output job — duplicate /
+    # non-dense keys at large cardinality
+    local = ranged.withColumn("__rn", F.row_number().over(w)).persist()
     # partition counts → offsets: ≤ shuffle-partition-count rows on the driver
     counts = {r["__pid"]: r["n"] for r in local.groupBy("__pid").agg(F.count("*").alias("n")).collect()}
+    if not counts:  # empty input → empty keyed dimension, not an analysis error
+        local.unpersist()
+        return values.select(value_col).limit(0).withColumn(out, F.lit(None).cast("int"))
     offsets, acc = {}, 0
     for pid in sorted(counts):  # range partitions are ordered by pid
         offsets[pid] = acc

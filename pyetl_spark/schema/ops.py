@@ -233,6 +233,11 @@ def apply_mapping(
         for a in missing:  # reference: absent source attr → empty value
             df = df.withColumn(a, F.lit(""))
         df = df.withColumnsRenamed(dict(atts))
+        if dst in out:  # two sources onto one destination = silent data loss
+            raise ValueError(
+                f"apply_mapping: destination class {dst!r} produced by more "
+                "than one source class; merge sources explicitly first"
+            )
         out[dst] = df
     return out
 

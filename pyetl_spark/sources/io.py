@@ -112,12 +112,38 @@ def read_any(
         from pyetl_spark.sources import smallfiles
 
         extracted_dir, inner_ext = smallfiles.zip_extract(path)
-        inner_fmt = fmt if fmt and fmt.lower() != "zip" else inner_ext
+        inner_fmt = (fmt if fmt and fmt.lower() != "zip" else inner_ext).lower()
+        if inner_fmt in ("xlsx", "xls", "dbf"):
+            # driver-side formats: open() does not glob — walk the tree and
+            # union every matching member (zip deliveries nest folders)
+            members = sorted(
+                os.path.join(d, f)
+                for d, _, files in os.walk(extracted_dir)
+                for f in files
+                if f.lower().endswith(f".{inner_ext}")
+            )
+            parts = [
+                read_any(spark, m, fmt=inner_fmt, options=options,
+                         read_filter=read_filter, columns=columns)
+                for m in members
+            ]
+            if not parts:
+                raise FileNotFoundError(f"no .{inner_ext} members in {path}")
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p, allowMissingColumns=True)
+            return out.limit(max_rows) if max_rows else out
+        # Spark-native formats: read the whole extracted tree; zip members
+        # commonly live in subfolders, so recurse + glob-filter by extension
         return read_any(
             spark,
-            os.path.join(extracted_dir, f"*.{inner_ext}"),
+            extracted_dir,
             fmt=inner_fmt,
-            options=options,
+            options={
+                "recursiveFileLookup": "true",
+                "pathGlobFilter": f"*.{inner_ext}",
+                **(options or {}),
+            },
             schema=schema,
             all_text=all_text,
             read_filter=read_filter,

@@ -76,11 +76,29 @@ def _read_xlsx_rows(path: str, sheet: str | None) -> list[list[str | None]]:
             ]
         sheet_paths = sorted(n for n in names if re.match(r"xl/worksheets/sheet\d+\.xml$", n))
         target = sheet_paths[0]
-        if sheet is not None:  # resolve by workbook sheet name
+        if sheet is not None:
+            # resolve by workbook sheet NAME through the r:id relationship —
+            # sheetN.xml numbering does NOT track workbook order once sheets
+            # have been deleted/reordered in a real editor
+            rels: dict[str, str] = {}
+            if "xl/_rels/workbook.xml.rels" in names:
+                rroot = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+                for rel in rroot.iter():
+                    rid, tgt = rel.get("Id"), rel.get("Target")
+                    if rid and tgt:
+                        rels[rid] = "xl/" + tgt.lstrip("/").removeprefix("xl/")
             wb = ET.fromstring(z.read("xl/workbook.xml"))
+            rid_attr = (
+                "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+            )
             for i, sh in enumerate(wb.iter(f"{_NS}sheet")):
                 if sh.get("name") == sheet:
-                    target = f"xl/worksheets/sheet{i + 1}.xml"
+                    # positional fallback for minimal workbooks without a
+                    # rels part (sheetN.xml in listed order)
+                    fallback = (
+                        sheet_paths[i] if i < len(sheet_paths) else target
+                    )
+                    target = rels.get(sh.get(rid_attr), fallback)
                     break
             else:
                 raise ValueError(f"read_xlsx: no sheet named {sheet!r}")

@@ -42,7 +42,7 @@ def test_envelope_schema_and_roundtrip(spark, events):
     )
     parsed = parse_kafka_envelope(env, keep_meta=False)
     a = events.orderBy("seq").toPandas()
-    b = parsed.drop("_corrupt").orderBy("seq").toPandas()[a.columns.tolist()]
+    b = parsed.drop("_corrupt", "_tombstone").orderBy("seq").toPandas()[a.columns.tolist()]
     assert a.equals(b)
 
 
@@ -92,3 +92,16 @@ def test_kafka_ingest_matches_oracle_and_is_exactly_once(
     ingest2 = kafka_ingest(spark, topic_dir, table, str(tmp_path / "ckpt"))
     ingest2.run_until_drained()
     assert table.current_version() == v
+
+
+def test_tombstone_routed_not_merged(spark, events):
+    """null-value records are deletion markers, not corrupt rows, and must
+    not reach the MERGE as null-key upserts."""
+    env = events_to_envelope(events.limit(5))
+    withnull = env.withColumn(
+        "value", F.when(F.col("offset") == 2, F.lit(None).cast("binary")).otherwise(F.col("value"))
+    )
+    parsed = parse_kafka_envelope(withnull)
+    flags = {r["_offset"]: (r["_corrupt"], r["_tombstone"]) for r in parsed.collect()}
+    assert flags[2] == (False, True)
+    assert all(not c and not t for o, (c, t) in flags.items() if o != 2)
