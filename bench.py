@@ -123,6 +123,21 @@ def main() -> None:
     spark.range(1000).select(F.sum(F.col("id") * 2)).collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10).collect()
 
+    def _calibration() -> float:
+        """fixed CPU-bound probe (hash-agg over 20M generated rows): its
+        wall time depends only on host load, never on this repo's code, so
+        a contended BENCH run is self-identifying. Idle local[32] ≈ 0.3-0.5s
+        (see BASELINE.md); 2x+ that means shared-host noise inflates every
+        number in this file's output."""
+        t0 = time.time()
+        spark.range(20_000_000).select(
+            F.count_distinct(F.pmod(F.xxhash64("id"), F.lit(1_000_003)))
+        ).collect()
+        return round(time.time() - t0, 3)
+
+    _calibration()  # its own codegen warmup
+    calib_start = _calibration()
+
     import __spark_entry__ as entrymod
 
     queries = entrymod.queries()
@@ -149,6 +164,8 @@ def main() -> None:
             errors[name] = f"{type(e).__name__}: {e}"[:200]
         finally:
             spark.catalog.clearCache()
+
+    calib_end = _calibration()
 
     n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "1000000"))
     # flagship replay runs in a FRESH process/JVM: ~45 prior query executions
@@ -180,6 +197,7 @@ def main() -> None:
                 "extras": {
                     "cdc_replay": cdc,
                     "cpus": int(cpus),
+                    "calibration": {"start_sec": calib_start, "end_sec": calib_end},
                     "cold_first_run": cold,
                     **({"errors": errors} if errors else {}),
                 },

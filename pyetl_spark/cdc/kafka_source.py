@@ -25,6 +25,8 @@ this is the SURVEY §2.9 scale recast of its streaming seam.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -177,17 +179,26 @@ def kafka_ingest(
     :func:`kafka_envelope_stream` with ``spark.readStream.format("kafka")``
     — nothing else changes."""
     dead_letters: list[dict] = []
+    _dl_epochs_seen: set[int] = set()
 
-    def _parse_then_transform(batch: DataFrame) -> DataFrame:
+    def _parse_then_transform(batch: DataFrame, epoch_id: int) -> DataFrame:
         parsed = parse_kafka_envelope(batch, value_schema, keep_meta=True)
         bad = parsed.filter(F.col("_corrupt"))
         n_bad = bad.count()
         if n_bad:
             if dead_letter_dir:
+                # keyed by batch + overwrite: foreachBatch is at-least-once,
+                # so a replayed epoch REPLACES its own dead-letter partition
+                # instead of appending duplicates — idempotent like the
+                # ledger-guarded MERGE path (ADVICE r02). Readers just
+                # spark.read.parquet(dead_letter_dir); `batch` is a normal
+                # partition column.
                 bad.select("_topic", "_partition", "_offset").write.mode(
-                    "append"
-                ).parquet(dead_letter_dir)
-            dead_letters.append({"corrupt": n_bad})
+                    "overwrite"
+                ).parquet(os.path.join(dead_letter_dir, f"batch={epoch_id}"))
+            if epoch_id not in _dl_epochs_seen:  # don't double-count replays
+                _dl_epochs_seen.add(epoch_id)
+                dead_letters.append({"batch": epoch_id, "corrupt": n_bad})
         typed = parsed.filter(~F.col("_corrupt") & ~F.col("_tombstone")).drop(
             *_KAFKA_META
         )

@@ -70,10 +70,26 @@ class StreamingIngest:
 
     # ----------------------------------------------------------------- sink
 
+    def _apply_transform(self, batch_df: DataFrame, epoch_id: int) -> DataFrame:
+        """run the transform; a transform declaring a second parameter also
+        receives the micro-batch epoch id, so side-effecting transforms
+        (dead-letter sinks, per-batch audit writes) can key their output by
+        batch and stay idempotent under foreachBatch's at-least-once
+        redelivery — the same guard the MERGE ledger gives the main sink."""
+        if self.transform is None:
+            return batch_df
+        import inspect
+
+        try:
+            takes_epoch = len(inspect.signature(self.transform).parameters) >= 2
+        except (TypeError, ValueError):  # builtins / odd callables
+            takes_epoch = False
+        return self.transform(batch_df, epoch_id) if takes_epoch else self.transform(batch_df)
+
     def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         batch_id = f"stream:{epoch_id}"
         self.batches_seen.append(batch_id)
-        df = self.transform(batch_df) if self.transform else batch_df
+        df = self._apply_transform(batch_df, epoch_id)
         stats = self.table.merge(df, batch_id=batch_id, with_stats=True)
         record_batch_metrics(self.spark, self.table.root, stats)
         if self.with_lineage and not stats.skipped and stats.events_in:

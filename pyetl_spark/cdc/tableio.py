@@ -39,6 +39,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 from collections.abc import Sequence
 from dataclasses import dataclass
 
@@ -138,8 +139,12 @@ class SnapshotTable:
         # os.link is atomic AND fails with EEXIST if the version was already
         # committed — one call gives both torn-write safety (a crash can
         # never leave a partial manifest at the final path) and the
-        # concurrent-commit arbitration.
-        tmp = f"{path}.tmp.{os.getpid()}"
+        # concurrent-commit arbitration. The tmp name is unique PER ATTEMPT
+        # (uuid, not just pid): two writers in one process (e.g. two
+        # streaming queries merging into the same table) must not share a
+        # tmp file, or the loser's open('w')/unlink could tear or remove the
+        # winner's in-flight content (ADVICE r02).
+        tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
             f.flush()

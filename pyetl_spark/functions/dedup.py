@@ -125,6 +125,15 @@ def minhash_signatures_agg(
     return ex.groupBy("id").agg(*aggs, F.count("*").alias("n_shingles"))
 
 
+def lsh_min_agree(n_hashes: int, threshold: float, est_margin: float) -> int:
+    """minimum agreeing signature components for the estimate pre-filter:
+    ceil((threshold - est_margin) * n_hashes). Shared by the engine and the
+    SQL-oracle generator so both compute the identical cut."""
+    import math
+
+    return math.ceil(max(0.0, threshold - est_margin) * n_hashes)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -135,6 +144,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     max_bucket: int = 50,
     hash_family: str = "xx",
+    est_margin: float | None = None,
 ) -> DataFrame:
     """near-duplicate pairs (a < b) with exact-Jaccard verification.
 
@@ -145,6 +155,21 @@ def minhash_lsh_pairs(
     ``hash_family="md5"`` makes the whole pipeline value-exact against a SQL
     oracle: md5-derived shingle hashes and plain concatenated band keys
     (instead of xxhash64 band hashes) — both recomputable in DuckDB.
+
+    ``est_margin`` enables estimate-then-verify: candidates whose signatures
+    agree on fewer than ``lsh_min_agree(n_hashes, threshold, est_margin)``
+    of the ``n_hashes`` components are pruned BEFORE the exact-Jaccard
+    verify. The estimate join touches only the narrow signature rows
+    (n_hashes ints/doc); the wide shingle-set join then sees only the
+    survivors — at a low threshold (where banding passes many junk pairs)
+    this removes most of the verify cost. The prune is part of the pipeline
+    spec (same role as the signature distance in Spark ML's
+    ``approxSimilarityJoin``): a pair with true Jaccard just above
+    ``threshold`` has expected agreement ``threshold*n_hashes`` and may fall
+    under the cut with binomial probability — choose ``est_margin`` so
+    ``(threshold-est_margin)*n_hashes`` sits the desired number of
+    σ=sqrt(n*j*(1-j)) below that. ``None`` disables the stage (exact verify
+    for every band candidate — the strict-recall configuration).
     """
     rows = n_hashes // bands
     hasher = word_shingle_hashes if hash_family == "xx" else word_shingle_hashes_md5
@@ -166,7 +191,10 @@ def minhash_lsh_pairs(
         F.min(_uh(F.col("h"), a, b)).alias(f"h{i}")
         for i, (a, b) in enumerate(_uh_params(n_hashes))
     ]
-    sig = ex.groupBy("id").agg(*aggs)
+    # signatures are narrow (n_hashes ints per doc) and consumed by up to
+    # three downstream jobs (bucket-size count, bucket collect, estimate
+    # join) — materialize once, lineage cut, nothing cached long-term
+    sig = ex.groupBy("id").agg(*aggs).localCheckpoint(eager=True)
 
     # band keys as plain columns (codegen'd), melted to (id, band_idx, band_hash)
     def _band_key(b: int):
@@ -188,16 +216,27 @@ def minhash_lsh_pairs(
             "band_idx", "band_hash"
         ),
     )
-    # ONE aggregation replaces [bucket-size count + semi join + bucket
-    # self-join]: group each band bucket, cap degenerate buckets on the
-    # aggregated array size (log-and-drop, never silent at scale), expand
-    # pairs IN-ARRAY (a<b via sorted ids). Bucket size is bounded by
-    # max_bucket, so the per-group expansion is tiny; melted has a single
-    # consumer now, so no persist is needed either.
-    grouped = (
+    # bucket-size count pre-filter BEFORE any collect_list: the count agg is
+    # map-side combinable (its shuffle carries one row per bucket per map
+    # partition), and it guarantees no aggregation buffer ever materializes
+    # a degenerate bucket's id array — collecting first and capping on
+    # F.size afterwards would build an unbounded in-memory array for exactly
+    # the pathological bucket max_bucket exists to guard (ADVICE r02).
+    # melted is consumed twice, but it derives from the CHECKPOINTED sig by
+    # pure projection — recompute is a posexplode, not a re-aggregation.
+    # Oversize buckets are log-and-drop, never silent at scale.
+    sizes = (
         melted.groupBy("band_idx", "band_hash")
+        .agg(F.count("*").alias("__n"))
+        .filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket))
+    )
+    # expand pairs IN-ARRAY (a<b via sorted ids): bucket size is now bounded
+    # by max_bucket, so both the collected array and the per-group expansion
+    # are tiny
+    grouped = (
+        melted.join(sizes, ["band_idx", "band_hash"], "left_semi")
+        .groupBy("band_idx", "band_hash")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
     pair_structs = F.flatten(
         F.transform(
@@ -213,6 +252,25 @@ def minhash_lsh_pairs(
         .select("p.a", "p.b")
         .dropDuplicates(["a", "b"])
     )
+
+    # estimate-then-verify: prune candidates on signature agreement before
+    # touching the wide shingle sets. Sharing one band already implies
+    # `rows` agreeing components, so the cut only bites above that.
+    if est_margin is not None:
+        min_agree = lsh_min_agree(n_hashes, threshold, est_margin)
+        if min_agree > rows:
+            sa = sig.select(F.col("id").alias("a"), *[F.col(f"h{i}").alias(f"__ha{i}") for i in range(n_hashes)])
+            sb = sig.select(F.col("id").alias("b"), *[F.col(f"h{i}").alias(f"__hb{i}") for i in range(n_hashes)])
+            agree = sum(
+                F.when(F.col(f"__ha{i}") == F.col(f"__hb{i}"), 1).otherwise(0)
+                for i in range(n_hashes)
+            )
+            cand = (
+                cand.join(sa, "a")
+                .join(sb, "b")
+                .filter(agree >= F.lit(min_agree))
+                .select("a", "b")
+            )
 
     # exact-Jaccard verification over the same persisted shingle sets (at
     # corpus scale this is the stage to give StorageLevel.DISK_ONLY or to

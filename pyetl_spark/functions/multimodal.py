@@ -2,14 +2,19 @@
 with typed metadata.
 
 The Spark-side design is real and tested — schema, partition-friendly batch
-shape, Arrow-batched UDF signatures via ``mapInPandas`` — while the actual
-codec work is STUBBED (image/audio libraries are not in this container):
+shape, Arrow-batched UDF signatures via ``mapInPandas``. Codec status:
 
-- ``decode_stub=True`` (default) runs a clearly-marked deterministic fake
-  decoder (dimensions/bytes derived from the payload hash) so the plumbing
-  is testable end-to-end.
-- ``decode_stub=False`` raises ``NotImplementedError`` at the exact seam
-  where a real codec (PIL / torchaudio / pyav) plugs in.
+- **BMP images decode for REAL** (``pyetl_spark.functions.codecs``: a
+  pure-stdlib 24-bit BI_RGB encoder/decoder — no PIL needed). With
+  ``decode_stub=False``, ``extract_features`` computes true width/height
+  and pixel-histogram features, and ``resize_images`` re-encodes actually
+  resampled pixels, for any payload whose magic bytes say BMP.
+- Compressed formats (JPEG/PNG/video/audio) remain STUBBED (their
+  libraries are not in this container): ``decode_stub=True`` (default)
+  runs a clearly-marked deterministic fake decoder so the plumbing is
+  testable end-to-end; ``decode_stub=False`` raises
+  ``NotImplementedError`` for them at the exact seam where a real codec
+  (PIL / torchaudio / pyav) plugs in.
 
 At 100 TB the binary payloads dominate: the operators keep them out of
 shuffles (metadata-only projections before any wide op; feature extraction
@@ -68,6 +73,36 @@ def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
     return df
 
 
+def synthetic_bmp_media(
+    spark, n: int = 50, width: int = 32, height: int = 24, seed: int = 42
+) -> DataFrame:
+    """deterministic REAL-media table: every payload is a valid 24-bit BMP
+    (seeded random pixels), generated distributed via ``mapInPandas`` —
+    exercises the un-stubbed decode path end-to-end."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyetl_spark.functions import codecs
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                rng = np.random.default_rng(seed + int(mid))
+                px = rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "kind": "image",
+                        "payload": codecs.encode_bmp(px),
+                        "mime": "image/bmp",
+                        "meta": {"width": width, "height": height, "duration_ms": None},
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 FEATURE_SCHEMA = (
     "media_id long, kind string, n_bytes int, sha256 string, "
     "width int, height int, n_frames int, features array<float>"
@@ -86,21 +121,42 @@ def _fake_decode(payload: bytes, kind: str) -> dict:
     }
 
 
+def _real_decode(payload: bytes) -> dict:
+    """real decode for formats the stdlib codec handles (BMP today)."""
+    from pyetl_spark.functions import codecs
+
+    px = codecs.decode_bmp(payload)
+    return {
+        "width": int(px.shape[1]),
+        "height": int(px.shape[0]),
+        "n_frames": 1,
+        "features": codecs.image_features(px),
+    }
+
+
 def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     """decode + feature-extract via Arrow-batched ``mapInPandas`` (map-only:
-    no shuffle; binary stays within its input partition)."""
+    no shuffle; binary stays within its input partition). BMP payloads
+    (magic ``BM``) decode for real in EITHER mode; ``decode_stub`` controls
+    what happens to everything else (fake vs NotImplementedError)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyetl_spark.functions import codecs
+
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires codec libraries (PIL/pyav); "
-                    "install them and replace _fake_decode"
-                )
             rows = []
             for r in pdf.itertuples(index=False):
                 payload = bytes(r.payload) if r.payload is not None else b""
-                d = _fake_decode(payload, r.kind)
+                if codecs.is_bmp(payload):
+                    d = _real_decode(payload)
+                elif decode_stub:
+                    d = _fake_decode(payload, r.kind)
+                else:
+                    raise NotImplementedError(
+                        "real decode for non-BMP media requires codec "
+                        "libraries (PIL/pyav); install them and extend "
+                        "_real_decode"
+                    )
                 rows.append(
                     {
                         "media_id": r.media_id,
@@ -117,17 +173,47 @@ def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int, decode_stub: bool = True) -> DataFrame:
-    """image resize seam — STUB: passes metadata through, marks the op."""
-    if not decode_stub:
-        raise NotImplementedError("real resize requires PIL — plug in here")
-    return df.filter(F.col("kind") == "image").withColumn(
-        "meta",
-        F.struct(
-            F.lit(width).alias("width"),
-            F.lit(height).alias("height"),
-            F.col("meta.duration_ms").alias("duration_ms"),
-        ),
-    )
+    """image resize. ``decode_stub=False``: REAL path — decode BMP payloads,
+    nearest-neighbor resample, re-encode BMP (map-only ``mapInPandas``; a
+    non-BMP payload raises at the codec seam). ``decode_stub=True``: stub —
+    passes payload through and stamps the target dimensions in metadata."""
+    imgs = df.filter(F.col("kind") == "image")
+    if decode_stub:
+        return imgs.withColumn(
+            "meta",
+            F.struct(
+                F.lit(width).alias("width"),
+                F.lit(height).alias("height"),
+                F.col("meta.duration_ms").alias("duration_ms"),
+            ),
+        )
+
+    out_schema = imgs.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyetl_spark.functions import codecs
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload) if r.payload is not None else b""
+                if not codecs.is_bmp(payload):
+                    raise NotImplementedError(
+                        "real resize for non-BMP images requires PIL — "
+                        "plug in at this seam"
+                    )
+                px = codecs.resize_nearest(codecs.decode_bmp(payload), width, height)
+                payloads.append(codecs.encode_bmp(px))
+                meta = dict(r.meta) if isinstance(r.meta, dict) else {}
+                metas.append(
+                    {"width": width, "height": height, "duration_ms": meta.get("duration_ms")}
+                )
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            pdf["meta"] = metas
+            yield pdf
+
+    return imgs.mapInPandas(run, schema=out_schema)
 
 
 def sample_frames(df: DataFrame, every_n: int = 10, decode_stub: bool = True) -> DataFrame:

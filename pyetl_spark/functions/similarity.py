@@ -19,6 +19,8 @@ plan-time literals — tiny: bits × dim floats).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -82,7 +84,17 @@ def _vec_lit(v: list[float]) -> Column:
 
 
 def _flit(x: float) -> str:
-    return f"{float(x)!r}D"
+    # repr(float) round-trips exactly and 'D' parses as double — but only
+    # for finite values: repr(inf/nan) is not valid SQL, and a NaN query
+    # vector or hyperplane is a caller bug (cosine against it is undefined),
+    # so fail with a clear message instead of a parser error (ADVICE r02)
+    x = float(x)
+    if not math.isfinite(x):
+        raise ValueError(
+            f"non-finite vector component {x!r}: query vectors / hyperplanes "
+            "must contain only finite floats"
+        )
+    return f"{x!r}D"
 
 
 def dot_fixed_sql(a: str, b: str, dim: int) -> str:

@@ -440,16 +440,19 @@ def dense_key_dimension(values: DataFrame, value_col: str, out: str = "key") -> 
         "__pid", F.spark_partition_id()
     )
     w = Window.partitionBy("__pid").orderBy(F.col(value_col))
-    # persist BEFORE the counts collect: repartitionByRange re-SAMPLES its
-    # range bounds on every execution, so without pinning this exact
+    # materialize BEFORE the counts collect: repartitionByRange re-SAMPLES
+    # its range bounds on every execution, so without pinning this exact
     # partitioning the offsets (computed in the counts job) could be applied
     # to a differently-bounded partitioning in the output job — duplicate /
-    # non-dense keys at large cardinality
-    local = ranged.withColumn("__rn", F.row_number().over(w)).persist()
+    # non-dense keys at large cardinality. localCheckpoint (not persist):
+    # it cuts lineage, so cache eviction / executor loss can never silently
+    # re-sample the bounds (Spark fails loudly instead of recomputing), and
+    # it leaks no storage blocks in a long-lived session — persist() here
+    # had no matching unpersist on the success path (ADVICE r02).
+    local = ranged.withColumn("__rn", F.row_number().over(w)).localCheckpoint(eager=True)
     # partition counts → offsets: ≤ shuffle-partition-count rows on the driver
     counts = {r["__pid"]: r["n"] for r in local.groupBy("__pid").agg(F.count("*").alias("n")).collect()}
     if not counts:  # empty input → empty keyed dimension, not an analysis error
-        local.unpersist()
         return values.select(value_col).limit(0).withColumn(out, F.lit(None).cast("int"))
     offsets, acc = {}, 0
     for pid in sorted(counts):  # range partitions are ordered by pid
@@ -482,8 +485,28 @@ def getkey(df: DataFrame, value_col: str, out: str = "key", method: str = "dim")
     return df.join(dim, F.col(value_col).eqNullSafe(F.col("__gv")), "left").drop("__gv")
 
 
-def changed(df: DataFrame, col: str, order: str, partition: str | Sequence[str] | None = None, out: str = "changed") -> DataFrame:
-    """true when attr differs from previous row in explicit order — ``<>:``."""
+def changed(
+    df: DataFrame,
+    col: str,
+    order: str,
+    partition: str | Sequence[str] | None = None,
+    out: str = "changed",
+    allow_global: bool = False,
+) -> DataFrame:
+    """true when attr differs from previous row in explicit order — ``<>:``.
+
+    ``partition`` is REQUIRED at scale: an unpartitioned lag window is one
+    global sort on a single partition — semantically the reference's
+    single-stream ``<>:`` but a serialization point Spark cannot
+    parallelize. Pass ``allow_global=True`` to opt into that explicitly
+    (small data / strict reference parity), mirroring ``merge_rows``'s
+    required ``order`` contract."""
+    if partition is None and not allow_global:
+        raise ValueError(
+            "changed() without `partition` builds a single-partition global "
+            "window (every row through one task). Pass partition=<keys> for "
+            "the scale path, or allow_global=True to accept the serial scan."
+        )
     w = Window.partitionBy(*_keys(partition)) if partition else Window.partitionBy()
     w = w.orderBy(F.col(order))
     prev = F.lag(F.col(col)).over(w)

@@ -22,10 +22,14 @@ Reference surfaces (citations into /root/reference):
 - partitioned parallel scans (the reference reads one cursor; Spark shards
   on a numeric column) → ``partition_col``/``num_partitions``.
 
-Untested in this sandbox (no JDBC driver jars baked in); the module is a
-thin, declarative veneer over Spark's battle-tested JDBC source — every
-function returns/consumes plain DataFrames so the rest of the engine is
-storage-agnostic.
+Tested in this sandbox against embedded Apache Derby (the one JDBC engine
+on Spark's own classpath, jars/derby-10.16.*): tests/test_jdbc.py runs real
+read_table/read_query/write_table/max_val and partitioned-scan roundtrips.
+Embedded Derby lives inside the (single) local-mode JVM, which is exactly
+why it works here; production uses a networked JDBC URL on the same code
+path. The module is a thin, declarative veneer over Spark's battle-tested
+JDBC source — every function returns/consumes plain DataFrames so the rest
+of the engine is storage-agnostic.
 """
 
 from __future__ import annotations
@@ -119,10 +123,17 @@ def max_val(
     table: str,
     column: str,
     options: Mapping[str, str] | None = None,
+    quote: str = '"',
 ):
     """``dbmaxval``: incremental-read watermark — one MAX() evaluated by the
-    database, one row back."""
+    database, one row back. The column identifier is quoted (ANSI double
+    quotes by default; pass ``quote='`'`` for MySQL) because Spark's JDBC
+    writer creates case-preserving quoted columns while most databases fold
+    unquoted identifiers — ``MAX(id)`` on a Derby/Postgres table written by
+    Spark would look up ``ID``/``id`` per THEIR folding rule, not ours."""
+    q = f"{quote}{column}{quote}" if quote else column
+    a = f"{quote}m{quote}" if quote else "m"  # unquoted aliases fold too
     row = read_query(
-        spark, url, f"SELECT MAX({column}) AS m FROM {table}", options=options
+        spark, url, f"SELECT MAX({q}) AS {a} FROM {table}", options=options
     ).first()
     return row["m"] if row else None

@@ -86,10 +86,10 @@ def test_query_matches_oracle(spark, ddb, name):
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_oracleless_query_runs(spark, name):
-    sdf = QUERIES[name](spark, SF_DIR)
-    assert sdf.count() >= 0
+def test_no_oracleless_queries():
+    # every registered query must carry a value-exact oracle; a query
+    # without one only gets the driver's weaker rows-only check
+    assert set(QUERIES) == set(ORACLES)
 
 
 def test_entry_smoke(spark):

@@ -192,6 +192,50 @@ def test_multimodal_stub_seam(spark):
         multimodal.extract_features(media, decode_stub=False).collect()
 
 
+def test_bmp_codec_roundtrip():
+    """pure-stdlib BMP codec: encode→decode is pixel-exact, including rows
+    that need 4-byte padding (odd widths) and top-down files."""
+    import numpy as np
+
+    from pyetl_spark.functions import codecs
+
+    rng = np.random.default_rng(7)
+    for w, h in [(32, 24), (33, 5), (1, 1), (7, 3)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payload = codecs.encode_bmp(px)
+        assert codecs.is_bmp(payload)
+        back = codecs.decode_bmp(payload)
+        assert back.shape == (h, w, 3)
+        assert (back == px).all()
+    # nearest-neighbor resize: exact on integer upscale of a checkerboard
+    small = np.zeros((2, 2, 3), dtype=np.uint8)
+    small[0, 1] = small[1, 0] = 255
+    big = codecs.resize_nearest(small, 4, 4)
+    assert big.shape == (4, 4, 3)
+    assert (big[0, 0] == 0).all() and (big[0, 2] == 255).all()
+    feats = codecs.image_features(small, bins=16)
+    assert len(feats) == 16 and abs(sum(feats) - 1.0) < 1e-9
+
+
+def test_multimodal_real_bmp_path(spark):
+    """decode_stub=False runs UN-stubbed on BMP payloads: true dimensions,
+    pixel-derived features, and a real resample in resize_images."""
+    media = multimodal.synthetic_bmp_media(spark, 12, width=32, height=24)
+    feats = multimodal.extract_features(media, decode_stub=False).toPandas()
+    assert len(feats) == 12
+    assert (feats["width"] == 32).all() and (feats["height"] == 24).all()
+    # features are an L1-normalized intensity histogram of REAL pixels
+    assert feats["features"].map(lambda f: abs(sum(f) - 1.0) < 1e-6).all()
+
+    resized = multimodal.resize_images(media, 8, 8, decode_stub=False)
+    rfeats = multimodal.extract_features(resized, decode_stub=False).toPandas()
+    assert (rfeats["width"] == 8).all() and (rfeats["height"] == 8).all()
+
+    # deterministic generator → deterministic features
+    feats2 = multimodal.extract_features(media, decode_stub=False).toPandas()
+    assert list(feats["sha256"]) == list(feats2["sha256"])
+
+
 def test_frame_sampling(spark):
     media = multimodal.synthetic_media(spark, 60)
     frames = multimodal.sample_frames(media, every_n=8)

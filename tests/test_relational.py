@@ -159,9 +159,17 @@ def test_getkey(people):
 
 
 def test_changed(people):
-    out = changed(people.filter("country = 'FR'"), "name", order="seq")
+    import pytest as _pytest
+
+    # unpartitioned = single-partition global window: must be an explicit
+    # opt-in, not a silent serialization point
+    with _pytest.raises(ValueError, match="single-partition"):
+        changed(people, "country", order="seq")
+    out = changed(
+        people.filter("country = 'FR'"), "name", order="seq", allow_global=True
+    )
     assert [r["changed"] for r in out.orderBy("seq").collect()] == [True, True, True]
-    out2 = changed(people, "country", order="seq")
+    out2 = changed(people, "country", order="seq", allow_global=True)
     assert [r["changed"] for r in out2.orderBy("seq").collect()] == [
         True,
         False,
