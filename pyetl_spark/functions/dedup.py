@@ -98,6 +98,77 @@ def minhash_signature(text: Column, n_hashes: int = 32, k_shingle: int = 3) -> C
     return F.array(*mins)
 
 
+def _shingle_sets_md5_arrow(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, sh) distinct md5-family word-k-shingle hashes via an
+    Arrow-batched ``mapInPandas`` — value-identical to
+    ``array_distinct(word_shingle_hashes_md5(text, k))`` (asserted by
+    tests/test_functions.py::test_md5_shingle_arrow_parity) but ~5x faster:
+    Spark higher-order-function lambdas run INTERPRETED (one md5+conv
+    expression-tree eval per word), while this path does hashlib.md5 per
+    *distinct* word (vocabulary memo across the batch) and the Horner
+    combine as three vectorized numpy ops per doc. Map-only — no shuffle,
+    text never leaves its input partition."""
+    import hashlib
+    import re
+
+    from pyetl_spark.functions.text import MERSENNE31 as P
+    from pyetl_spark.functions.text import SHINGLE_A as A
+
+    # Java \s (ASCII-only), mirroring normalize_text's regexp_replace;
+    # Python \s would additionally eat unicode whitespace and diverge
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        memo: dict[str, int] = {}
+
+        def whash(w: str) -> int:
+            h = memo.get(w)
+            if h is None:
+                h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16) % P
+                memo[w] = h
+            return h
+
+        for pdf in batches:
+            out_sh = []
+            for text in pdf["__text"]:
+                if text is None:
+                    out_sh.append([])
+                    continue
+                t = ws.sub(" ", str(text).lower()).strip(" ")
+                wl = t.split(" ") if t else []
+                n = len(wl)
+                if n < k:
+                    out_sh.append([])
+                    continue
+                wm = np.fromiter((whash(w) for w in wl), dtype=np.int64, count=n)
+                acc = wm[: n - k + 1].copy()
+                for j in range(1, k):
+                    acc = (acc * A + wm[j : j + acc.size]) % P
+                out_sh.append(np.unique(acc).tolist())
+            yield pd.DataFrame({"id": pdf["__id"], "sh": out_sh})
+
+    src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    return src.mapInPandas(run, schema="id long, sh array<long>")
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, k: int, hash_family: str
+) -> DataFrame:
+    """(id, sh) distinct word-k-shingle hash sets. ``md5`` family routes to
+    the Arrow fast path (same values, see _shingle_sets_md5_arrow); ``xx``
+    stays on the Column expression (xxhash64 has no Python twin)."""
+    if hash_family == "md5":
+        return _shingle_sets_md5_arrow(df, text_col, id_col, k)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingle_hashes(F.col(text_col), k)).alias("sh"),
+    )
+
+
 def minhash_signatures_agg(
     df: DataFrame,
     text_col: str = "text",
@@ -116,11 +187,10 @@ def minhash_signatures_agg(
     ``hash_family``: ``"xx"`` (xxhash64 chain — fastest, engine-internal) or
     ``"md5"`` (md5-derived 60-bit shingle hashes a SQL oracle can recompute
     value-exactly — the contract/parity configuration)."""
-    hasher = word_shingle_hashes if hash_family == "xx" else word_shingle_hashes_md5
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(hasher(F.col(text_col), k_shingle))).alias("s"),
-    ).select("id", F.pmod(F.col("s"), F.lit(_MERSENNE_P)).alias("h"))
+    sets = shingle_sets(df, text_col, id_col, k_shingle, hash_family)
+    ex = sets.select("id", F.explode("sh").alias("s")).select(
+        "id", F.pmod(F.col("s"), F.lit(_MERSENNE_P)).alias("h")
+    )
     aggs = [F.min(_uh(F.col("h"), a, b)).alias(f"h{i}") for i, (a, b) in enumerate(_uh_params(n_hashes))]
     return ex.groupBy("id").agg(*aggs, F.count("*").alias("n_shingles"))
 
@@ -172,17 +242,13 @@ def minhash_lsh_pairs(
     for every band candidate — the strict-recall configuration).
     """
     rows = n_hashes // bands
-    hasher = word_shingle_hashes if hash_family == "xx" else word_shingle_hashes_md5
 
     # distinct shingle-hash sets, computed ONCE and persisted: both the
     # signature path (explode + min-agg) and the exact-Jaccard verification
-    # consume them, and the string→hash work (per-word md5 in the oracle
-    # family, interpreted HOFs) is the most expensive scalar stage — paying
-    # it twice doubled the whole query's cost.
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(hasher(F.col(text_col), k_shingle)).alias("sh"),
-    ).persist()
+    # consume them, and the string→hash work is the most expensive scalar
+    # stage — paying it twice doubled the whole query's cost. The md5
+    # family runs it on the Arrow fast path (see _shingle_sets_md5_arrow).
+    sh = shingle_sets(df, text_col, id_col, k_shingle, hash_family).persist()
 
     ex = sh.select("id", F.explode("sh").alias("s")).select(
         "id", F.pmod(F.col("s"), F.lit(_MERSENNE_P)).alias("h")

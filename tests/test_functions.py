@@ -108,6 +108,45 @@ def test_minhash_lsh_finds_near_dups(dup_docs):
         assert r["jaccard"] >= 0.5
 
 
+def test_md5_shingle_arrow_parity(spark, sf_dir):
+    """the Arrow fast path must produce byte-identical shingle-hash sets to
+    the Column-expression md5 family on real corpus text (incl. edge rows:
+    short docs, repeated words, punctuation)."""
+    from pyspark.sql import functions as F
+
+    from pyetl_spark.functions.text import word_shingle_hashes_md5
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(400)
+    fast = dedup.shingle_sets(docs, "text", "doc_id", 3, "md5")
+    col = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_sort(F.array_distinct(word_shingle_hashes_md5(F.col("text"), 3))).alias("sh"),
+    )
+    a = {r["id"]: list(r["sh"] or []) for r in fast.collect()}
+    b = {r["id"]: list(r["sh"] or []) for r in col.collect()}
+    assert a == b
+    # synthetic edges: empty, whitespace-only, <k words, tabs/newlines, null
+    edge = spark.createDataFrame(
+        [(1, ""), (2, "   \t\n "), (3, "one two"), (4, "a\tb\nc  d"), (5, None),
+         (6, "The QUICK the quick THE quick brown")],
+        "doc_id long, text string",
+    )
+    fa = {r["id"]: list(r["sh"] or []) for r in dedup.shingle_sets(edge, "text", "doc_id", 3, "md5").collect()}
+    fb = {
+        r["id"]: list(r["sh"] or [])
+        for r in edge.select(
+            F.col("doc_id").alias("id"),
+            F.array_sort(
+                F.coalesce(
+                    F.array_distinct(word_shingle_hashes_md5(F.col("text"), 3)),
+                    F.array().cast("array<long>"),
+                )
+            ).alias("sh"),
+        ).collect()
+    }
+    assert fa == fb
+
+
 def test_ngram_jaccard_exact(dup_docs):
     pairs = dedup.ngram_jaccard_pairs(dup_docs, k_shingle=2, threshold=0.4)
     got = {(r["a"], r["b"]): r["jaccard"] for r in pairs.collect()}
