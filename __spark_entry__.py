@@ -1055,6 +1055,36 @@ def q_schema_enum_recode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_schema_map_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wholesale schema migration (SURVEY §2.11 `map` + schema_merge +
+    schema_diff): remap customer/supplier onto a unified contact model via
+    an inline mapping spec (charge_mapping/f_map traitement_mapping.py:
+    139-146,328-397) — class renames, attribute renames, an absent source
+    attribute materialized empty — then union the remapped classes with
+    schema_merge (missing columns nulled). schema_diff is asserted inline
+    (plan-time metadata: the migration must add `classe` and drop the
+    per-source key/name spellings)."""
+    from pyetl_spark.schema import apply_mapping, schema_diff, schema_merge
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    mapped = apply_mapping(
+        {"customer": cust, "supplier": supp},
+        "{customer,client,c_custkey=>key,c_name=>nom,c_acctbal=>solde,c_mktsegment=>segment"
+        ":supplier,fournisseur,s_suppkey=>key,s_name=>nom,s_acctbal=>solde,s_segment=>segment}",
+    )
+    assert set(mapped) == {"client", "fournisseur"}
+    d = schema_diff(cust.schema, mapped["client"].schema)
+    assert d["added"] == ["key", "nom", "segment", "solde"] and d["removed"] == [
+        "c_acctbal", "c_custkey", "c_mktsegment", "c_name",
+    ]
+    tagged = [
+        mapped[cls].withColumn("classe", F.lit(cls))
+        for cls in ("client", "fournisseur")
+    ]
+    return schema_merge(tagged).select("classe", "key", "nom", "solde", "segment")
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -1084,6 +1114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "emb_near_dup": q_emb_near_dup,
         "sim_brute_topk": q_sim_brute_topk,
+        # -- new in round 3
+        "schema_map_migrate": q_schema_map_migrate,
         # -- r2-certified once (first driver row in round 2)
         "rules_hstore": q_rules_hstore,
         "rules_jsonops": q_rules_jsonops,
@@ -1760,6 +1792,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
+        "schema_map_migrate": """
+            SELECT 'client' AS classe, c_custkey AS "key", c_name AS nom,
+                   c_acctbal AS solde, c_mktsegment AS segment
+            FROM customer
+            UNION ALL
+            SELECT 'fournisseur', s_suppkey, s_name, s_acctbal, ''
+            FROM supplier
+        """,
         "dedup_minhash_lsh": _minhash_lsh_oracle(),
         "dedup_simhash": _simhash_groups_oracle(),
         "dedup_simhash_near": _simhash_near_oracle(),
