@@ -1,11 +1,12 @@
 """Pure-stdlib media codecs for the multimodal seam.
 
 The sandbox has no PIL/pyav, but an UNCOMPRESSED format needs neither: BMP
-(Windows V3, 24-bit BI_RGB) is struct + bytes math. This module implements
-a real, tested encoder/decoder pair so the multimodal operators
-(`extract_features`, `resize_images`) run **un-stubbed** on BMP payloads —
-the stub seam in multimodal.py remains only for compressed formats
-(JPEG/PNG/video), where a real library must plug in.
+(Windows V3, 24-bit BI_RGB) and WAV (RIFF PCM 16-bit) are struct + bytes
+math. This module implements real, tested encoder/decoder pairs so the
+multimodal operators (`extract_features`, `resize_images`,
+`sample_audio_windows`) run **un-stubbed** on BMP and WAV payloads — the
+stub seam in multimodal.py remains only for compressed formats
+(JPEG/PNG/MP3/video), where a real library must plug in.
 
 Everything here is plain Python/numpy executed INSIDE Arrow-batched pandas
 UDFs — one call per image, vectorized numpy math per pixel — so the Spark
@@ -78,6 +79,98 @@ def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
     yi = (np.arange(height) * h // height).clip(0, h - 1)
     xi = (np.arange(width) * w // width).clip(0, w - 1)
     return pixels[yi][:, xi]
+
+
+# --------------------------------------------------------------------- WAV
+# RIFF/WAVE, PCM (format tag 1), 16-bit signed little-endian — the simplest
+# interchange audio format; `wave` in the stdlib reads the same layout, but
+# parsing the two chunks directly keeps encode+decode symmetric and
+# byte-exact under our control.
+
+_RIFF_HDR = struct.Struct("<4sI4s")  # 'RIFF', riff size, 'WAVE'
+_CHUNK_HDR = struct.Struct("<4sI")  # chunk id, chunk size
+_FMT_PCM16 = struct.Struct("<HHIIHH")  # tag, channels, rate, byterate, align, bits
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n_frames,) or (n_frames, channels) int16 array -> PCM16 WAV bytes."""
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    if s.ndim != 2:
+        raise ValueError(f"expected (frames,) or (frames, channels), got shape {samples.shape}")
+    channels = s.shape[1]
+    raw = s.tobytes()  # interleaved little-endian on every platform numpy supports
+    align = channels * 2
+    fmt = _FMT_PCM16.pack(1, channels, sample_rate, sample_rate * align, align, 16)
+    body = (
+        _CHUNK_HDR.pack(b"fmt ", len(fmt))
+        + fmt
+        + _CHUNK_HDR.pack(b"data", len(raw))
+        + raw
+    )
+    return _RIFF_HDR.pack(b"RIFF", 4 + len(body), b"WAVE") + body
+
+
+def is_wav(payload: bytes | None) -> bool:
+    return (
+        bool(payload)
+        and len(payload) >= _RIFF_HDR.size
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM16 WAV bytes -> ((n_frames, channels) int16 array, sample_rate).
+
+    Walks the RIFF chunk list (skipping unknown chunks like LIST/INFO), so
+    files written by other encoders decode too — not just our own."""
+    magic, _size, wave_id = _RIFF_HDR.unpack_from(payload, 0)
+    if magic != b"RIFF" or wave_id != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = _RIFF_HDR.size, None, None
+    while pos + _CHUNK_HDR.size <= len(payload):
+        cid, csize = _CHUNK_HDR.unpack_from(payload, pos)
+        pos += _CHUNK_HDR.size
+        if cid == b"fmt ":
+            fmt = _FMT_PCM16.unpack_from(payload, pos)
+        elif cid == b"data":
+            data = payload[pos : pos + csize]
+        pos += csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV payload missing fmt/data chunk")
+    tag, channels, rate, _byterate, _align, bits = fmt
+    if tag != 1 or bits != 16:
+        raise ValueError(f"only PCM 16-bit supported (got tag={tag}, bits={bits})")
+    frames = np.frombuffer(data, dtype="<i2")
+    n = frames.size // channels
+    return frames[: n * channels].reshape(n, channels), rate
+
+
+def audio_features(samples: np.ndarray, sample_rate: int, bins: int = 16) -> dict:
+    """deterministic real features from decoded PCM: duration, global RMS,
+    zero-crossing rate, and a ``bins``-bucket L1-normalized magnitude
+    spectrum (numpy rfft on the channel-mean signal) — the shape a real
+    audio embedding would have, computed from actual sample values."""
+    mono = np.asarray(samples, dtype=np.float64).mean(axis=1) if samples.ndim == 2 else np.asarray(samples, dtype=np.float64)
+    n = mono.size
+    if n == 0:
+        return {"duration_ms": 0, "rms": 0.0, "zcr": 0.0, "features": [0.0] * bins}
+    rms = float(np.sqrt(np.mean(mono**2)))
+    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n > 1 else 0.0
+    mag = np.abs(np.fft.rfft(mono))
+    # collapse the half-spectrum into `bins` equal-width bands
+    edges = np.linspace(0, mag.size, bins + 1).astype(int)
+    band = np.array([mag[a:b].sum() for a, b in zip(edges[:-1], edges[1:])])
+    total = band.sum()
+    feats = (band / total).tolist() if total > 0 else [0.0] * bins
+    return {
+        "duration_ms": int(round(n * 1000.0 / sample_rate)),
+        "rms": rms,
+        "zcr": zcr,
+        "features": [float(f) for f in feats],
+    }
 
 
 def image_features(pixels: np.ndarray, bins: int = 16) -> list[float]:

@@ -9,7 +9,10 @@ shape, Arrow-batched UDF signatures via ``mapInPandas``. Codec status:
   ``decode_stub=False``, ``extract_features`` computes true width/height
   and pixel-histogram features, and ``resize_images`` re-encodes actually
   resampled pixels, for any payload whose magic bytes say BMP.
-- Compressed formats (JPEG/PNG/video/audio) remain STUBBED (their
+- **WAV audio decodes for REAL** (same module: RIFF/PCM-16 encoder/decoder
+  + spectrum/RMS/zero-crossing features — no torchaudio needed).
+  ``sample_audio_windows`` emits per-window RMS rows from actual samples.
+- Compressed formats (JPEG/PNG/MP3/video) remain STUBBED (their
   libraries are not in this container): ``decode_stub=True`` (default)
   runs a clearly-marked deterministic fake decoder so the plumbing is
   testable end-to-end; ``decode_stub=False`` raises
@@ -103,6 +106,41 @@ def synthetic_bmp_media(
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def synthetic_wav_media(
+    spark, n: int = 50, sample_rate: int = 8000, duration_ms: int = 250, seed: int = 42
+) -> DataFrame:
+    """deterministic REAL-audio table: every payload is a valid PCM16 WAV
+    (seeded sine + noise mix, mono), generated distributed via
+    ``mapInPandas`` — exercises the un-stubbed audio decode path."""
+    import numpy as np
+
+    n_frames = sample_rate * duration_ms // 1000
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyetl_spark.functions import codecs
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                rng = np.random.default_rng(seed + int(mid))
+                freq = 100.0 + float(rng.integers(0, 2000))
+                t = np.arange(n_frames) / sample_rate
+                wave = 0.6 * np.sin(2 * np.pi * freq * t) + 0.1 * rng.standard_normal(n_frames)
+                samples = np.clip(wave * 16000.0, -32768, 32767).astype(np.int16)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "kind": "audio",
+                        "payload": codecs.encode_wav(samples, sample_rate),
+                        "mime": "audio/wav",
+                        "meta": {"width": None, "height": None, "duration_ms": duration_ms},
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 FEATURE_SCHEMA = (
     "media_id long, kind string, n_bytes int, sha256 string, "
     "width int, height int, n_frames int, features array<float>"
@@ -121,42 +159,52 @@ def _fake_decode(payload: bytes, kind: str) -> dict:
     }
 
 
-def _real_decode(payload: bytes) -> dict:
-    """real decode for formats the stdlib codec handles (BMP today)."""
+def _real_decode(payload: bytes) -> dict | None:
+    """real decode for formats the stdlib codec handles (BMP + WAV today);
+    None when the payload is neither — caller falls back to stub/raise."""
     from pyetl_spark.functions import codecs
 
-    px = codecs.decode_bmp(payload)
-    return {
-        "width": int(px.shape[1]),
-        "height": int(px.shape[0]),
-        "n_frames": 1,
-        "features": codecs.image_features(px),
-    }
+    if codecs.is_bmp(payload):
+        px = codecs.decode_bmp(payload)
+        return {
+            "width": int(px.shape[1]),
+            "height": int(px.shape[0]),
+            "n_frames": 1,
+            "features": codecs.image_features(px),
+        }
+    if codecs.is_wav(payload):
+        samples, rate = codecs.decode_wav(payload)
+        af = codecs.audio_features(samples, rate)
+        return {
+            "width": None,
+            "height": None,
+            "n_frames": int(samples.shape[0]),
+            "features": af["features"],
+        }
+    return None
 
 
 def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     """decode + feature-extract via Arrow-batched ``mapInPandas`` (map-only:
-    no shuffle; binary stays within its input partition). BMP payloads
-    (magic ``BM``) decode for real in EITHER mode; ``decode_stub`` controls
-    what happens to everything else (fake vs NotImplementedError)."""
+    no shuffle; binary stays within its input partition). BMP and WAV
+    payloads (magic-sniffed) decode for real in EITHER mode; ``decode_stub``
+    controls what happens to everything else (fake vs NotImplementedError)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyetl_spark.functions import codecs
-
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 payload = bytes(r.payload) if r.payload is not None else b""
-                if codecs.is_bmp(payload):
-                    d = _real_decode(payload)
-                elif decode_stub:
-                    d = _fake_decode(payload, r.kind)
-                else:
-                    raise NotImplementedError(
-                        "real decode for non-BMP media requires codec "
-                        "libraries (PIL/pyav); install them and extend "
-                        "_real_decode"
-                    )
+                d = _real_decode(payload)
+                if d is None:
+                    if decode_stub:
+                        d = _fake_decode(payload, r.kind)
+                    else:
+                        raise NotImplementedError(
+                            "real decode for non-BMP/WAV media requires codec "
+                            "libraries (PIL/pyav); install them and extend "
+                            "_real_decode"
+                        )
                 rows.append(
                     {
                         "media_id": r.media_id,
@@ -214,6 +262,65 @@ def resize_images(df: DataFrame, width: int, height: int, decode_stub: bool = Tr
             yield pdf
 
     return imgs.mapInPandas(run, schema=out_schema)
+
+
+AUDIO_WINDOW_SCHEMA = (
+    "media_id long, window_idx int, start_ms int, rms double, zcr double"
+)
+
+
+def sample_audio_windows(df: DataFrame, window_ms: int = 50) -> DataFrame:
+    """REAL windowed audio analysis: decode WAV payloads and emit one row
+    per ``window_ms`` window with its RMS energy and zero-crossing rate —
+    the audio analogue of video frame sampling (silence trimming, VAD
+    pre-filtering, segment-level dedup all start from these rows).
+
+    Map-only ``mapInPandas``: each payload is decoded once inside its input
+    partition; only the tiny per-window rows ever reach a shuffle. Non-WAV
+    audio raises at the codec seam (plug pyav/torchaudio in there)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pyetl_spark.functions import codecs
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload) if r.payload is not None else b""
+                if not codecs.is_wav(payload):
+                    raise NotImplementedError(
+                        "real windowing for non-WAV audio requires codec "
+                        "libraries (pyav/torchaudio) — plug in at this seam"
+                    )
+                samples, rate = codecs.decode_wav(payload)
+                mono = samples.astype(np.float64).mean(axis=1)
+                step = max(1, rate * window_ms // 1000)
+                for w in range(0, mono.size, step):
+                    seg = mono[w : w + step]
+                    zcr = (
+                        float(np.mean(np.signbit(seg[1:]) != np.signbit(seg[:-1])))
+                        if seg.size > 1
+                        else 0.0
+                    )
+                    rows.append(
+                        {
+                            "media_id": r.media_id,
+                            "window_idx": w // step,
+                            "start_ms": int(w * 1000 / rate),
+                            "rms": float(np.sqrt(np.mean(seg**2))),
+                            "zcr": zcr,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "window_idx", "start_ms", "rms", "zcr"]
+            )
+
+    return (
+        df.filter(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(run, schema=AUDIO_WINDOW_SCHEMA)
+    )
 
 
 def sample_frames(df: DataFrame, every_n: int = 10, decode_stub: bool = True) -> DataFrame:

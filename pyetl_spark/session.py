@@ -32,6 +32,19 @@ def get_spark(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
+
+    # Python workers do NOT inherit the driver's sys.path — only PYTHONPATH
+    # (and, on a cluster, --py-files). A driver that imported this package
+    # via sys.path manipulation (embedding harnesses do) would otherwise
+    # get ModuleNotFoundError from any worker-side `import pyetl_spark`
+    # (mapInPandas closures import the codec/text modules there). Pin the
+    # package root into PYTHONPATH before the JVM forks its first worker.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
     if shuffle_partitions is None:
         if master.startswith("local["):
             inner = master[len("local[") : -1]

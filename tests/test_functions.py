@@ -282,6 +282,61 @@ def test_frame_sampling(spark):
     assert (pdf["frame_idx"] % 8 == 0).all()
 
 
+def test_wav_codec_roundtrip():
+    """pure-stdlib WAV codec: encode→decode is sample-exact for mono and
+    stereo; the chunk walker skips foreign chunks; features are physical."""
+    import numpy as np
+
+    from pyetl_spark.functions import codecs
+
+    rng = np.random.default_rng(11)
+    for shape in [(800,), (800, 1), (640, 2)]:
+        s = rng.integers(-32768, 32767, size=shape, dtype=np.int16)
+        payload = codecs.encode_wav(s, 8000)
+        assert codecs.is_wav(payload)
+        back, rate = codecs.decode_wav(payload)
+        assert rate == 8000
+        want = s[:, None] if s.ndim == 1 else s
+        assert back.shape == want.shape and (back == want).all()
+
+    # decoder must skip unknown RIFF chunks (e.g. LIST/INFO before fmt)
+    s = rng.integers(-1000, 1000, size=(100,), dtype=np.int16)
+    p = codecs.encode_wav(s, 8000)
+    foreign = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    patched = p[:12] + foreign + p[12:]
+    back, rate = codecs.decode_wav(patched)
+    assert (back[:, 0] == s).all()
+
+    # features: a pure 1 kHz sine at 8 kHz → energy concentrated in the
+    # band containing 1 kHz (bin 4 of 16 over the 0-4 kHz half-spectrum)
+    t = np.arange(8000) / 8000.0
+    sine = (16000 * np.sin(2 * np.pi * 1000 * t)).astype(np.int16)
+    af = codecs.audio_features(sine[:, None], 8000, bins=16)
+    assert af["duration_ms"] == 1000
+    assert abs(af["rms"] - 16000 / np.sqrt(2)) / af["rms"] < 0.01
+    assert af["features"].index(max(af["features"])) == 4
+    assert abs(sum(af["features"]) - 1.0) < 1e-9
+
+
+def test_multimodal_real_wav_path(spark):
+    """decode_stub=False runs UN-stubbed on WAV payloads: true frame counts,
+    spectrum features, and real per-window RMS/ZCR rows."""
+    media = multimodal.synthetic_wav_media(spark, 10, sample_rate=8000, duration_ms=250)
+    feats = multimodal.extract_features(media, decode_stub=False).toPandas()
+    assert len(feats) == 10
+    assert (feats["n_frames"] == 2000).all()
+    assert feats["width"].isna().all()
+    assert feats["features"].map(lambda f: abs(sum(f) - 1.0) < 1e-6).all()
+
+    wins = multimodal.sample_audio_windows(media, window_ms=50).toPandas()
+    # 250 ms / 50 ms = 5 windows per clip
+    assert len(wins) == 50
+    assert set(wins["window_idx"]) == {0, 1, 2, 3, 4}
+    assert (wins["start_ms"] % 50 == 0).all()
+    # a sine+noise mix is never silent
+    assert (wins["rms"] > 0).all()
+
+
 def test_simhash_near_dup_pairs(spark):
     """hamming-banded candidates + exact popcount verify == brute force."""
     import itertools
