@@ -1008,21 +1008,38 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-blocked embedding near-dup pairs. Threshold 0.38 sits in the
+    top ~0.1% of the synthetic corpus's intra-label cosine distribution
+    (max ≈ 0.51), so the contract row carries REAL matched values — at the
+    old 0.93 the query was a trivially-empty check."""
     embs = _t(spark, sf_dir, "embeddings")
     dim = len(embs.select("embedding").first()[0])
-    base = embs.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    # norms hoisted per ROW before the pair join (bit-identical to
+    # cosine_fixed_sql: same greatest(nl*nr, 1e-12) denominator, sqrt per
+    # side) — per-pair work is ONE dot, not dot + two self-dots. The
+    # shuffle-hash hint keeps the plan a co-partitioned equi join AND pins
+    # the hoisted projections at the exchange; under broadcast, Catalyst's
+    # projection collapse re-inlined the norm expressions per output pair.
+    base = embs.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("nrm", F.expr(fsim.norm_fixed_sql("v", dim)))
     l = base.alias("l")
     r = base.alias("r")
-    pairs = l.join(
+    pairs = l.hint("shuffle_hash").join(
         r, (F.col("l.label") == F.col("r.label")) & (F.col("l.vec_id") < F.col("r.vec_id"))
+    )
+    cos = F.expr(fsim.dot_fixed_sql("l.v", "r.v", dim)) / F.greatest(
+        F.col("l.nrm") * F.col("r.nrm"), F.lit(1e-12)
     )
     return (
         pairs.select(
             F.col("l.vec_id").alias("a"),
             F.col("r.vec_id").alias("b"),
-            F.round(F.expr(fsim.cosine_fixed_sql("l.v", "r.v", dim)), 6).alias("cos_sim"),
+            F.round(cos, 6).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= 0.93)
+        .filter(F.col("cos_sim") >= 0.38)
     )
 
 
@@ -1827,7 +1844,7 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) AS cos_sim
             FROM embeddings l JOIN embeddings r
               ON l.label = r.label AND l.vec_id < r.vec_id
-            WHERE round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) >= 0.93
+            WHERE round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) >= 0.38
         """,
         "schema_cast_infer": """
             SELECT CAST(o_orderkey AS INTEGER) AS o_orderkey,

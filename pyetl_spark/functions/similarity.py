@@ -262,7 +262,17 @@ def knn_join_blocked(
         )
 
     l, r = prep(left, "left"), prep(right, "right")
-    pairs = l.join(r, "__sig").filter(F.col("left_id") != F.col("right_id"))
+    # shuffle-hash join on the signature, NOT broadcast: (a) at corpus scale
+    # the right side is the full dataset — never broadcastable — and
+    # co-partitioning both sides on __sig is the plan that survives 100x;
+    # (b) the exchange MATERIALIZES the hoisted sig/norm projections.
+    # Under a broadcast join Catalyst collapses them into the join's output
+    # projection and re-evaluates the 448-term expressions once per OUTPUT
+    # PAIR instead of once per row — measured 2.2s vs 0.9s at sf0.1 (the
+    # round-2 norm hoisting was silently defeated by projection collapse).
+    pairs = l.hint("shuffle_hash").join(r, "__sig").filter(
+        F.col("left_id") != F.col("right_id")
+    )
     # same float ops in the same order as cosine_fixed, just hoisted
     cos = F.expr(dot_fixed_sql("left_vec", "right_vec", dim)) / F.greatest(
         F.col("left_norm") * F.col("right_norm"), F.lit(1e-12)
@@ -297,7 +307,11 @@ def embedding_near_dup_pairs(
     )
     l = base.alias("l")
     r = base.alias("r")
-    pairs = l.join(
+    # shuffle-hash on __sig for the same two reasons as knn_join_blocked:
+    # a self-join's build side is never broadcastable at corpus scale, and
+    # the exchange pins the hoisted nrm/__sig projections so they are
+    # computed once per ROW, not re-inlined once per candidate PAIR.
+    pairs = l.hint("shuffle_hash").join(
         r, (F.col("l.__sig") == F.col("r.__sig")) & (F.col("l.id") < F.col("r.id"))
     )
     # norms hoisted per row (same float ops/order as cosine_fixed)
