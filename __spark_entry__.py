@@ -532,9 +532,16 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customers with no URGENT order (`!in:` on a filtered right side).
+    Every synthetic customer has at least one order, so the unfiltered
+    anti join was a trivially-empty check; this one returns real rows."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
-    return anti_join(cust, orders, "c_custkey").select("c_custkey", "c_name")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .withColumnRenamed("o_custkey", "c_custkey")
+    )
+    return anti_join(cust, urgent, "c_custkey").select("c_custkey", "c_name")
 
 
 def q_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1656,7 +1663,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "anti_join": """
             SELECT c_custkey, c_name FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            )
         """,
         "union_except": """
             SELECT o_orderstatus, count(*) AS n FROM (
