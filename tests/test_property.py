@@ -165,3 +165,52 @@ def test_merge_rows_reducers_match_pandas(spark, data):
     want = pdf.groupby("k").agg(n=("n", "sum"), n2=("n", "min"), n3=("n", "max"), t=("t", "count"))
     assert (got["n"] == want["n"]).all() and (got["n2"] == want["n2"]).all()
     assert (got["n3"] == want["n3"]).all() and (got["t"] == want["t"]).all()
+
+
+# ------------------------------------------------------------------ codecs
+# no SparkSession involved: the codec layer is pure bytes math, so these
+# properties run for free and cover shapes the example tests don't
+# (1-pixel-wide images whose rows are all padding, odd frame counts, the
+# int16 extremes where naive float conversion would overflow).
+
+
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 20),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(**SETTINGS)
+def test_bmp_roundtrip_property(w, h, seed):
+    import numpy as np
+
+    from pyetl_spark.functions import codecs
+
+    px = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    back = codecs.decode_bmp(codecs.encode_bmp(px))
+    assert back.shape == (h, w, 3) and (back == px).all()
+    # resize to any target keeps dtype/shape and only emits source pixels
+    tw, th = max(1, w // 2), h * 2
+    rs = codecs.resize_nearest(px, tw, th)
+    assert rs.shape == (th, tw, 3)
+    assert set(np.unique(rs)) <= set(np.unique(px))
+
+
+@given(
+    n=st.integers(1, 500),
+    channels=st.integers(1, 2),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(**SETTINGS)
+def test_wav_roundtrip_property(n, channels, rate, seed):
+    import numpy as np
+
+    from pyetl_spark.functions import codecs
+
+    s = np.random.default_rng(seed).integers(-32768, 32768, size=(n, channels)).astype(np.int16)
+    back, r = codecs.decode_wav(codecs.encode_wav(s, rate))
+    assert r == rate and back.shape == s.shape and (back == s).all()
+    af = codecs.audio_features(back, r)
+    assert af["duration_ms"] == int(round(n * 1000.0 / rate))
+    assert 0.0 <= af["zcr"] <= 1.0
+    assert len(af["features"]) == 16
