@@ -173,6 +173,132 @@ def audio_features(samples: np.ndarray, sample_rate: int, bins: int = 16) -> dic
     }
 
 
+# --------------------------------------------------------------------- AVI
+# RIFF/'AVI ' with ONE uncompressed 'DIB ' video stream: each '00db' frame
+# chunk is bottom-up padded BGR rows — byte-identical pixel layout to BMP —
+# so video decode is the same numpy math as images, per frame. This is the
+# classic "uncompressed AVI" every tool (ffmpeg -c:v rawvideo, VirtualDub)
+# can read and write; no codec library needed on either side.
+
+_AVIH = struct.Struct("<14I")  # MainAVIHeader: 14 uint32 (56 bytes)
+_STRH = struct.Struct("<4s4sIHHIIIIIIII4h")  # AVIStreamHeader (56 bytes)
+
+
+def _list(list_type: bytes, body: bytes) -> bytes:
+    return _CHUNK_HDR.pack(b"LIST", 4 + len(body)) + list_type + body
+
+
+def _chunk(cid: bytes, body: bytes) -> bytes:
+    return _CHUNK_HDR.pack(cid, len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(n_frames, height, width, 3) uint8 RGB array -> uncompressed-DIB AVI.
+
+    Emits hdrl (avih + one vids/'DIB ' strl), movi ('00db' chunks holding
+    bottom-up BGR rows, exactly BMP's pixel layout), and an idx1 index so
+    standard players can seek."""
+    f = np.asarray(frames, dtype=np.uint8)
+    if f.ndim != 4 or f.shape[3] != 3:
+        raise ValueError(f"expected (n, h, w, 3) RGB array, got shape {frames.shape}")
+    n, h, w = f.shape[:3]
+    stride = bmp_row_stride(w)
+    frame_size = h * stride
+    data = np.zeros((n, h, stride), dtype=np.uint8)
+    data[:, :, : w * 3] = f[:, ::-1, :, ::-1].reshape(n, h, w * 3)  # bottom-up, BGR
+
+    avih = _chunk(
+        b"avih",
+        _AVIH.pack(1_000_000 // max(fps, 1), frame_size * fps, 0, 0x10, n, 0, 1,
+                   frame_size, w, h, 0, 0, 0, 0),
+    )
+    strh = _chunk(
+        b"strh",
+        _STRH.pack(b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0,
+                   0, 0, w, h),
+    )
+    strf = _chunk(
+        b"strf", _INFO_HDR.pack(_INFO_HDR.size, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0)
+    )
+    hdrl = _list(b"hdrl", avih + _list(b"strl", strh + strf))
+
+    movi_body = b"movi"
+    idx, offset = [], 4  # idx1 offsets are relative to the start of 'movi'
+    for i in range(n):
+        raw = data[i].tobytes()
+        movi_body += _chunk(b"00db", raw)
+        idx.append(struct.pack("<4sIII", b"00db", 0x10, offset, len(raw)))
+        offset += _CHUNK_HDR.size + len(raw) + (len(raw) & 1)
+    movi = _CHUNK_HDR.pack(b"LIST", len(movi_body)) + movi_body
+    idx1 = _chunk(b"idx1", b"".join(idx))
+
+    body = hdrl + movi + idx1
+    return _CHUNK_HDR.pack(b"RIFF", 4 + len(body)) + b"AVI " + body
+
+
+def is_avi(payload: bytes | None) -> bool:
+    return (
+        bool(payload)
+        and len(payload) >= 12
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"AVI "
+    )
+
+
+def _walk_riff(payload: bytes, pos: int, end: int):
+    """yield (chunk_id, list_type_or_None, body_start, body_size) over a
+    RIFF chunk run; callers recurse into LIST bodies themselves."""
+    while pos + _CHUNK_HDR.size <= end:
+        cid, csize = _CHUNK_HDR.unpack_from(payload, pos)
+        pos += _CHUNK_HDR.size
+        if cid == b"LIST" and csize >= 4:
+            yield cid, payload[pos : pos + 4], pos + 4, csize - 4
+        else:
+            yield cid, None, pos, csize
+        pos += csize + (csize & 1)
+
+
+def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
+    """uncompressed-DIB AVI bytes -> ((n, h, w, 3) uint8 RGB array, fps).
+
+    Walks the RIFF tree (hdrl for the BITMAPINFOHEADER + frame rate, movi
+    for '00db'/'00dw' frame chunks), skipping unknown chunks (JUNK, idx1,
+    INFO) so files from other writers decode too."""
+    if not is_avi(payload):
+        raise ValueError("not a RIFF/'AVI ' payload")
+    info, fps, frames = None, 10, []
+
+    def visit(pos: int, end: int) -> None:
+        nonlocal info, fps
+        for cid, ltype, start, size in _walk_riff(payload, pos, end):
+            if ltype is not None:  # a LIST: recurse into hdrl/strl/movi/rec
+                visit(start, start + size)
+            elif cid == b"avih":
+                usec = struct.unpack_from("<I", payload, start)[0]
+                if usec:
+                    fps = max(1, round(1_000_000 / usec))
+            elif cid == b"strf" and info is None:
+                info = _INFO_HDR.unpack_from(payload, start)
+            elif cid[2:] in (b"db", b"dw"):  # uncompressed DIB frame
+                frames.append((start, size))
+
+    visit(12, len(payload))
+    if info is None:
+        raise ValueError("AVI payload missing strf BITMAPINFOHEADER")
+    _hdr, w, h, _planes, bpp, compression, *_rest = info
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit BI_RGB AVI supported (got bpp={bpp}, compression={compression})")
+    top_down = h < 0
+    h = abs(h)
+    stride = bmp_row_stride(w)
+    out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
+    for i, (start, _size) in enumerate(frames):
+        raw = np.frombuffer(payload, dtype=np.uint8, count=h * stride, offset=start)
+        rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        out[i] = (rows if top_down else rows[::-1])[:, :, ::-1]  # BGR -> RGB
+    return out, fps
+
+
 def image_features(pixels: np.ndarray, bins: int = 16) -> list[float]:
     """deterministic real features from decoded pixels: a ``bins``-bucket
     grayscale intensity histogram (L1-normalized) — the same shape a real

@@ -12,7 +12,11 @@ shape, Arrow-batched UDF signatures via ``mapInPandas``. Codec status:
 - **WAV audio decodes for REAL** (same module: RIFF/PCM-16 encoder/decoder
   + spectrum/RMS/zero-crossing features — no torchaudio needed).
   ``sample_audio_windows`` emits per-window RMS rows from actual samples.
-- Compressed formats (JPEG/PNG/MP3/video) remain STUBBED (their
+- **uncompressed-DIB AVI video decodes for REAL** (same module: RIFF/AVI
+  encoder/decoder whose '00db' frames share BMP's pixel layout — no pyav
+  needed). ``sample_frames`` emits every-Nth-frame rows with true
+  per-frame histogram features and timestamps.
+- Compressed formats (JPEG/PNG/MP3/H.264) remain STUBBED (their
   libraries are not in this container): ``decode_stub=True`` (default)
   runs a clearly-marked deterministic fake decoder so the plumbing is
   testable end-to-end; ``decode_stub=False`` raises
@@ -141,6 +145,51 @@ def synthetic_wav_media(
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def synthetic_avi_media(
+    spark,
+    n: int = 20,
+    width: int = 24,
+    height: int = 16,
+    n_frames: int = 12,
+    fps: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """deterministic REAL-video table: every payload is a valid
+    uncompressed-DIB AVI (seeded moving-gradient frames), generated
+    distributed via ``mapInPandas`` — exercises the un-stubbed video path."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyetl_spark.functions import codecs
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                rng = np.random.default_rng(seed + int(mid))
+                base = rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+                # gradient drifts one pixel per frame: frames differ but are
+                # correlated, like real video
+                frames = np.stack(
+                    [np.roll(base, shift=t, axis=1) for t in range(n_frames)]
+                )
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "kind": "video",
+                        "payload": codecs.encode_avi(frames, fps),
+                        "mime": "video/x-msvideo",
+                        "meta": {
+                            "width": width,
+                            "height": height,
+                            "duration_ms": n_frames * 1000 // fps,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 FEATURE_SCHEMA = (
     "media_id long, kind string, n_bytes int, sha256 string, "
     "width int, height int, n_frames int, features array<float>"
@@ -181,12 +230,26 @@ def _real_decode(payload: bytes) -> dict | None:
             "n_frames": int(samples.shape[0]),
             "features": af["features"],
         }
+    if codecs.is_avi(payload):
+        frames, _fps = codecs.decode_avi(payload)
+        import numpy as np
+
+        # video-level feature = mean of per-frame histograms (cheap, real)
+        feats = np.mean(
+            [codecs.image_features(frames[i]) for i in range(frames.shape[0])], axis=0
+        ) if frames.shape[0] else np.zeros(16)
+        return {
+            "width": int(frames.shape[2]),
+            "height": int(frames.shape[1]),
+            "n_frames": int(frames.shape[0]),
+            "features": [float(x) for x in feats],
+        }
     return None
 
 
 def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     """decode + feature-extract via Arrow-batched ``mapInPandas`` (map-only:
-    no shuffle; binary stays within its input partition). BMP and WAV
+    no shuffle; binary stays within its input partition). BMP, WAV and AVI
     payloads (magic-sniffed) decode for real in EITHER mode; ``decode_stub``
     controls what happens to everything else (fake vs NotImplementedError)."""
 
@@ -201,9 +264,9 @@ def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
                         d = _fake_decode(payload, r.kind)
                     else:
                         raise NotImplementedError(
-                            "real decode for non-BMP/WAV media requires codec "
-                            "libraries (PIL/pyav); install them and extend "
-                            "_real_decode"
+                            "real decode for non-BMP/WAV/AVI media requires "
+                            "codec libraries (PIL/pyav); install them and "
+                            "extend _real_decode"
                         )
                 rows.append(
                     {
@@ -323,11 +386,68 @@ def sample_audio_windows(df: DataFrame, window_ms: int = 50) -> DataFrame:
     )
 
 
+FRAME_SCHEMA = (
+    "media_id long, frame_idx int, ts_ms int, width int, height int, "
+    "features array<float>"
+)
+
+
 def sample_frames(df: DataFrame, every_n: int = 10, decode_stub: bool = True) -> DataFrame:
-    """video frame-sampling seam — STUB: emits frame index rows derived from
-    the fake decoder's n_frames (real impl: pyav keyframe iteration)."""
-    feats = extract_features(df.filter(F.col("kind") == "video"), decode_stub)
-    return feats.select(
-        "media_id",
-        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))).alias("frame_idx"),
+    """video frame sampling. AVI payloads decode for REAL in either mode:
+    every ``every_n``-th frame becomes a row with its true timestamp and
+    per-frame histogram features (the input to frame-level dedup /
+    embedding pipelines). Non-AVI video falls back to the stub decoder's
+    synthetic frame count (``decode_stub=True``) or raises at the codec
+    seam where pyav plugs in (``decode_stub=False``).
+
+    Map-only ``mapInPandas``: each payload is decoded once inside its input
+    partition; only small per-frame rows ever reach a shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyetl_spark.functions import codecs
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload) if r.payload is not None else b""
+                if codecs.is_avi(payload):
+                    frames, fps = codecs.decode_avi(payload)
+                    for idx in range(0, frames.shape[0], every_n):
+                        rows.append(
+                            {
+                                "media_id": r.media_id,
+                                "frame_idx": idx,
+                                "ts_ms": int(idx * 1000 / fps),
+                                "width": int(frames.shape[2]),
+                                "height": int(frames.shape[1]),
+                                "features": codecs.image_features(frames[idx]),
+                            }
+                        )
+                elif decode_stub:
+                    d = _fake_decode(payload, "video")
+                    for idx in range(0, d["n_frames"], every_n):
+                        rows.append(
+                            {
+                                "media_id": r.media_id,
+                                "frame_idx": idx,
+                                "ts_ms": None,
+                                "width": d["width"],
+                                "height": d["height"],
+                                "features": None,
+                            }
+                        )
+                else:
+                    raise NotImplementedError(
+                        "real frame sampling for non-AVI video requires "
+                        "pyav — plug in at this seam"
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "ts_ms", "width", "height", "features"],
+            )
+
+    return (
+        df.filter(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(run, schema=FRAME_SCHEMA)
     )

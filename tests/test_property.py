@@ -214,3 +214,23 @@ def test_wav_roundtrip_property(n, channels, rate, seed):
     assert af["duration_ms"] == int(round(n * 1000.0 / rate))
     assert 0.0 <= af["zcr"] <= 1.0
     assert len(af["features"]) == 16
+
+
+@given(
+    n=st.integers(1, 8),
+    w=st.integers(1, 24),
+    h=st.integers(1, 16),
+    fps=st.sampled_from([1, 10, 25, 30]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(**SETTINGS)
+def test_avi_roundtrip_property(n, w, h, fps, seed):
+    import numpy as np
+
+    from pyetl_spark.functions import codecs
+
+    frames = np.random.default_rng(seed).integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+    payload = codecs.encode_avi(frames, fps)
+    assert codecs.is_avi(payload) and not codecs.is_bmp(payload) and not codecs.is_wav(payload)
+    back, r = codecs.decode_avi(payload)
+    assert r == fps and back.shape == frames.shape and (back == frames).all()
