@@ -1109,6 +1109,59 @@ def q_schema_map_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return schema_merge(tagged).select("classe", "key", "nom", "solde", "segment")
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed transitive closure of near-dup pairs (functions/
+    components.py, alternating large-star/small-star — Kiveris et al.
+    SoCC'14): the step between pair generation (LSH/SimHash/Jaccard) and
+    actual deduplication. Pairs come from the same blocked n-gram Jaccard
+    stage the `dedup_ngram_jaccard` contract row certifies; the oracle
+    recomputes the closure independently with a recursive CTE (min
+    reachable id per node == the star root the Spark algorithm converges
+    to). The reference's analog is an in-memory key-set walk
+    (traitement_divers.py:137-198) — RAM-bound; this one is all shuffles."""
+    from pyetl_spark.functions.components import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    # threshold 0.02 (vs the 0.12 of the pair-certifying row) so the sf0.01
+    # corpus yields CHAINED pairs — size-3 clusters whose closure is not the
+    # pair set itself; the filter threshold changes no cost in the blocked
+    # exact-Jaccard stage, only the survivor count
+    pairs = fdedup.ngram_jaccard_pairs(docs, block_col="source", k_shingle=3, threshold=0.02)
+    return connected_components(pairs, "a", "b")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction over all three REAL codecs (BMP image,
+    PCM-WAV audio, DIB-AVI video — pyetl_spark.functions.codecs, pure
+    stdlib): decode_stub=False, so every width/height/n_frames below is read
+    out of actual decoded bytes by the Arrow-batched mapInPandas path — a
+    broken header parse, stride computation or frame walk fails the row.
+    The payloads are deterministic synthetics, so the decoded dimensions
+    have a closed form the SQL oracle states independently."""
+    from pyetl_spark.functions import multimodal as mm
+
+    media = (
+        mm.synthetic_bmp_media(spark, 6, width=32, height=24)
+        .unionByName(mm.synthetic_wav_media(spark, 6, sample_rate=8000, duration_ms=250))
+        .unionByName(mm.synthetic_avi_media(spark, 6, width=24, height=16, n_frames=12, fps=10))
+    )
+    feats = mm.extract_features(media, decode_stub=False)
+    return feats.select("media_id", "kind", "width", "height", "n_frames")
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling (sample_frames, decode_stub=False): every
+    5th frame of 12-frame uncompressed AVIs — frame_idx, true timestamp
+    (fps=10 → 100 ms/frame) and dimensions all come from decoding the RIFF
+    payload frame-by-frame inside mapInPandas; the oracle enumerates the
+    expected arithmetic series."""
+    from pyetl_spark.functions import multimodal as mm
+
+    media = mm.synthetic_avi_media(spark, 12, width=24, height=16, n_frames=12, fps=10)
+    frames = mm.sample_frames(media, every_n=5, decode_stub=False)
+    return frames.select("media_id", "frame_idx", "ts_ms", "width", "height")
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -1140,6 +1193,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_brute_topk": q_sim_brute_topk,
         # -- new in round 3
         "schema_map_migrate": q_schema_map_migrate,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "dedup_components": q_dedup_components,
         # -- r2-certified once (first driver row in round 2)
         "rules_hstore": q_rules_hstore,
         "rules_jsonops": q_rules_jsonops,
@@ -1248,6 +1304,22 @@ def _ngram_jaccard_oracle(k: int = 3, threshold: float = 0.12) -> str:
     FROM sh l JOIN sh r ON l.blk = r.blk AND l.id < r.id
     WHERE len(list_intersect(l.s, r.s)) * 1.0 /
           greatest(len(list_distinct(list_concat(l.s, r.s))), 1) >= {threshold}
+    """
+
+
+def _components_oracle() -> str:
+    """independent transitive closure: min reachable id per node via a
+    recursive CTE over the SAME pair set `_ngram_jaccard_oracle` certifies —
+    the fixed point the star algorithm must reach."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_ngram_jaccard_oracle(3, 0.02)}),
+    sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    walk(id, reach) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT w.id, s.b FROM walk w JOIN sym s ON w.reach = s.a
+    )
+    SELECT id, min(reach) AS component FROM walk GROUP BY id
     """
 
 
@@ -1818,6 +1890,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
+        "dedup_components": _components_oracle(),
         "schema_map_migrate": """
             SELECT 'client' AS classe, c_custkey AS "key", c_name AS nom,
                    c_acctbal AS solde, c_mktsegment AS segment
@@ -1825,6 +1898,31 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'fournisseur', s_suppkey, s_name, s_acctbal, ''
             FROM supplier
+        """,
+        # multimodal: the payloads are deterministic synthetics whose DECODED
+        # structure has a closed form — the oracle states it independently;
+        # Spark must recover every value from real RIFF/BMP byte parsing
+        "multimodal_features": """
+            SELECT media_id, kind, width, height, n_frames FROM (
+                SELECT r.range AS media_id, 'image' AS kind,
+                       CAST(32 AS INT) AS width, CAST(24 AS INT) AS height,
+                       CAST(1 AS INT) AS n_frames
+                FROM range(6) r
+                UNION ALL
+                SELECT r.range, 'audio', CAST(NULL AS INT), CAST(NULL AS INT),
+                       CAST(2000 AS INT)
+                FROM range(6) r
+                UNION ALL
+                SELECT r.range, 'video', CAST(24 AS INT), CAST(16 AS INT),
+                       CAST(12 AS INT)
+                FROM range(6) r
+            )
+        """,
+        "multimodal_frames": """
+            SELECT r.range AS media_id, CAST(f.i AS INT) AS frame_idx,
+                   CAST(f.i * 100 AS INT) AS ts_ms,
+                   CAST(24 AS INT) AS width, CAST(16 AS INT) AS height
+            FROM range(12) r CROSS JOIN (VALUES (0), (5), (10)) f(i)
         """,
         "dedup_minhash_lsh": _minhash_lsh_oracle(),
         "dedup_simhash": _simhash_groups_oracle(),

@@ -441,3 +441,66 @@ def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
     n_cells = assigned.select("ivf_cell").distinct().count()
     assert 1 < n_cells <= 4
     assert assigned.filter("ivf_cell < 0 OR ivf_cell > 3").count() == 0
+
+
+# ------------------------------------------------------------- components
+def _uf_mirror(edges):
+    """sequential union-find mirror: {node: min id of its component}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_shapes(spark):
+    """path (worst case for naive propagation), star, cycle, two cliques,
+    singleton-free pairs — all against the union-find mirror."""
+    from pyetl_spark.functions.components import connected_components
+
+    cases = [
+        [(i, i + 1) for i in range(12)],                       # path 0..12
+        [(0, i) for i in range(1, 8)],                          # star at 0
+        [(i, (i + 1) % 6) for i in range(6)],                   # cycle
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (20, 21)],  # forest
+        [(5, 5), (3, 4)],                                       # self-loop ignored
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {
+            (r["id"], r["component"])
+            for r in connected_components(df).collect()
+        }
+        mirror = _uf_mirror([(a, b) for a, b in edges if a != b])
+        assert got == set(mirror.items()), edges
+
+
+def test_connected_components_empty(spark):
+    from pyetl_spark.functions.components import connected_components
+
+    df = spark.createDataFrame([], "a long, b long")
+    assert connected_components(df).count() == 0
+
+
+def test_dedup_by_components_end_to_end(spark):
+    """pairs from two overlapping near-dup clusters collapse to one
+    representative each; untouched docs pass through."""
+    from pyetl_spark.functions.components import dedup_by_components
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], "doc_id long, text string"
+    )
+    # cluster {1,2,3} discovered as chained pairs (1-2, 2-3: transitive!),
+    # cluster {7,8}; docs 0,4,5,6,9 unique
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "a long, b long")
+    kept = sorted(r["doc_id"] for r in dedup_by_components(docs, pairs).collect())
+    assert kept == [0, 1, 4, 5, 6, 7, 9]

@@ -234,3 +234,36 @@ def test_avi_roundtrip_property(n, w, h, fps, seed):
     assert codecs.is_avi(payload) and not codecs.is_bmp(payload) and not codecs.is_wav(payload)
     back, r = codecs.decode_avi(payload)
     assert r == fps and back.shape == frames.shape and (back == frames).all()
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=1, max_size=30
+    ),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_connected_components_matches_union_find(spark, edges):
+    """random multigraphs (self-loops, duplicates, both orientations) — the
+    star algorithm's labels == a sequential union-find's."""
+    from pyetl_spark.functions.components import connected_components
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {(r["id"], r["component"]) for r in connected_components(df).collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = {(n, find(n)) for n in parent}
+    assert got == want
