@@ -1109,6 +1109,67 @@ def q_schema_map_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return schema_merge(tagged).select("classe", "key", "nom", "solde", "segment")
 
 
+def q_cdc_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (cdc/stateful.py,
+    applyInPandasWithState — the state-store recast of the reference's
+    in-memory `tmpstore =cnt` keyed counters, traitement_divers.py:57-134)
+    driven through the driver contract: replay the events table as 3
+    ordered micro-batches (maxFilesPerTrigger=1, availableNow) through the
+    per-key running-stats operator, then reduce the update-mode emissions
+    to the final state. Every stat is monotone non-decreasing per key
+    across emissions, so final state == element-wise max. The oracle is
+    the whole-input SQL aggregate the carried state must converge to."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyetl_spark.cdc.stateful import running_key_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("repo"),
+        (F.col("user_id") % 50).cast("string").alias("path"),
+        F.when(F.col("event_id") % 7 == 0, "delete").otherwise("upsert").alias("op"),
+        F.col("event_id").alias("seq"),
+    )
+    n = ev.agg(F.max("seq")).collect()[0][0] + 1
+    step = n // 3 + 1
+    root = tempfile.mkdtemp(prefix="q_stateful_")
+    try:
+        for b in range(3):
+            ev.filter((F.col("seq") >= b * step) & (F.col("seq") < (b + 1) * step)).coalesce(
+                1
+            ).write.mode("overwrite").parquet(os.path.join(root, f"b{b}"))
+        stream = (
+            spark.readStream.schema("repo string, path string, op string, seq long")
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(root)
+        )
+        qname = f"stateful_{uuid.uuid4().hex[:8]}"
+        q = (
+            running_key_stats(stream)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = (
+            spark.table(qname)
+            .groupBy("repo", "path")
+            .agg(
+                F.max("events_seen").alias("events_seen"),
+                F.max("upserts").alias("upserts"),
+                F.max("deletes").alias("deletes"),
+                F.max("max_seq").alias("max_seq"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed transitive closure of near-dup pairs (functions/
     components.py, alternating large-star/small-star — Kiveris et al.
@@ -1196,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "dedup_components": q_dedup_components,
+        "cdc_stateful_stats": q_cdc_stateful_stats,
         # -- r2-certified once (first driver row in round 2)
         "rules_hstore": q_rules_hstore,
         "rules_jsonops": q_rules_jsonops,
@@ -1891,6 +1953,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
         "dedup_components": _components_oracle(),
+        "cdc_stateful_stats": """
+            SELECT event_type AS repo,
+                   CAST(user_id % 50 AS VARCHAR) AS path,
+                   CAST(count(*) AS BIGINT) AS events_seen,
+                   CAST(sum(CASE WHEN event_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS upserts,
+                   CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS deletes,
+                   max(event_id) AS max_seq
+            FROM events GROUP BY 1, 2
+        """,
         "schema_map_migrate": """
             SELECT 'client' AS classe, c_custkey AS "key", c_name AS nom,
                    c_acctbal AS solde, c_mktsegment AS segment

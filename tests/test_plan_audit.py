@@ -27,6 +27,8 @@ EAGER = {
     "xlsx_roundtrip",
     "dbf_roundtrip",
     "sortir_fanout",
+    "dedup_components",   # iterative: star rounds localCheckpoint eagerly
+    "cdc_stateful_stats", # runs an availableNow stream on construction
 }
 
 # documented exceptions: nested-loop is the POINT (exact baselines), and the
