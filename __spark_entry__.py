@@ -1109,6 +1109,38 @@ def q_schema_map_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return schema_merge(tagged).select("classe", "key", "nom", "solde", "segment")
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (functions/incremental.py): replay the
+    documents table as 3 ordered batches through the persistent fingerprint
+    registry (a SnapshotTable keyed on md5 fingerprint — ledger, atomic
+    commits); return every ACCEPTED (first-seen) document. Because batches
+    ascend by doc_id, the accepted set has a closed form the oracle states:
+    min doc_id per fingerprint group — i.e. the incremental path must
+    converge to exactly the one-shot `dedup_exact` answer while only ever
+    joining each batch against the store."""
+    import shutil
+    import tempfile
+
+    from pyetl_spark.functions.incremental import IncrementalDedup
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    step = n // 3 + 1
+    root = tempfile.mkdtemp(prefix="q_incdedup_")
+    try:
+        inc = IncrementalDedup(spark, root, nbuckets=8)
+        out = None
+        for b in range(3):
+            batch = docs.filter(
+                (F.col("doc_id") >= b * step) & (F.col("doc_id") < (b + 1) * step)
+            )
+            acc = inc.ingest(batch, batch_id=f"q:{b}")
+            out = acc if out is None else out.unionByName(acc)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_cdc_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (cdc/stateful.py,
     applyInPandasWithState — the state-store recast of the reference's
@@ -1258,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "dedup_components": q_dedup_components,
         "cdc_stateful_stats": q_cdc_stateful_stats,
+        "dedup_incremental": q_dedup_incremental,
         # -- r2-certified once (first driver row in round 2)
         "rules_hstore": q_rules_hstore,
         "rules_jsonops": q_rules_jsonops,
@@ -1953,6 +1986,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
         "dedup_components": _components_oracle(),
+        "dedup_incremental": r"""
+            SELECT min(doc_id) AS doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+            FROM documents GROUP BY 2
+        """,
         "cdc_stateful_stats": """
             SELECT event_type AS repo,
                    CAST(user_id % 50 AS VARCHAR) AS path,

@@ -2,4 +2,11 @@
 multimodal column plumbing (project brief: first-class components alongside
 the reference operator inventory)."""
 
-from pyetl_spark.functions import components, dedup, multimodal, similarity, text  # noqa: F401
+from pyetl_spark.functions import (  # noqa: F401
+    components,
+    dedup,
+    incremental,
+    multimodal,
+    similarity,
+    text,
+)

@@ -195,6 +195,46 @@ def minhash_signatures_agg(
     return ex.groupBy("id").agg(*aggs, F.count("*").alias("n_shingles"))
 
 
+def _band_key_col(cols: list[Column], b: int, hash_family: str) -> Column:
+    """one band's bucket key from its signature components — shared by the
+    batch LSH and the incremental registry so their keys are identical."""
+    if hash_family == "md5" and len(cols) == 2:
+        # exact packing: h values live in [0, P), so h0*P + h1 is a
+        # bijective BIGINT key (< 2^62) — collision-free, cheaper to
+        # shuffle/join than a string, and trivially oracle-recomputable
+        return (cols[0] * F.lit(_MERSENNE_P) + cols[1]).alias(f"bh{b}")
+    joined = F.concat_ws(",", *[c.cast("string") for c in cols])
+    if hash_family == "md5":
+        return joined.alias(f"bh{b}")  # oracle-recomputable string key
+    return F.xxhash64(joined, F.lit(b)).alias(f"bh{b}")
+
+
+def band_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    k_shingle: int = 3,
+    hash_family: str = "xx",
+) -> DataFrame:
+    """(doc_id, band_idx, band_hash) LSH band membership — the row unit the
+    incremental near-dup registry (functions/incremental.py) persists; two
+    docs are banding candidates iff they share any (band_idx, band_hash)."""
+    rows = n_hashes // bands
+    sig = minhash_signatures_agg(df, text_col, id_col, n_hashes, k_shingle, hash_family)
+    band_cols = [
+        _band_key_col([F.col(f"h{i}") for i in range(b * rows, (b + 1) * rows)], b, hash_family)
+        for b in range(bands)
+    ]
+    return sig.select("id", *band_cols).select(
+        F.col("id").alias("doc_id"),
+        F.posexplode(F.array(*[F.col(f"bh{b}") for b in range(bands)])).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+
+
 def lsh_min_agree(n_hashes: int, threshold: float, est_margin: float) -> int:
     """minimum agreeing signature components for the estimate pre-filter:
     ceil((threshold - est_margin) * n_hashes). Shared by the engine and the
@@ -263,19 +303,10 @@ def minhash_lsh_pairs(
     sig = ex.groupBy("id").agg(*aggs).localCheckpoint(eager=True)
 
     # band keys as plain columns (codegen'd), melted to (id, band_idx, band_hash)
-    def _band_key(b: int):
-        cols = [F.col(f"h{i}") for i in range(b * rows, (b + 1) * rows)]
-        if hash_family == "md5" and rows == 2:
-            # exact packing: h values live in [0, P), so h0*P + h1 is a
-            # bijective BIGINT key (< 2^62) — collision-free, cheaper to
-            # shuffle/join than a string, and trivially oracle-recomputable
-            return (cols[0] * F.lit(_MERSENNE_P) + cols[1]).alias(f"bh{b}")
-        joined = F.concat_ws(",", *[c.cast("string") for c in cols])
-        if hash_family == "md5":
-            return joined.alias(f"bh{b}")  # oracle-recomputable string key
-        return F.xxhash64(joined, F.lit(b)).alias(f"bh{b}")
-
-    band_cols = [_band_key(b) for b in range(bands)]
+    band_cols = [
+        _band_key_col([F.col(f"h{i}") for i in range(b * rows, (b + 1) * rows)], b, hash_family)
+        for b in range(bands)
+    ]
     melted = sig.select("id", *band_cols).select(
         "id",
         F.posexplode(F.array(*[F.col(f"bh{b}") for b in range(bands)])).alias(

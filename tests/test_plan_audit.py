@@ -29,6 +29,7 @@ EAGER = {
     "sortir_fanout",
     "dedup_components",   # iterative: star rounds localCheckpoint eagerly
     "cdc_stateful_stats", # runs an availableNow stream on construction
+    "dedup_incremental",  # 3 registry merges run on construction
 }
 
 # documented exceptions: nested-loop is the POINT (exact baselines), and the
