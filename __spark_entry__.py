@@ -1141,6 +1141,79 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup registry (functions/incremental.py IncrementalLsh):
+    replay documents as 3 ordered batches; each batch's band keys join only
+    the store's matching buckets (cost ∝ batch, never corpus). The union of
+    per-batch candidate pairs must equal the one-shot banding closure the
+    oracle computes: every pair sharing ≥1 of 16 two-row md5 band keys.
+    Batches ascend by doc_id, so cross-batch candidates always arrive as
+    (new > old) — (a, b) = (old, new) is the canonical a < b pair."""
+    import shutil
+    import tempfile
+
+    from pyetl_spark.functions.incremental import IncrementalLsh
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    step = n // 3 + 1
+    root = tempfile.mkdtemp(prefix="q_inclsh_")
+    try:
+        inc = IncrementalLsh(
+            spark, root, n_hashes=32, bands=16, k_shingle=3, nbuckets=8,
+            hash_family="md5",
+        )
+        out = None
+        for b in range(3):
+            batch = docs.filter(
+                (F.col("doc_id") >= b * step) & (F.col("doc_id") < (b + 1) * step)
+            )
+            pairs = inc.ingest(batch, batch_id=f"q:{b}", max_bucket=10**9)
+            out = pairs if out is None else out.unionByName(pairs)
+        return (
+            out.select(F.col("old_id").alias("a"), F.col("new_id").alias("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget training-shard packing (functions/packing.py): documents
+    are deterministically shuffled (seeded md5 of doc_id), then packed into
+    4096-token shards by token offset — concatenate-then-split semantics.
+    The global running token count is a distributed prefix sum (range
+    partition + partition-local window + O(P) driver offsets), never a
+    single-partition global window. Oracle states the same closed form with
+    one SQL window."""
+    from pyetl_spark.functions.packing import pack_shards
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "toks", ftext.bpe_ish_token_count(F.col("text"))
+    )
+    packed = pack_shards(docs, "toks", "doc_id", budget=4096, seed=1, hash_family="md5")
+    return packed.select("doc_id", "shard_id", "token_offset")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (functions/packing.py): language
+    mixing weights en=0.5 / fr=0.25 / zh=1.0, default 0.1 — keep iff
+    md5-derived 60-bit uniform of (seed, doc_id) clears the integerized
+    per-stratum threshold. Map-side only (plan has zero exchanges)."""
+    from pyetl_spark.functions.packing import sample_stratified
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_stratified(
+        docs,
+        "lang",
+        {"en": 0.5, "fr": 0.25, "zh": 1.0},
+        "doc_id",
+        seed=0,
+        default_fraction=0.1,
+    ).select("doc_id", "lang")
+
+
 def q_cdc_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (cdc/stateful.py,
     applyInPandasWithState — the state-store recast of the reference's
@@ -1291,6 +1364,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "cdc_stateful_stats": q_cdc_stateful_stats,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_lsh": q_dedup_incremental_lsh,
+        "shard_pack": q_shard_pack,
+        "stratified_sample": q_stratified_sample,
         # -- r2-certified once (first driver row in round 2)
         "rules_hstore": q_rules_hstore,
         "rules_jsonops": q_rules_jsonops,
@@ -1512,6 +1588,35 @@ def _minhash_lsh_oracle(
     SELECT c.a, c.b, {jac} AS jaccard
     FROM {final} c JOIN sh sa ON sa.id = c.a JOIN sh sb ON sb.id = c.b
     WHERE {jac} >= {threshold}
+    """
+
+
+def _incremental_lsh_oracle(n_hashes: int = 32, bands: int = 16, k: int = 3) -> str:
+    """one-shot banding closure: all (a < b) pairs sharing ≥1 band key —
+    what replaying IncrementalLsh over ordered batches must converge to
+    (no bucket cap: the query passes max_bucket=10^9, and the registry's
+    within-batch join is uncapped by construction)."""
+    from pyetl_spark.functions.dedup import _MERSENNE_P as P
+    from pyetl_spark.functions.dedup import _uh_params
+
+    rows = n_hashes // bands
+    assert rows == 2, "md5 family packing expects 2-row bands"
+    mins = ",\n               ".join(
+        f"min(({a}::BIGINT * (u % {P}) + {b}) % {P}) AS h{i}"
+        for i, (a, b) in enumerate(_uh_params(n_hashes))
+    )
+    melt = "\n      UNION ALL ".join(
+        f"SELECT id, {b} AS band_idx, h{2 * b}::BIGINT * {P} + h{2 * b + 1} AS bk FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH wmx AS (SELECT doc_id AS id, {_duck_wordhash_expr()} AS wm FROM documents),
+    sh AS (SELECT id, {_duck_shingle_hash_list(k)} AS s FROM wmx),
+    ex AS (SELECT id, unnest(s) AS u FROM sh),
+    sig AS (SELECT id, {mins} FROM ex GROUP BY id),
+    melt AS ({melt})
+    SELECT DISTINCT l.id AS a, r.id AS b
+    FROM melt l JOIN melt r ON l.band_idx = r.band_idx AND l.bk = r.bk AND l.id < r.id
     """
 
 
@@ -1990,6 +2095,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id,
                    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
             FROM documents GROUP BY 2
+        """,
+        "dedup_incremental_lsh": _incremental_lsh_oracle(),
+        "shard_pack": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS toks,
+                     md5('1:' || CAST(doc_id AS VARCHAR)) AS ord
+              FROM documents
+            ), c AS (
+              SELECT doc_id,
+                     COALESCE(SUM(toks) OVER (ORDER BY ord
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(cum // 4096 AS BIGINT) AS shard_id,
+                   CAST(cum % 4096 AS BIGINT) AS token_offset
+            FROM c
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  < CASE lang WHEN 'en' THEN {int(0.5 * (1 << 60))}
+                              WHEN 'fr' THEN {int(0.25 * (1 << 60))}
+                              WHEN 'zh' THEN {int(1.0 * (1 << 60))}
+                              ELSE {int(0.1 * (1 << 60))} END
         """,
         "cdc_stateful_stats": """
             SELECT event_type AS repo,

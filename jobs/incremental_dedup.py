@@ -1,0 +1,85 @@
+"""Deployable incremental-dedup job — the training-data counterpart of
+cdc_ingest.py: tail a directory of document parquet batches and register
+each batch against the persistent fingerprint registry
+(functions/incremental.IncrementalDedup), writing ACCEPTED (first-seen)
+documents to a partitioned sink. The registry is a SnapshotTable, so the
+whole CDC discipline applies: atomic commits, batch ledger (a re-delivered
+micro-batch cannot double-insert), expiry/compaction, restart-safe.
+
+Each micro-batch joins ONLY the registry (fingerprints + ids, ~1-2% of
+corpus bytes), never the accepted corpus — at 100 TB the per-batch cost is
+the batch's own hash-agg plus a bucket-pruned anti-join.
+
+Usage:
+    cd <repo> && zip -qr /tmp/pyetl_spark.zip pyetl_spark
+    spark-submit --master <cluster|local[N]> --py-files /tmp/pyetl_spark.zip \
+        jobs/incremental_dedup.py <docs_dir> <registry_dir> <accepted_dir> \
+        <checkpoint_dir> [--nbuckets 32] [--text-col text] [--id-col doc_id]
+
+Exactly-once: the streaming checkpoint dedups source files; inside
+foreachBatch the registry MERGE is ledger-guarded by the epoch id and the
+accepted-docs sink writes one overwritten directory per batch id, so a
+replayed epoch rewrites the same output instead of appending duplicates.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from pyetl_spark.functions.incremental import IncrementalDedup
+
+
+def main(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("docs_dir")
+    ap.add_argument("registry_dir")
+    ap.add_argument("accepted_dir")
+    ap.add_argument("checkpoint_dir")
+    ap.add_argument("--nbuckets", type=int, default=32)
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--max-files-per-trigger", type=int, default=4)
+    args = ap.parse_args(argv)
+
+    spark = SparkSession.builder.appName("pyetl_spark_incremental_dedup").getOrCreate()
+    registry = IncrementalDedup(spark, args.registry_dir, nbuckets=args.nbuckets)
+
+    schema = spark.read.parquet(args.docs_dir).schema
+
+    def _register(batch, epoch_id: int) -> None:
+        accepted = registry.ingest(
+            batch, batch_id=f"epoch:{epoch_id}",
+            text_col=args.text_col, id_col=args.id_col,
+        )
+        # idempotent per-epoch sink: replay overwrites, never appends twice
+        (
+            batch.join(accepted.select(F.col("doc_id").alias(args.id_col)), args.id_col)
+            .write.mode("overwrite")
+            .parquet(f"{args.accepted_dir}/batch={epoch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", args.max_files_per_trigger)
+        .parquet(args.docs_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_register)
+        .option("checkpointLocation", args.checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    reg = registry.accepted()
+    accepted_out = spark.read.parquet(f"{args.accepted_dir}/batch=*")
+    print(f"registry={reg.count()} accepted_rows={accepted_out.count()}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

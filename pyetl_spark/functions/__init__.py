@@ -7,6 +7,7 @@ from pyetl_spark.functions import (  # noqa: F401
     dedup,
     incremental,
     multimodal,
+    packing,
     similarity,
     text,
 )

@@ -26,9 +26,9 @@ Scale notes (100 TB): the registry is fingerprints + ids only — a few
 hundred bytes per document, ~1-2% of corpus bytes; both the anti-join and
 the MERGE touch only the buckets the batch's fingerprints hash into.
 At-least-once replays: ``merge`` consults the ledger, so a re-delivered
-batch cannot double-insert; ``ingest`` re-run after a successful commit
-returns an empty novel set (its fingerprints are in the store already) —
-idempotent end state, not idempotent return value. Use inside
+batch cannot double-insert, and ``ingest``'s accepted set is computed
+against the POST-merge registry, so a replay returns the identical rows —
+idempotent end state AND idempotent return value. Use inside
 ``foreachBatch`` with the streaming batch id for exactly-once.
 """
 
@@ -63,25 +63,36 @@ class IncrementalDedup:
         text_col: str = "text",
         id_col: str = "doc_id",
     ) -> DataFrame:
-        """register a batch; return its ACCEPTED (novel-fingerprint) rows
-        as (doc_id, fp). Within the batch the minimum id wins (deterministic
+        """register a batch; return its ACCEPTED rows as (doc_id, fp) — the
+        batch's rows that are the stored representative of their
+        fingerprint. Within the batch the minimum id wins (deterministic
         under any partitioning); across batches the store wins — a
-        fingerprint ever accepted is never re-accepted."""
+        fingerprint ever accepted is never re-accepted.
+
+        The return value is **idempotent under replay**: it is computed as a
+        semi-join of the batch's first-wins rows against the POST-merge
+        registry, so a re-delivered batch (at-least-once foreachBatch) gets
+        the identical accepted set back — its novel merge is ledger-skipped,
+        but its rows are still the stored representatives. A downstream
+        per-epoch overwrite sink therefore converges instead of wiping the
+        epoch's output on retry."""
         fps = docs.select(
             F.col(id_col).alias("doc_id"), fingerprint_md5(F.col(text_col)).alias("fp")
         )
         firsts = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+        firsts = firsts.localCheckpoint(eager=True)  # computed once: anti-join, merge, return
         seen = self.table.read()
+        novel = firsts
         if seen is not None and not seen.isEmpty():
-            firsts = firsts.join(seen.select("fp"), "fp", "left_anti")
-        novel = firsts.localCheckpoint(eager=True)  # one computation: returned AND merged
+            novel = firsts.join(seen.select("fp"), "fp", "left_anti")
         self.table.merge(
             novel.select(
                 "fp", "doc_id", F.lit("upsert").alias("op"), F.col("doc_id").alias("seq")
             ),
             batch_id=batch_id,
         )
-        return novel.select("doc_id", "fp")
+        post = self.table.read()  # post-merge registry: who actually represents each fp
+        return firsts.join(post, ["fp", "doc_id"], "left_semi").select("doc_id", "fp")
 
     def accepted(self) -> DataFrame:
         """the full registry: (fp, doc_id of the accepted representative)."""

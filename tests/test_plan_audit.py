@@ -30,6 +30,8 @@ EAGER = {
     "dedup_components",   # iterative: star rounds localCheckpoint eagerly
     "cdc_stateful_stats", # runs an availableNow stream on construction
     "dedup_incremental",  # 3 registry merges run on construction
+    "dedup_incremental_lsh",  # 3 registry merges run on construction
+    "shard_pack",         # distributed prefix sum collects O(P) offsets eagerly
 }
 
 # documented exceptions: nested-loop is the POINT (exact baselines), and the
