@@ -1335,11 +1335,11 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the driver's CORRECTNESS run certifies
-    # the FIRST 50 entries only.  Positions 1-14 hold the queries that have
-    # never (or only once) had a green driver row (VERDICT r02 task #1);
-    # the tail past position 50 holds queries already driver-certified green
-    # in BOTH rounds 1 and 2 (they remain covered by the local oracle suite,
-    # tests/test_entry_oracle.py, which checks all entries every run).
+    # the FIRST 50 entries only (a "position 51+" marker sits at the exact
+    # cut below).  The front holds never/once-certified queries and this
+    # round's new ones (VERDICT r02 task #1); everything past position 50 is
+    # already double-certified (r1 AND r2) and remains covered by the local
+    # oracle suite, tests/test_entry_oracle.py, which checks ALL entries.
     return {
         # -- never driver-certified (r1 no_oracle, r2 outside the 50-row cap)
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1396,6 +1396,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changed_lag": q_changed_lag,
         "getkey_dense": q_getkey_dense,
         "cdc_lww_events": q_cdc_lww_events,
+        # ---- position 51+ : outside the driver's 50-row certification
+        # window (all entries below are double-certified in r1 AND r2; the
+        # local oracle suite still checks every one of them each run)
         "cdc_lww_salted": q_cdc_lww_salted,
         "uniq_first_n": q_uniq_first_n,
         "window_hourly": q_window_hourly,
@@ -1405,7 +1408,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_rollup": q_supplier_rollup,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
-        # ---- position 51+ : outside the driver window, all double-certified
         "rules_scalar": q_rules_scalar,
         "rules_predicates": q_rules_predicates,
         "rules_branching": q_rules_branching,

@@ -43,12 +43,31 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--max-files-per-trigger", type=int, default=4)
+    ap.add_argument(
+        "--schema",
+        default=None,
+        help="DDL schema for the document stream (e.g. 'doc_id long, text "
+        "string'); skips the startup directory-listing inference and lets "
+        "the job start on a not-yet-populated directory",
+    )
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName("pyetl_spark_incremental_dedup").getOrCreate()
     registry = IncrementalDedup(spark, args.registry_dir, nbuckets=args.nbuckets)
 
-    schema = spark.read.parquet(args.docs_dir).schema
+    if args.schema:
+        schema = args.schema
+    else:
+        try:
+            schema = spark.read.parquet(args.docs_dir).schema
+        except Exception as exc:
+            print(
+                f"cannot infer schema from {args.docs_dir} (empty or missing?); "
+                "pass --schema 'doc_id long, text string' to start the tail "
+                "before the first delivery lands",
+                file=sys.stderr,
+            )
+            raise SystemExit(2) from exc
 
     def _register(batch, epoch_id: int) -> None:
         accepted = registry.ingest(

@@ -80,10 +80,20 @@ class StreamingIngest:
             return batch_df
         import inspect
 
+        # opt-in is a second POSITIONAL parameter with NO default: a default
+        # (lambda df, limit=10: …) or **kwargs must not silently receive the
+        # epoch id — that turns an unrelated knob into the batch number
+        takes_epoch = False
         try:
-            takes_epoch = len(inspect.signature(self.transform).parameters) >= 2
+            params = list(inspect.signature(self.transform).parameters.values())
+            takes_epoch = (
+                len(params) >= 2
+                and params[1].kind
+                in (params[1].POSITIONAL_ONLY, params[1].POSITIONAL_OR_KEYWORD)
+                and params[1].default is params[1].empty
+            )
         except (TypeError, ValueError):  # builtins / odd callables
-            takes_epoch = False
+            pass
         return self.transform(batch_df, epoch_id) if takes_epoch else self.transform(batch_df)
 
     def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:

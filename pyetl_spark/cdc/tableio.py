@@ -89,13 +89,23 @@ class SnapshotTable:
         root: str,
         keys: Sequence[str],
         nbuckets: int = 32,
+        bucket_cols: Sequence[str] | None = None,
     ) -> "SnapshotTable":
+        """``bucket_cols`` (default: ``keys``) picks which key columns drive
+        row bucketing. Must be a subset of ``keys`` — then same-key rows
+        still land in one bucket (MERGE correctness: a key's stale copy can
+        never survive in an untouched bucket), while readers that know only
+        the bucket_cols prefix (e.g. a band-key registry probing its batch's
+        buckets) get exact bucket-pruned reads via :meth:`bucket_ids`."""
+        if bucket_cols is not None and not set(bucket_cols) <= set(keys):
+            raise ValueError(f"bucket_cols {bucket_cols} must be a subset of keys {keys}")
         os.makedirs(os.path.join(root, "_versions"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         t = cls(spark, root)
         manifest = {
             "version": 0,
             "keys": list(keys),
+            "bucket_cols": list(bucket_cols) if bucket_cols is not None else list(keys),
             "nbuckets": nbuckets,
             "schema": None,
             "buckets": {},
@@ -209,14 +219,27 @@ class SnapshotTable:
         files = [f for _, fs in items for f in fs]
         return self._read_files(files)
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Visible table state (tombstones filtered, CDC envelope dropped)."""
-        raw = self.read_raw(version)
+    def read(
+        self, version: int | None = None, buckets: Sequence[int] | None = None
+    ) -> DataFrame:
+        """Visible table state (tombstones filtered, CDC envelope dropped).
+        ``buckets`` restricts the scan to those bucket ids (see
+        :meth:`bucket_ids`) — cost ∝ the slice, not the table."""
+        raw = self.read_raw(version, buckets=buckets)
         if raw is None:
             m = self.manifest(version)
             schema = m["schema"] or ", ".join(f"{k} string" for k in m["keys"])
             return self.spark.createDataFrame([], schema)
         return raw.filter(~F.col(DELETED)).drop(SEQ, DELETED)
+
+    def bucket_ids(self, df: DataFrame) -> list[int]:
+        """bucket ids the rows of ``df`` hash into (df must carry the
+        table's bucket_cols) — ≤nbuckets ints, one distinct + tiny collect.
+        Feed to ``read(buckets=...)`` for a bucket-pruned probe."""
+        m = self.manifest()
+        bcols = m.get("bucket_cols", m["keys"])
+        col = _bucket_col(bcols, m["nbuckets"])
+        return [r["__b"] for r in df.select(col.alias("__b")).distinct().collect()]
 
     def committed_batches(self) -> dict[str, int]:
         return self.manifest()["committed_batches"]
@@ -366,6 +389,7 @@ class SnapshotTable:
         t0 = time.time()
         m = self.manifest()
         keys, nbuckets = m["keys"], m["nbuckets"]
+        bcols = m.get("bucket_cols", keys)
 
         if batch_id is not None and str(batch_id) in m["committed_batches"]:
             return MergeStats(batch_id, m["version"], 0, 0, 0, 0, skipped=True)
@@ -374,7 +398,7 @@ class SnapshotTable:
             delta.withColumn(DELETED, F.col(op_col) == "delete")
             .withColumnRenamed(seq_col, SEQ)
             .drop(op_col)
-            .withColumn("__b", _bucket_col(keys, nbuckets))
+            .withColumn("__b", _bucket_col(bcols, nbuckets))
         )
 
         obs = None
@@ -392,7 +416,7 @@ class SnapshotTable:
 
         current = self.read_raw(buckets=touched)
         if current is not None:
-            current = current.withColumn("__b", _bucket_col(keys, nbuckets))
+            current = current.withColumn("__b", _bucket_col(bcols, nbuckets))
             # 2. schema evolution: union-with-nulls both directions
             union = current.unionByName(normalized, allowMissingColumns=True)
         else:
@@ -406,7 +430,7 @@ class SnapshotTable:
         version = self._next_version(m["version"])
         vdir = os.path.join(self.root, "data", f"v{version:08d}")
         (
-            merged.withColumn("__b", _bucket_col(keys, nbuckets))
+            merged.withColumn("__b", _bucket_col(bcols, nbuckets))
             .repartition(max(len(touched), 1), "__b")
             .write.partitionBy("__b")
             .mode("overwrite")

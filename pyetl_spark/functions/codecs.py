@@ -222,13 +222,14 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
     )
     hdrl = _list(b"hdrl", avih + _list(b"strl", strh + strf))
 
-    movi_body = b"movi"
+    movi_parts = [b"movi"]  # accumulate + join once: bytes += is O(n^2) in frames
     idx, offset = [], 4  # idx1 offsets are relative to the start of 'movi'
     for i in range(n):
         raw = data[i].tobytes()
-        movi_body += _chunk(b"00db", raw)
+        movi_parts.append(_chunk(b"00db", raw))
         idx.append(struct.pack("<4sIII", b"00db", 0x10, offset, len(raw)))
         offset += _CHUNK_HDR.size + len(raw) + (len(raw) & 1)
+    movi_body = b"".join(movi_parts)
     movi = _CHUNK_HDR.pack(b"LIST", len(movi_body)) + movi_body
     idx1 = _chunk(b"idx1", b"".join(idx))
 

@@ -123,13 +123,19 @@ def _shingle_sets_md5_arrow(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        # bounded memo: web-scale vocabulary (typos/URLs/ids) is unbounded,
+        # and this dict lives for the whole partition — cap it so a multi-GB
+        # partition can't push the Python worker OOM; past the cap new words
+        # are hashed without being remembered (hot words are already in)
         memo: dict[str, int] = {}
+        memo_cap = 2_000_000
 
         def whash(w: str) -> int:
             h = memo.get(w)
             if h is None:
                 h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16) % P
-                memo[w] = h
+                if len(memo) < memo_cap:
+                    memo[w] = h
             return h
 
         for pdf in batches:
@@ -151,8 +157,11 @@ def _shingle_sets_md5_arrow(
                 out_sh.append(np.unique(acc).tolist())
             yield pd.DataFrame({"id": pdf["__id"], "sh": out_sh})
 
+    # preserve the caller's id type (string URIs, decimals, …) — only the
+    # text column's derived shingle schema is fixed
+    id_type = df.schema[id_col].dataType.simpleString()
     src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
-    return src.mapInPandas(run, schema="id long, sh array<long>")
+    return src.mapInPandas(run, schema=f"id {id_type}, sh array<long>")
 
 
 def shingle_sets(

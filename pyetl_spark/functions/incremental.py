@@ -69,30 +69,38 @@ class IncrementalDedup:
         under any partitioning); across batches the store wins — a
         fingerprint ever accepted is never re-accepted.
 
-        The return value is **idempotent under replay**: it is computed as a
-        semi-join of the batch's first-wins rows against the POST-merge
-        registry, so a re-delivered batch (at-least-once foreachBatch) gets
-        the identical accepted set back — its novel merge is ledger-skipped,
-        but its rows are still the stored representatives. A downstream
-        per-epoch overwrite sink therefore converges instead of wiping the
-        epoch's output on retry."""
+        The return value is **idempotent under replay and closed under
+        re-delivery**: each registry row records the batch that accepted it
+        (``src_batch``), and the return is the post-merge registry slice
+        whose ``src_batch`` is THIS batch id. A re-delivered epoch
+        (at-least-once foreachBatch, or a checkpoint-wipe full replay) gets
+        the identical accepted set back — so a per-epoch overwrite sink
+        converges on retry — while the same document arriving again under a
+        NEW batch id returns nothing (its row belongs to the original
+        batch): the accepted corpus can never contain a document twice."""
         fps = docs.select(
             F.col(id_col).alias("doc_id"), fingerprint_md5(F.col(text_col)).alias("fp")
         )
         firsts = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-        firsts = firsts.localCheckpoint(eager=True)  # computed once: anti-join, merge, return
         seen = self.table.read()
         novel = firsts
         if seen is not None and not seen.isEmpty():
             novel = firsts.join(seen.select("fp"), "fp", "left_anti")
+        novel = novel.localCheckpoint(eager=True)  # merge runs 2 jobs over it
         self.table.merge(
             novel.select(
-                "fp", "doc_id", F.lit("upsert").alias("op"), F.col("doc_id").alias("seq")
+                "fp",
+                "doc_id",
+                F.lit(str(batch_id)).alias("src_batch"),
+                F.lit("upsert").alias("op"),
+                F.col("doc_id").alias("seq"),
             ),
             batch_id=batch_id,
         )
-        post = self.table.read()  # post-merge registry: who actually represents each fp
-        return firsts.join(post, ["fp", "doc_id"], "left_semi").select("doc_id", "fp")
+        post = self.table.read()  # post-merge registry: who accepted each fp, and when
+        if "src_batch" not in post.columns:  # registry predates src_batch tracking
+            return novel.select("doc_id", "fp")
+        return post.filter(F.col("src_batch") == str(batch_id)).select("doc_id", "fp")
 
     def accepted(self) -> DataFrame:
         """the full registry: (fp, doc_id of the accepted representative)."""
@@ -128,10 +136,15 @@ class IncrementalLsh:
         else:
             # key = band bucket + member id: every (bucket, doc) pair is one
             # immutable registry row; MERGE dedups re-deliveries by key
+            # bucket by the BAND KEY (not the full row key): a batch can then
+            # read exactly the store buckets its own band keys hash into —
+            # the probe's scan cost is the batch's collision slice, never the
+            # full registry (same-key rows still co-locate, MERGE-safe)
             self.table = SnapshotTable.create(
                 spark,
                 table_root,
                 keys=["band_idx", "band_hash", "doc_id"],
+                bucket_cols=["band_idx", "band_hash"],
                 nbuckets=nbuckets,
             )
 
@@ -158,18 +171,37 @@ class IncrementalLsh:
     ) -> DataFrame:
         """register a batch; return candidate near-dup pairs
         (new_id, old_id, band_idx) of this batch against the store and
-        itself (new_id > old_id for within-batch pairs). Buckets larger
-        than ``max_bucket`` in the STORE are degenerate boilerplate — their
-        collisions are dropped (same documented cap as the batch LSH)."""
-        keys = self._band_keys(docs, text_col, id_col).localCheckpoint(eager=True)
+        itself, canonicalized to ``new_id > old_id`` (so replays and
+        cross-batch orientation produce one distinct row per unordered
+        pair, never (d, d) self-pairs). Buckets larger than ``max_bucket``
+        in the STORE are degenerate boilerplate — their collisions are
+        dropped (same documented cap as the batch LSH; note a replayed
+        epoch re-evaluates the cap against the post-merge store, so a
+        bucket the batch itself pushed past the cap drops out on replay).
 
-        seen = self.table.read()
-        history = (
-            seen.select("band_idx", "band_hash", F.col("doc_id").alias("old_id"))
-            if seen is not None and not seen.isEmpty()
-            else None
-        )
+        Scale shape: the history probe reads ONLY the store buckets this
+        batch's band keys hash into (``bucket_ids`` + bucket-pruned read),
+        then semi-joins that slice down to the batch's exact band keys —
+        per-batch cost ∝ the batch and its collision slice, never the
+        registry size."""
+        keys = self._band_keys(docs, text_col, id_col).localCheckpoint(eager=True)
         new = keys.select("band_idx", "band_hash", F.col("doc_id").alias("new_id"))
+
+        history = None
+        if self.table.manifest()["buckets"]:
+            probe = self.table.read_raw(buckets=self.table.bucket_ids(keys))
+            if probe is not None:
+                # buckets are coarse (nbuckets); prune the slice to the
+                # batch's exact band keys before sizing and joining
+                history = (
+                    probe.filter(~F.col("_deleted"))
+                    .select("band_idx", "band_hash", F.col("doc_id").alias("old_id"))
+                    .join(
+                        new.select("band_idx", "band_hash").distinct(),
+                        ["band_idx", "band_hash"],
+                        "left_semi",
+                    )
+                )
 
         within = (
             new.alias("l")
@@ -180,18 +212,26 @@ class IncrementalLsh:
             .where(F.col("new_id") > F.col("old_id"))
         )
         if history is not None:
-            # cap degenerate store buckets BEFORE the join output explodes
+            # cap degenerate store buckets BEFORE the join output explodes;
+            # sizes are full per-band-key bucket sizes (the semi-join above
+            # keeps whole buckets, it never splits one)
             sizes = history.groupBy("band_idx", "band_hash").agg(F.count("*").alias("__n"))
             bounded = history.join(
                 sizes.where(F.col("__n") <= max_bucket).drop("__n"),
                 ["band_idx", "band_hash"],
                 "left_semi",
             )
-            against = new.join(bounded, ["band_idx", "band_hash"])
+            against = new.join(bounded, ["band_idx", "band_hash"]).where(
+                F.col("new_id") != F.col("old_id")
+            )
             pairs = within.unionByName(against)
         else:
             pairs = within
-        out = pairs.select("new_id", "old_id", "band_idx").distinct()
+        out = pairs.select(
+            F.greatest("new_id", "old_id").alias("new_id"),
+            F.least("new_id", "old_id").alias("old_id"),
+            "band_idx",
+        ).distinct()
 
         self.table.merge(
             keys.select(

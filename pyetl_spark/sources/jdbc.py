@@ -130,10 +130,20 @@ def max_val(
     quotes by default; pass ``quote='`'`` for MySQL) because Spark's JDBC
     writer creates case-preserving quoted columns while most databases fold
     unquoted identifiers — ``MAX(id)`` on a Derby/Postgres table written by
-    Spark would look up ``ID``/``id`` per THEIR folding rule, not ours."""
+    Spark would look up ``ID``/``id`` per THEIR folding rule, not ours.
+    Tables created by plain unquoted DDL have the OPPOSITE need (the column
+    is stored folded, so ``MAX("id")`` misses it) — when the quoted form
+    errors, the unquoted form is retried automatically before raising."""
     q = f"{quote}{column}{quote}" if quote else column
     a = f"{quote}m{quote}" if quote else "m"  # unquoted aliases fold too
-    row = read_query(
-        spark, url, f"SELECT MAX({q}) AS {a} FROM {table}", options=options
-    ).first()
+    try:
+        row = read_query(
+            spark, url, f"SELECT MAX({q}) AS {a} FROM {table}", options=options
+        ).first()
+    except Exception:
+        if not quote:
+            raise
+        row = read_query(
+            spark, url, f"SELECT MAX({column}) AS m FROM {table}", options=options
+        ).first()
     return row["m"] if row else None

@@ -58,6 +58,12 @@ def test_incremental_exact_redelivery_is_idempotent(spark, corpus, tmp_path):
     assert again == {1, 3}
     assert inc.table.current_version() == v
     assert {r["doc_id"] for r in inc.accepted().collect()} == {1, 3}
+    # the SAME documents arriving under a NEW batch id are source
+    # duplication, not a replay: nothing is re-accepted (their registry
+    # rows belong to b0) — the accepted corpus never holds a doc twice
+    fresh = {r["doc_id"] for r in inc.ingest(b0, batch_id="b1").collect()}
+    assert fresh == set()
+    assert {r["doc_id"] for r in inc.accepted().collect()} == {1, 3}
 
 
 def test_incremental_reopen_persists(spark, corpus, tmp_path):
@@ -101,3 +107,36 @@ def test_band_keys_consistency(spark, corpus):
     for d, i, h in a:
         by_doc.setdefault(d, set()).add((i, h))
     assert by_doc[1] == by_doc[2]
+
+
+def test_incremental_lsh_replay_idempotent(spark, corpus, tmp_path):
+    """a re-delivered epoch returns the identical canonical pair set — no
+    (d, d) self-pairs from the batch's own keys now in the store, no
+    reversed duplicates."""
+    inc = IncrementalLsh(spark, str(tmp_path), n_hashes=32, bands=16, k_shingle=2)
+    b0 = corpus.filter(F.col("doc_id") < 5)
+    b1 = corpus.filter(F.col("doc_id") >= 5)
+    inc.ingest(b0, batch_id="b0")
+    first = {(r["new_id"], r["old_id"]) for r in inc.ingest(b1, batch_id="b1").collect()}
+    again = {(r["new_id"], r["old_id"]) for r in inc.ingest(b1, batch_id="b1").collect()}
+    assert again == first
+    assert all(a > b for a, b in again)  # canonical, never self-pairs
+
+
+def test_lsh_store_is_band_bucketed(spark, corpus, tmp_path):
+    """the registry buckets by band key, so a batch's history probe reads
+    only its own buckets (bucket_ids ⊆ nbuckets) and the pruned read equals
+    the full read filtered to those band keys."""
+    from pyetl_spark.functions.dedup import band_keys as bk
+
+    inc = IncrementalLsh(spark, str(tmp_path), n_hashes=32, bands=16, k_shingle=2, nbuckets=8)
+    inc.ingest(corpus, batch_id="b0")
+    m = inc.table.manifest()
+    assert m["bucket_cols"] == ["band_idx", "band_hash"]
+    keys = bk(corpus.filter(F.col("doc_id") == 1), k_shingle=2, n_hashes=32, bands=16)
+    ids = inc.table.bucket_ids(keys)
+    assert ids and set(ids) <= set(range(8))
+    pruned = inc.table.read(buckets=ids)
+    want = {(r["band_idx"], r["band_hash"]) for r in keys.collect()}
+    got = {(r["band_idx"], r["band_hash"]) for r in pruned.collect()}
+    assert want <= got  # every probe key's bucket is in the pruned slice
