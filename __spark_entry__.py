@@ -1214,6 +1214,36 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data curation pipeline — the composed end-to-end
+    path a 100 TB corpus runs nightly: token-count + language gate (pure
+    Column filters, pushdown-eligible) → per-language stratified sampling
+    (map-side hash threshold) → exact dedup first-wins (one hash-partitioned
+    window over the md5 fingerprint) → token-budget shard packing
+    (distributed prefix sum). One chained-CTE oracle states the whole
+    pipeline; every stage reuses a primitive already individually certified
+    (text_tokens, stratified_sample, dedup_exact, shard_pack)."""
+    from pyetl_spark.functions.packing import pack_shards, sample_stratified
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = ftext.bpe_ish_token_count(F.col("text"))
+    gated = docs.select("doc_id", "lang", toks.alias("toks"), "text").filter(
+        F.col("lang").isin("en", "fr", "de") & toks.between(20, 10000)
+    )
+    sampled = sample_stratified(
+        gated, "lang", {"en": 0.6, "fr": 0.4, "de": 0.2}, "doc_id",
+        seed=3, default_fraction=0.0,
+    )
+    w = Window.partitionBy(ftext.fingerprint_md5(F.col("text")))
+    kept = (
+        sampled.withColumn("__keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__keep"))
+        .select("doc_id", "lang", "toks")
+    )
+    packed = pack_shards(kept, "toks", "doc_id", budget=2048, seed=2, hash_family="md5")
+    return packed.select("doc_id", "lang", "toks", "shard_id", "token_offset")
+
+
 def q_cdc_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (cdc/stateful.py,
     applyInPandasWithState — the state-store recast of the reference's
@@ -1367,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_lsh": q_dedup_incremental_lsh,
         "shard_pack": q_shard_pack,
         "stratified_sample": q_stratified_sample,
+        "pipeline_curate": q_pipeline_curate,
         # -- r2-certified once (first driver row in round 2)
         "rules_hstore": q_rules_hstore,
         "rules_jsonops": q_rules_jsonops,
@@ -1395,10 +1426,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compare_cdc": q_compare_cdc,
         "changed_lag": q_changed_lag,
         "getkey_dense": q_getkey_dense,
-        "cdc_lww_events": q_cdc_lww_events,
         # ---- position 51+ : outside the driver's 50-row certification
         # window (all entries below are double-certified in r1 AND r2; the
         # local oracle suite still checks every one of them each run)
+        "cdc_lww_events": q_cdc_lww_events,
         "cdc_lww_salted": q_cdc_lww_salted,
         "uniq_first_n": q_uniq_first_n,
         "window_hourly": q_window_hourly,
@@ -2099,6 +2130,38 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 2
         """,
         "dedup_incremental_lsh": _incremental_lsh_oracle(),
+        "pipeline_curate": f"""
+            WITH t AS (
+              SELECT doc_id, lang, text,
+                     len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS toks
+              FROM documents
+              WHERE lang IN ('en', 'fr', 'de')
+            ), g AS (
+              SELECT * FROM t WHERE toks BETWEEN 20 AND 10000
+            ), s AS (
+              SELECT * FROM g
+              WHERE ('0x' || substr(md5('3:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                    < CASE lang WHEN 'en' THEN {int(0.6 * (1 << 60))}
+                                WHEN 'fr' THEN {int(0.4 * (1 << 60))}
+                                WHEN 'de' THEN {int(0.2 * (1 << 60))} END
+            ), d AS (
+              SELECT *, min(doc_id) OVER (
+                PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+              ) AS keep FROM s
+            ), k AS (
+              SELECT doc_id, lang, toks, md5('2:' || CAST(doc_id AS VARCHAR)) AS ord
+              FROM d WHERE doc_id = keep
+            ), c AS (
+              SELECT doc_id, lang, toks,
+                     COALESCE(SUM(toks) OVER (ORDER BY ord
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+              FROM k
+            )
+            SELECT doc_id, lang, toks,
+                   CAST(cum // 2048 AS BIGINT) AS shard_id,
+                   CAST(cum % 2048 AS BIGINT) AS token_offset
+            FROM c
+        """,
         "shard_pack": r"""
             WITH t AS (
               SELECT doc_id,

@@ -32,6 +32,7 @@ EAGER = {
     "dedup_incremental",  # 3 registry merges run on construction
     "dedup_incremental_lsh",  # 3 registry merges run on construction
     "shard_pack",         # distributed prefix sum collects O(P) offsets eagerly
+    "pipeline_curate",    # ends in shard packing (same eager prefix sum)
 }
 
 # documented exceptions: nested-loop is the POINT (exact baselines), and the
