@@ -1179,6 +1179,39 @@ def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_sim_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding-neighbour registry (IncrementalAnn): replay
+    embeddings as 3 ordered batches; each batch's RHP signatures probe only
+    the store's matching (band_idx, sig) buckets. The replay union must
+    equal the one-shot closure: all (a < b) pairs sharing a signature in
+    either of the 2 independent hyperplane bands (seeds 42, 43)."""
+    import shutil
+    import tempfile
+
+    from pyetl_spark.functions.incremental import IncrementalAnn
+
+    vecs = _t(spark, sf_dir, "embeddings")
+    n = vecs.agg(F.max("vec_id")).collect()[0][0] + 1
+    step = n // 3 + 1
+    root = tempfile.mkdtemp(prefix="q_incann_")
+    try:
+        inc = IncrementalAnn(spark, root, dim=_RHP_DIM, bands=2, bits=8, nbuckets=8, seed=42)
+        out = None
+        for b in range(3):
+            batch = vecs.filter(
+                (F.col("vec_id") >= b * step) & (F.col("vec_id") < (b + 1) * step)
+            )
+            pairs = inc.ingest(batch, batch_id=f"q:{b}", max_bucket=10**9)
+            out = pairs if out is None else out.unionByName(pairs)
+        return (
+            out.select(F.col("old_id").alias("a"), F.col("new_id").alias("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget training-shard packing (functions/packing.py): documents
     are deterministically shuffled (seeded md5 of doc_id), then packed into
@@ -1398,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_pack": q_shard_pack,
         "stratified_sample": q_stratified_sample,
         "pipeline_curate": q_pipeline_curate,
+        "sim_incremental_ann": q_sim_incremental_ann,
         # -- r2-certified once (first driver row in round 2)
         "rules_hstore": q_rules_hstore,
         "rules_jsonops": q_rules_jsonops,
@@ -1425,10 +1459,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "compare_cdc": q_compare_cdc,
         "changed_lag": q_changed_lag,
-        "getkey_dense": q_getkey_dense,
         # ---- position 51+ : outside the driver's 50-row certification
         # window (all entries below are double-certified in r1 AND r2; the
         # local oracle suite still checks every one of them each run)
+        "getkey_dense": q_getkey_dense,
         "cdc_lww_events": q_cdc_lww_events,
         "cdc_lww_salted": q_cdc_lww_salted,
         "uniq_first_n": q_uniq_first_n,
@@ -1650,6 +1684,24 @@ def _incremental_lsh_oracle(n_hashes: int = 32, bands: int = 16, k: int = 3) -> 
     melt AS ({melt})
     SELECT DISTINCT l.id AS a, r.id AS b
     FROM melt l JOIN melt r ON l.band_idx = r.band_idx AND l.bk = r.bk AND l.id < r.id
+    """
+
+
+def _incremental_ann_oracle(dim: int = _RHP_DIM, bands: int = 2, bits: int = 8) -> str:
+    """one-shot RHP closure: all (a < b) pairs sharing a signature in any of
+    the ``bands`` independent hyperplane sets (seeds 42..42+bands-1) — what
+    replaying IncrementalAnn over ordered batches must converge to."""
+    melts = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_idx, "
+        f"{_rhp_sig_sql('v', fsim.hyperplanes(dim, bits, seed=42 + b))} AS sig FROM e"
+        for b in range(bands)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    m AS ({melts})
+    SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+    FROM m l JOIN m r ON l.band_idx = r.band_idx AND l.sig = r.sig
+                     AND l.vec_id < r.vec_id
     """
 
 
@@ -2130,6 +2182,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 2
         """,
         "dedup_incremental_lsh": _incremental_lsh_oracle(),
+        "sim_incremental_ann": _incremental_ann_oracle(),
         "pipeline_curate": f"""
             WITH t AS (
               SELECT doc_id, lang, text,

@@ -241,3 +241,124 @@ class IncrementalLsh:
             batch_id=batch_id,
         )
         return out
+
+
+class IncrementalAnn:
+    """persistent embedding near-neighbour registry: RHP sign-signature
+    buckets against history — the CDC tier of the similarity family
+    (``similarity.knn_join_blocked`` is the one-shot sibling).
+
+    ``bands`` independent hyperplane sets (seeds ``seed+b``), each ``bits``
+    wide; two vectors are candidates iff they share a (band_idx, sig)
+    bucket in ANY band. The store is bucketed by (band_idx, sig) — a
+    batch's history probe reads only its own signature buckets — and
+    ``ingest`` returns canonical ``new_id > old_id`` pairs, idempotent
+    under re-delivered epochs (same discipline as :class:`IncrementalLsh`).
+    Signatures are built as single SQL strings (``rhp_signature_sql``), so
+    plan construction stays O(1) py4j calls per band.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        dim: int,
+        bands: int = 2,
+        bits: int = 8,
+        nbuckets: int = 32,
+        seed: int = 42,
+    ):
+        from pyetl_spark.functions.similarity import hyperplanes
+
+        self.spark = spark
+        self.planes = [hyperplanes(dim, bits, seed=seed + b) for b in range(bands)]
+        table_root = os.path.join(root, "rhp")
+        if SnapshotTable.exists(table_root):
+            self.table = SnapshotTable(spark, table_root)
+        else:
+            self.table = SnapshotTable.create(
+                spark,
+                table_root,
+                keys=["band_idx", "sig", "vec_id"],
+                bucket_cols=["band_idx", "sig"],
+                nbuckets=nbuckets,
+            )
+
+    def _signatures(self, df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+        """(vec_id, band_idx, sig) bucket membership, one row per band."""
+        from pyetl_spark.functions.similarity import rhp_signature_sql
+
+        dfv = df.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("__v")
+        )
+        sigs = F.array(
+            *[F.expr(rhp_signature_sql("__v", p)).cast("long") for p in self.planes]
+        )
+        return dfv.select(
+            "vec_id", F.posexplode(sigs).alias("band_idx", "sig")
+        )
+
+    def ingest(
+        self,
+        vecs: DataFrame,
+        batch_id: str,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        max_bucket: int = 200,
+    ) -> DataFrame:
+        """register a batch of embeddings; return candidate neighbour pairs
+        (new_id, old_id, band_idx), canonical ``new_id > old_id``, of the
+        batch against the store and itself. Store buckets larger than
+        ``max_bucket`` are dropped (degenerate direction clusters)."""
+        keys = self._signatures(vecs, vec_col, id_col).localCheckpoint(eager=True)
+        new = keys.select("band_idx", "sig", F.col("vec_id").alias("new_id"))
+
+        history = None
+        if self.table.manifest()["buckets"]:
+            probe = self.table.read_raw(buckets=self.table.bucket_ids(keys))
+            if probe is not None:
+                history = (
+                    probe.filter(~F.col("_deleted"))
+                    .select("band_idx", "sig", F.col("vec_id").alias("old_id"))
+                    .join(
+                        new.select("band_idx", "sig").distinct(),
+                        ["band_idx", "sig"],
+                        "left_semi",
+                    )
+                )
+
+        within = (
+            new.alias("l")
+            .join(
+                new.select("band_idx", "sig", F.col("new_id").alias("old_id")).alias("r"),
+                ["band_idx", "sig"],
+            )
+            .where(F.col("new_id") > F.col("old_id"))
+        )
+        if history is not None:
+            sizes = history.groupBy("band_idx", "sig").agg(F.count("*").alias("__n"))
+            bounded = history.join(
+                sizes.where(F.col("__n") <= max_bucket).drop("__n"),
+                ["band_idx", "sig"],
+                "left_semi",
+            )
+            against = new.join(bounded, ["band_idx", "sig"]).where(
+                F.col("new_id") != F.col("old_id")
+            )
+            pairs = within.unionByName(against)
+        else:
+            pairs = within
+        out = pairs.select(
+            F.greatest("new_id", "old_id").alias("new_id"),
+            F.least("new_id", "old_id").alias("old_id"),
+            "band_idx",
+        ).distinct()
+
+        self.table.merge(
+            keys.select(
+                "band_idx", "sig", "vec_id",
+                F.lit("upsert").alias("op"), F.col("vec_id").alias("seq"),
+            ),
+            batch_id=batch_id,
+        )
+        return out

@@ -140,3 +140,27 @@ def test_lsh_store_is_band_bucketed(spark, corpus, tmp_path):
     want = {(r["band_idx"], r["band_hash"]) for r in keys.collect()}
     got = {(r["band_idx"], r["band_hash"]) for r in pruned.collect()}
     assert want <= got  # every probe key's bucket is in the pruned slice
+
+
+def test_incremental_ann_replay_and_history(spark, tmp_path):
+    """ANN registry: identical vectors collide across batches (history
+    probe), replay returns the identical canonical set, no self-pairs."""
+    from pyetl_spark.functions.incremental import IncrementalAnn
+
+    v1 = [1.0] + [0.0] * 7
+    v2 = [0.9, 0.1] + [0.0] * 6      # same orthant as v1 under most planes
+    v3 = [-1.0] + [0.0] * 7          # antipodal: never shares a sign bucket with v1
+    rows = [(1, v1), (2, v2), (3, v3), (4, v1)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    inc = IncrementalAnn(spark, str(tmp_path), dim=8, bands=2, bits=4, nbuckets=4)
+    b0 = df.filter(F.col("vec_id") <= 2)
+    b1 = df.filter(F.col("vec_id") >= 3)
+    p0 = {(r["new_id"], r["old_id"]) for r in inc.ingest(b0, batch_id="b0").collect()}
+    p1 = {(r["new_id"], r["old_id"]) for r in inc.ingest(b1, batch_id="b1").collect()}
+    assert (4, 1) in p1              # identical vector found in HISTORY
+    assert not any(a == b for a, b in p0 | p1)
+    assert all(a > b for a, b in p0 | p1)
+    again = {(r["new_id"], r["old_id"]) for r in inc.ingest(b1, batch_id="b1").collect()}
+    assert again == p1               # replay-idempotent
+    # antipodal vector never pairs with v1/v4
+    assert not any({a, b} >= {3, 1} or {a, b} >= {3, 4} for a, b in p0 | p1)

@@ -31,6 +31,7 @@ EAGER = {
     "cdc_stateful_stats", # runs an availableNow stream on construction
     "dedup_incremental",  # 3 registry merges run on construction
     "dedup_incremental_lsh",  # 3 registry merges run on construction
+    "sim_incremental_ann",    # 3 registry merges run on construction
     "shard_pack",         # distributed prefix sum collects O(P) offsets eagerly
     "pipeline_curate",    # ends in shard packing (same eager prefix sum)
 }
