@@ -43,7 +43,22 @@ from pyetl_spark.cdc.tableio import SnapshotTable
 from pyetl_spark.functions.text import fingerprint_md5
 
 
-class IncrementalDedup:
+class _RegistryMaintenance:
+    """shared housekeeping for long-lived registries (all hold ``self.table``)."""
+
+    table: SnapshotTable
+
+    def maintain(self, keep_last: int = 2, min_files: int = 2) -> dict:
+        """periodic housekeeping: every ingest is a copy-on-write MERGE, so
+        without expiry the store accumulates one obsolete copy of each
+        touched bucket per batch. Compacts fragmented buckets, then expires
+        all but the last ``keep_last`` snapshots."""
+        compacted = self.table.compact(min_files=min_files)
+        expired = self.table.expire_snapshots(keep_last=keep_last)
+        return {"compacted": compacted, "expired": expired}
+
+
+class IncrementalDedup(_RegistryMaintenance):
     """persistent exact-dedup registry (content fingerprint, first-wins)."""
 
     def __init__(self, spark: SparkSession, root: str, nbuckets: int = 32):
@@ -107,7 +122,7 @@ class IncrementalDedup:
         return self.table.read().select("fp", "doc_id")
 
 
-class IncrementalLsh:
+class IncrementalLsh(_RegistryMaintenance):
     """persistent near-dup registry: MinHash band keys against history.
 
     ``ingest`` returns candidate (new_id, old_id) collisions of the batch
@@ -243,7 +258,7 @@ class IncrementalLsh:
         return out
 
 
-class IncrementalAnn:
+class IncrementalAnn(_RegistryMaintenance):
     """persistent embedding near-neighbour registry: RHP sign-signature
     buckets against history — the CDC tier of the similarity family
     (``similarity.knn_join_blocked`` is the one-shot sibling).

@@ -164,3 +164,17 @@ def test_incremental_ann_replay_and_history(spark, tmp_path):
     assert again == p1               # replay-idempotent
     # antipodal vector never pairs with v1/v4
     assert not any({a, b} >= {3, 1} or {a, b} >= {3, 4} for a, b in p0 | p1)
+
+
+def test_registry_maintain_preserves_state(spark, corpus, tmp_path):
+    """maintain() compacts + expires without changing the visible registry,
+    and later ingests still work against the maintained store."""
+    inc = IncrementalDedup(spark, str(tmp_path), nbuckets=4)
+    inc.ingest(corpus.filter(F.col("doc_id") <= 4), batch_id="b0")
+    inc.ingest(corpus.filter((F.col("doc_id") > 4) & (F.col("doc_id") <= 6)), batch_id="b1")
+    before = {(r["fp"], r["doc_id"]) for r in inc.accepted().collect()}
+    stats = inc.maintain(keep_last=1)
+    assert stats["expired"]["removed_manifests"] >= 1
+    assert {(r["fp"], r["doc_id"]) for r in inc.accepted().collect()} == before
+    out = {r["doc_id"] for r in inc.ingest(corpus.filter(F.col("doc_id") > 6), batch_id="b2").collect()}
+    assert out == {8}

@@ -267,3 +267,46 @@ def test_connected_components_matches_union_find(spark, edges):
                 parent[max(ra, rb)] = min(ra, rb)
     want = {(n, find(n)) for n in parent}
     assert got == want
+
+
+@given(
+    toks=st.lists(st.integers(0, 500), min_size=1, max_size=30),
+    budget=st.integers(1, 300),
+    seed=st.integers(0, 3),
+)
+@settings(**SETTINGS)
+def test_pack_shards_matches_python_mirror(spark, toks, budget, seed):
+    """offset packing == a sequential Python replay in md5-shuffle order,
+    for arbitrary token counts (zeros included), budgets, and seeds."""
+    from pyetl_spark.functions.packing import pack_shards
+
+    rows = [(i, t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, toks long")
+    got = {
+        r["doc_id"]: (r["shard_id"], r["token_offset"])
+        for r in pack_shards(df, "toks", "doc_id", budget=budget, seed=seed).collect()
+    }
+    order = sorted(rows, key=lambda r: hashlib.md5(f"{seed}:{r[0]}".encode()).hexdigest())
+    acc = 0
+    for i, t in order:
+        assert got[i] == (acc // budget, acc % budget)
+        acc += t
+
+
+@given(
+    fracs=st.lists(st.floats(0.0, 1.0), min_size=2, max_size=2),
+    seed=st.integers(0, 5),
+)
+@settings(**SETTINGS)
+def test_sample_stratified_matches_python_mirror(spark, fracs, seed):
+    """per-stratum keep decision == the integerized-threshold Python mirror
+    for arbitrary fractions (0 and 1 included)."""
+    from pyetl_spark.functions.packing import _HASH_SCALE, sample_stratified
+
+    rows = [(i, f"L{i % 2}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    fr = {"L0": fracs[0], "L1": fracs[1]}
+    got = {r["doc_id"] for r in sample_stratified(df, "lang", fr, "doc_id", seed=seed).collect()}
+    for i, lang in rows:
+        u = int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:15], 16)
+        assert (i in got) == (u < int(fr[lang] * _HASH_SCALE))
