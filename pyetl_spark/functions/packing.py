@@ -109,13 +109,20 @@ def pack_shards(
     (shard_col, offset_col)."""
     if budget <= 0:
         raise ValueError(f"pack_shards: budget must be positive, got {budget}")
-    ordered = df.withColumn("__ord", shuffle_key(F.col(id_col), seed, hash_family))
-    cum = global_cumsum(ordered, tokens_col, "__ord", out="__cum")
-    return cum.select(
-        *df.columns,
+    # the prefix sum runs on a NARROW (id, tokens, ord) projection — its
+    # localCheckpoint then materializes a few ints per document, not the
+    # corpus (checkpointing the full row width would write every payload
+    # column to executor storage); assignments join back on the unique id
+    narrow = df.select(id_col, tokens_col).withColumn(
+        "__ord", shuffle_key(F.col(id_col), seed, hash_family)
+    )
+    cum = global_cumsum(narrow, tokens_col, "__ord", out="__cum")
+    assign = cum.select(
+        id_col,
         (F.col("__cum") / F.lit(budget)).cast("long").alias(shard_col),
         F.pmod(F.col("__cum"), F.lit(budget)).cast("long").alias(offset_col),
     )
+    return df.join(assign, id_col).select(*df.columns, shard_col, offset_col)
 
 
 def sample_stratified(
