@@ -96,10 +96,12 @@ def main(argv: list[str]) -> int:
     )
 
     out = spark.read.parquet(args.out_dir)
-    n_docs = out.count()
-    n_shards = out.select("shard_id").distinct().count()
-    total_toks = out.agg(F.sum("toks")).collect()[0][0]
-    print(f"docs={n_docs} shards={n_shards} tokens={total_toks} budget={args.budget}")
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("shard_id").alias("s"),
+        F.sum("toks").alias("t"),
+    ).first()  # one scan for the whole summary
+    print(f"docs={stats['n']} shards={stats['s']} tokens={stats['t']} budget={args.budget}")
     return 0
 
 

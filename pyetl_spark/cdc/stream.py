@@ -71,18 +71,18 @@ class StreamingIngest:
     # ----------------------------------------------------------------- sink
 
     def _apply_transform(self, batch_df: DataFrame, epoch_id: int) -> DataFrame:
-        """run the transform; a transform declaring a second parameter also
-        receives the micro-batch epoch id, so side-effecting transforms
+        """run the transform; a transform whose second POSITIONAL parameter
+        has no default — or is explicitly named ``epoch_id``/``batch_id`` —
+        also receives the micro-batch epoch id, so side-effecting transforms
         (dead-letter sinks, per-batch audit writes) can key their output by
         batch and stay idempotent under foreachBatch's at-least-once
-        redelivery — the same guard the MERGE ledger gives the main sink."""
+        redelivery — the same guard the MERGE ledger gives the main sink.
+        An unrelated default kwarg (``lambda df, limit=10: …``) or
+        ``**kwargs`` never receives it."""
         if self.transform is None:
             return batch_df
         import inspect
 
-        # opt-in is a second POSITIONAL parameter with NO default: a default
-        # (lambda df, limit=10: …) or **kwargs must not silently receive the
-        # epoch id — that turns an unrelated knob into the batch number
         takes_epoch = False
         try:
             params = list(inspect.signature(self.transform).parameters.values())
@@ -90,7 +90,10 @@ class StreamingIngest:
                 len(params) >= 2
                 and params[1].kind
                 in (params[1].POSITIONAL_ONLY, params[1].POSITIONAL_OR_KEYWORD)
-                and params[1].default is params[1].empty
+                and (
+                    params[1].default is params[1].empty
+                    or params[1].name in ("epoch_id", "batch_id")
+                )
             )
         except (TypeError, ValueError):  # builtins / odd callables
             pass

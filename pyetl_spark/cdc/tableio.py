@@ -228,8 +228,15 @@ class SnapshotTable:
         raw = self.read_raw(version, buckets=buckets)
         if raw is None:
             m = self.manifest(version)
-            schema = m["schema"] or ", ".join(f"{k} string" for k in m["keys"])
-            return self.spark.createDataFrame([], schema)
+            if m["schema"]:  # stored as StructType.json() after the first merge
+                from pyspark.sql.types import StructType
+
+                schema = StructType.fromJson(json.loads(m["schema"]))
+                empty = self.spark.createDataFrame([], schema)
+                return empty.drop(SEQ, DELETED)
+            return self.spark.createDataFrame(
+                [], ", ".join(f"{k} string" for k in m["keys"])
+            )
         return raw.filter(~F.col(DELETED)).drop(SEQ, DELETED)
 
     def bucket_ids(self, df: DataFrame) -> list[int]:

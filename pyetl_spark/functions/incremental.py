@@ -43,6 +43,69 @@ from pyetl_spark.cdc.tableio import SnapshotTable
 from pyetl_spark.functions.text import fingerprint_md5
 
 
+def _candidate_pairs(
+    table: SnapshotTable,
+    keys: DataFrame,
+    bucket_key: list[str],
+    member_col: str,
+    max_bucket: int,
+) -> DataFrame:
+    """shared banding-candidate stage for the LSH and ANN registries:
+    within-batch + against-history collision pairs on ``bucket_key``,
+    canonicalized to ``new_id > old_id`` (replay-idempotent, no self-pairs).
+
+    The history probe is bucket-pruned ONLY when the store was created with
+    ``bucket_cols == bucket_key`` — a legacy store bucketed by its full row
+    key (member id included) would scatter one band bucket across all
+    nbuckets, and pruning by the batch's ids would silently miss ~(1-1/n)
+    of history collisions; such stores fall back to a full scan."""
+    new = keys.select(*bucket_key, F.col(member_col).alias("new_id"))
+
+    history = None
+    m = table.manifest()
+    if m["buckets"]:
+        if m.get("bucket_cols") == bucket_key:
+            probe = table.read_raw(buckets=table.bucket_ids(keys))
+        else:  # legacy / foreign bucketing: pruning would drop collisions
+            probe = table.read_raw()
+        if probe is not None:
+            history = (
+                probe.filter(~F.col("_deleted"))
+                .select(*bucket_key, F.col(member_col).alias("old_id"))
+                .join(new.select(*bucket_key).distinct(), bucket_key, "left_semi")
+            )
+
+    within = (
+        new.alias("l")
+        .join(
+            new.select(*bucket_key, F.col("new_id").alias("old_id")).alias("r"),
+            bucket_key,
+        )
+        .where(F.col("new_id") > F.col("old_id"))
+    )
+    if history is not None:
+        # cap degenerate store buckets BEFORE the join output explodes;
+        # sizes are full per-band-key bucket sizes (the semi-join above
+        # keeps whole buckets, it never splits one)
+        sizes = history.groupBy(*bucket_key).agg(F.count("*").alias("__n"))
+        bounded = history.join(
+            sizes.where(F.col("__n") <= max_bucket).drop("__n"),
+            bucket_key,
+            "left_semi",
+        )
+        against = new.join(bounded, bucket_key).where(
+            F.col("new_id") != F.col("old_id")
+        )
+        pairs = within.unionByName(against)
+    else:
+        pairs = within
+    return pairs.select(
+        F.greatest("new_id", "old_id").alias("new_id"),
+        F.least("new_id", "old_id").alias("old_id"),
+        "band_idx",
+    ).distinct()
+
+
 class _RegistryMaintenance:
     """shared housekeeping for long-lived registries (all hold ``self.table``)."""
 
@@ -97,6 +160,7 @@ class IncrementalDedup(_RegistryMaintenance):
             F.col(id_col).alias("doc_id"), fingerprint_md5(F.col(text_col)).alias("fp")
         )
         firsts = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+        replayed = str(batch_id) in self.table.committed_batches()
         seen = self.table.read()
         novel = firsts
         if seen is not None and not seen.isEmpty():
@@ -114,8 +178,20 @@ class IncrementalDedup(_RegistryMaintenance):
         )
         post = self.table.read()  # post-merge registry: who accepted each fp, and when
         if "src_batch" not in post.columns:  # registry predates src_batch tracking
+            if replayed:  # pre-upgrade epoch: its reps ARE the stored rows
+                return firsts.join(post, ["fp", "doc_id"], "left_semi").select("doc_id", "fp")
             return novel.select("doc_id", "fp")
-        return post.filter(F.col("src_batch") == str(batch_id)).select("doc_id", "fp")
+        mine = post.filter(F.col("src_batch") == str(batch_id))
+        if replayed:
+            # rows accepted by this batch BEFORE src_batch tracking existed
+            # carry a null src_batch; on a ledger-confirmed replay they must
+            # still come back, or a per-epoch overwrite sink would wipe the
+            # epoch's pre-upgrade output with an empty set
+            legacy = post.filter(F.col("src_batch").isNull()).join(
+                firsts, ["fp", "doc_id"], "left_semi"
+            )
+            mine = mine.unionByName(legacy)
+        return mine.select("doc_id", "fp")
 
     def accepted(self) -> DataFrame:
         """the full registry: (fp, doc_id of the accepted representative)."""
@@ -200,53 +276,9 @@ class IncrementalLsh(_RegistryMaintenance):
         per-batch cost ∝ the batch and its collision slice, never the
         registry size."""
         keys = self._band_keys(docs, text_col, id_col).localCheckpoint(eager=True)
-        new = keys.select("band_idx", "band_hash", F.col("doc_id").alias("new_id"))
-
-        history = None
-        if self.table.manifest()["buckets"]:
-            probe = self.table.read_raw(buckets=self.table.bucket_ids(keys))
-            if probe is not None:
-                # buckets are coarse (nbuckets); prune the slice to the
-                # batch's exact band keys before sizing and joining
-                history = (
-                    probe.filter(~F.col("_deleted"))
-                    .select("band_idx", "band_hash", F.col("doc_id").alias("old_id"))
-                    .join(
-                        new.select("band_idx", "band_hash").distinct(),
-                        ["band_idx", "band_hash"],
-                        "left_semi",
-                    )
-                )
-
-        within = (
-            new.alias("l")
-            .join(
-                new.select("band_idx", "band_hash", F.col("new_id").alias("old_id")).alias("r"),
-                ["band_idx", "band_hash"],
-            )
-            .where(F.col("new_id") > F.col("old_id"))
+        out = _candidate_pairs(
+            self.table, keys, ["band_idx", "band_hash"], "doc_id", max_bucket
         )
-        if history is not None:
-            # cap degenerate store buckets BEFORE the join output explodes;
-            # sizes are full per-band-key bucket sizes (the semi-join above
-            # keeps whole buckets, it never splits one)
-            sizes = history.groupBy("band_idx", "band_hash").agg(F.count("*").alias("__n"))
-            bounded = history.join(
-                sizes.where(F.col("__n") <= max_bucket).drop("__n"),
-                ["band_idx", "band_hash"],
-                "left_semi",
-            )
-            against = new.join(bounded, ["band_idx", "band_hash"]).where(
-                F.col("new_id") != F.col("old_id")
-            )
-            pairs = within.unionByName(against)
-        else:
-            pairs = within
-        out = pairs.select(
-            F.greatest("new_id", "old_id").alias("new_id"),
-            F.least("new_id", "old_id").alias("old_id"),
-            "band_idx",
-        ).distinct()
 
         self.table.merge(
             keys.select(
@@ -326,48 +358,7 @@ class IncrementalAnn(_RegistryMaintenance):
         batch against the store and itself. Store buckets larger than
         ``max_bucket`` are dropped (degenerate direction clusters)."""
         keys = self._signatures(vecs, vec_col, id_col).localCheckpoint(eager=True)
-        new = keys.select("band_idx", "sig", F.col("vec_id").alias("new_id"))
-
-        history = None
-        if self.table.manifest()["buckets"]:
-            probe = self.table.read_raw(buckets=self.table.bucket_ids(keys))
-            if probe is not None:
-                history = (
-                    probe.filter(~F.col("_deleted"))
-                    .select("band_idx", "sig", F.col("vec_id").alias("old_id"))
-                    .join(
-                        new.select("band_idx", "sig").distinct(),
-                        ["band_idx", "sig"],
-                        "left_semi",
-                    )
-                )
-
-        within = (
-            new.alias("l")
-            .join(
-                new.select("band_idx", "sig", F.col("new_id").alias("old_id")).alias("r"),
-                ["band_idx", "sig"],
-            )
-            .where(F.col("new_id") > F.col("old_id"))
-        )
-        if history is not None:
-            sizes = history.groupBy("band_idx", "sig").agg(F.count("*").alias("__n"))
-            bounded = history.join(
-                sizes.where(F.col("__n") <= max_bucket).drop("__n"),
-                ["band_idx", "sig"],
-                "left_semi",
-            )
-            against = new.join(bounded, ["band_idx", "sig"]).where(
-                F.col("new_id") != F.col("old_id")
-            )
-            pairs = within.unionByName(against)
-        else:
-            pairs = within
-        out = pairs.select(
-            F.greatest("new_id", "old_id").alias("new_id"),
-            F.least("new_id", "old_id").alias("old_id"),
-            "band_idx",
-        ).distinct()
+        out = _candidate_pairs(self.table, keys, ["band_idx", "sig"], "vec_id", max_bucket)
 
         self.table.merge(
             keys.select(

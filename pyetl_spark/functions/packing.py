@@ -117,6 +117,22 @@ def pack_shards(
         "__ord", shuffle_key(F.col(id_col), seed, hash_family)
     )
     cum = global_cumsum(narrow, tokens_col, "__ord", out="__cum")
+    # ``id_col`` must be unique and non-null (it is both the shuffle-order
+    # seed and the join-back key); validate in ONE aggregate over the
+    # already-checkpointed narrow data — a duplicate would silently
+    # multiply rows through the join, a null would silently drop them
+    chk = cum.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(id_col)).alias("d"),
+        F.sum(F.col(id_col).isNull().cast("int")).alias("nulls"),
+    ).first()
+    if chk["nulls"]:
+        raise ValueError(f"pack_shards: {chk['nulls']} null values in id column {id_col!r}")
+    if chk["d"] != chk["n"]:
+        raise ValueError(
+            f"pack_shards: id column {id_col!r} is not unique "
+            f"({chk['n']} rows, {chk['d']} distinct ids)"
+        )
     assign = cum.select(
         id_col,
         (F.col("__cum") / F.lit(budget)).cast("long").alias(shard_col),

@@ -140,8 +140,20 @@ def max_val(
         row = read_query(
             spark, url, f"SELECT MAX({q}) AS {a} FROM {table}", options=options
         ).first()
-    except Exception:
-        if not quote:
+    except Exception as exc:
+        # retry unquoted ONLY for identifier-resolution failures — a
+        # transient error (connection reset, lock timeout) must surface,
+        # not be masked by a second query that could even resolve to a
+        # DIFFERENT (folded) column and return a wrong watermark
+        msg = str(exc).lower()
+        resolution = any(
+            t in msg
+            for t in (
+                "column", "identifier", "not found", "does not exist",
+                "doesn't exist", "42x04", "42703", "invalid name",
+            )
+        )
+        if not quote or not resolution:
             raise
         row = read_query(
             spark, url, f"SELECT MAX({column}) AS m FROM {table}", options=options

@@ -178,3 +178,45 @@ def test_registry_maintain_preserves_state(spark, corpus, tmp_path):
     assert {(r["fp"], r["doc_id"]) for r in inc.accepted().collect()} == before
     out = {r["doc_id"] for r in inc.ingest(corpus.filter(F.col("doc_id") > 6), batch_id="b2").collect()}
     assert out == {8}
+
+
+def test_pack_validation_and_legacy_stores(spark, corpus, tmp_path):
+    """upgrade-path hazards: (a) a registry written before src_batch
+    tracking must still return the epoch's accepted set on a
+    ledger-confirmed replay (a per-epoch overwrite sink must not wipe
+    pre-upgrade output); (b) a store bucketed by its full row key (no
+    bucket_cols manifest entry) must fall back to a full-scan probe, not a
+    mis-pruned one."""
+    from pyetl_spark.cdc.tableio import SnapshotTable
+    from pyetl_spark.functions.dedup import band_keys
+    from pyetl_spark.functions.text import fingerprint_md5
+
+    # --- (a) legacy exact registry: rows without src_batch, ledger has b0
+    root_a = str(tmp_path / "exact")
+    legacy = SnapshotTable.create(spark, root_a + "/fingerprints", keys=["fp"], nbuckets=4)
+    b0 = corpus.filter(F.col("doc_id") <= 4)
+    old_rows = (
+        b0.select(F.col("doc_id"), fingerprint_md5(F.col("text")).alias("fp"))
+        .groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+        .select("fp", "doc_id", F.lit("upsert").alias("op"), F.col("doc_id").alias("seq"))
+    )
+    legacy.merge(old_rows, batch_id="b0")
+    inc = IncrementalDedup(spark, root_a, nbuckets=4)
+    replay = {r["doc_id"] for r in inc.ingest(b0, batch_id="b0").collect()}
+    assert replay == {1, 3}  # pre-upgrade epoch replays non-empty
+
+    # --- (b) legacy LSH store bucketed by the FULL key (doc_id included)
+    root_b = str(tmp_path / "lsh")
+    store = SnapshotTable.create(
+        spark, root_b + "/bands", keys=["band_idx", "band_hash", "doc_id"], nbuckets=8
+    )
+    keys0 = band_keys(b0, k_shingle=2, n_hashes=32, bands=16)
+    store.merge(
+        keys0.select("band_idx", "band_hash", "doc_id",
+                     F.lit("upsert").alias("op"), F.col("doc_id").alias("seq")),
+        batch_id="b0",
+    )
+    inc2 = IncrementalLsh(spark, root_b, n_hashes=32, bands=16, k_shingle=2)
+    b1 = corpus.filter(F.col("doc_id") >= 5)
+    pairs = {(r["new_id"], r["old_id"]) for r in inc2.ingest(b1, batch_id="b1").collect()}
+    assert (6, 1) in pairs  # history collision found despite legacy bucketing

@@ -149,3 +149,15 @@ def test_sample_stratified_no_shuffle(spark):
 def test_shuffle_key_deterministic(spark):
     df = spark.range(5).select(shuffle_key(F.col("id"), seed=3).alias("k"))
     assert [r["k"] for r in df.collect()] == [_md5(f"3:{i}") for i in range(5)]
+
+
+def test_pack_shards_rejects_duplicate_and_null_ids(spark):
+    from pyspark.sql import functions as SF
+
+    dup = spark.createDataFrame([(1, 5), (1, 7), (2, 3)], "doc_id long, toks long")
+    with pytest.raises(ValueError, match="not unique"):
+        pack_shards(dup, "toks", "doc_id", budget=10)
+    nul = spark.createDataFrame([(None, 5), (2, 3)], "doc_id long, toks long")
+    with pytest.raises(ValueError, match="null"):
+        pack_shards(nul, "toks", "doc_id", budget=10)
+    del SF
