@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "sim_brute_topk",
     "sim_knn_blocked",
+    # round 3: the composed curation pipeline (gate → stratified sample →
+    # exact dedup → token-budget shard packing) — the training-data flagship
+    "pipeline_curate",
 ]
 
 
