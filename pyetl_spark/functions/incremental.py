@@ -11,16 +11,20 @@ already certifies: atomic commits, a batch ledger (re-delivered batches are
 skipped), snapshot expiry/compaction, and bucket layout independent of
 cluster size.
 
-Two tiers:
+Three tiers:
 
 - **exact** (`IncrementalDedup`): fingerprint = md5 over normalized text
   (identical to ``dedup.exact_dedup`` and SQL-recomputable). One hash-agg
   for within-batch first-wins, one anti-join against the store (both keyed
   on fp — co-shuffled), one MERGE of the novel rows.
 - **near-dup** (`IncrementalLsh`): the store holds (band_idx, band_hash →
-  doc ids); a new batch's band keys join only the MATCHING historical
-  buckets, so cost scales with the batch and its collision set, never with
-  corpus size. (Same banding math as ``dedup.minhash_lsh_pairs``.)
+  doc ids), bucketed by the band key; a new batch reads only the store
+  buckets its band keys hash into, so cost scales with the batch and its
+  collision slice, never with corpus size. (Same banding math as
+  ``dedup.minhash_lsh_pairs``.)
+- **embedding** (`IncrementalAnn`): same registry discipline over random-
+  hyperplane sign signatures — the CDC tier of ``similarity``'s blocked
+  k-NN (candidate neighbour pairs of each batch against all history).
 
 Scale notes (100 TB): the registry is fingerprints + ids only — a few
 hundred bytes per document, ~1-2% of corpus bytes; both the anti-join and
