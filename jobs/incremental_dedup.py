@@ -44,6 +44,13 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--max-files-per-trigger", type=int, default=4)
     ap.add_argument(
+        "--near-dup",
+        action="store_true",
+        help="use the MinHash band registry (IncrementalLsh) instead of the "
+        "exact fingerprint registry: each epoch writes its candidate "
+        "near-dup pairs (new_id, old_id, band_idx) against all history",
+    )
+    ap.add_argument(
         "--schema",
         default=None,
         help="DDL schema for the document stream (e.g. 'doc_id long, text "
@@ -53,7 +60,12 @@ def main(argv: list[str]) -> int:
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName("pyetl_spark_incremental_dedup").getOrCreate()
-    registry = IncrementalDedup(spark, args.registry_dir, nbuckets=args.nbuckets)
+    if args.near_dup:
+        from pyetl_spark.functions.incremental import IncrementalLsh
+
+        registry = IncrementalLsh(spark, args.registry_dir, nbuckets=args.nbuckets)
+    else:
+        registry = IncrementalDedup(spark, args.registry_dir, nbuckets=args.nbuckets)
 
     if args.schema:
         schema = args.schema
@@ -70,16 +82,20 @@ def main(argv: list[str]) -> int:
             raise SystemExit(2) from exc
 
     def _register(batch, epoch_id: int) -> None:
-        accepted = registry.ingest(
+        out = registry.ingest(
             batch, batch_id=f"epoch:{epoch_id}",
             text_col=args.text_col, id_col=args.id_col,
         )
         # idempotent per-epoch sink: replay overwrites, never appends twice
-        (
-            batch.join(accepted.select(F.col("doc_id").alias(args.id_col)), args.id_col)
-            .write.mode("overwrite")
-            .parquet(f"{args.accepted_dir}/batch={epoch_id}")
-        )
+        # (ingest return values are replay-idempotent for both registries)
+        if args.near_dup:  # out = candidate pairs (new_id, old_id, band_idx)
+            out.write.mode("overwrite").parquet(f"{args.accepted_dir}/batch={epoch_id}")
+        else:  # out = accepted (doc_id, fp): keep the full accepted rows
+            (
+                batch.join(out.select(F.col("doc_id").alias(args.id_col)), args.id_col)
+                .write.mode("overwrite")
+                .parquet(f"{args.accepted_dir}/batch={epoch_id}")
+            )
 
     stream = (
         spark.readStream.schema(schema)
@@ -94,9 +110,11 @@ def main(argv: list[str]) -> int:
     )
     q.awaitTermination()
 
-    reg = registry.accepted()
-    accepted_out = spark.read.parquet(f"{args.accepted_dir}/batch=*")
-    print(f"registry={reg.count()} accepted_rows={accepted_out.count()}")
+    out = spark.read.parquet(f"{args.accepted_dir}/batch=*")
+    if args.near_dup:
+        print(f"registry={registry.table.read().count()} candidate_pairs={out.count()}")
+    else:
+        print(f"registry={registry.accepted().count()} accepted_rows={out.count()}")
     return 0
 
 
