@@ -1146,9 +1146,8 @@ def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay documents as 3 ordered batches; each batch's band keys join only
     the store's matching buckets (cost ∝ batch, never corpus). The union of
     per-batch candidate pairs must equal the one-shot banding closure the
-    oracle computes: every pair sharing ≥1 of 16 two-row md5 band keys.
-    Batches ascend by doc_id, so cross-batch candidates always arrive as
-    (new > old) — (a, b) = (old, new) is the canonical a < b pair."""
+    oracle computes: every pair sharing ≥1 of 16 two-row md5 band keys,
+    as canonical sorted (a, b) with a < b."""
     import shutil
     import tempfile
 
@@ -1170,11 +1169,7 @@ def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             pairs = inc.ingest(batch, batch_id=f"q:{b}", max_bucket=10**9)
             out = pairs if out is None else out.unionByName(pairs)
-        return (
-            out.select(F.col("old_id").alias("a"), F.col("new_id").alias("b"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        return out.select("a", "b").distinct().localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1203,11 +1198,7 @@ def q_sim_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             pairs = inc.ingest(batch, batch_id=f"q:{b}", max_bucket=10**9)
             out = pairs if out is None else out.unionByName(pairs)
-        return (
-            out.select(F.col("old_id").alias("a"), F.col("new_id").alias("b"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        return out.select("a", "b").distinct().localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

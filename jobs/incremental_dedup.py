@@ -48,8 +48,13 @@ def main(argv: list[str]) -> int:
         action="store_true",
         help="use the MinHash band registry (IncrementalLsh) instead of the "
         "exact fingerprint registry: each epoch writes its candidate "
-        "near-dup pairs (new_id, old_id, band_idx) against all history",
+        "near-dup pairs (a, b, band_idx), a < b, against all history",
     )
+    ap.add_argument("--n-hashes", type=int, default=32)
+    ap.add_argument("--bands", type=int, default=8)
+    ap.add_argument("--k-shingle", type=int, default=3)
+    ap.add_argument("--hash-family", default="xx", choices=("xx", "md5"))
+    ap.add_argument("--max-bucket", type=int, default=50)
     ap.add_argument(
         "--schema",
         default=None,
@@ -63,7 +68,18 @@ def main(argv: list[str]) -> int:
     if args.near_dup:
         from pyetl_spark.functions.incremental import IncrementalLsh
 
-        registry = IncrementalLsh(spark, args.registry_dir, nbuckets=args.nbuckets)
+        # banding parameters are persisted in the registry manifest at create
+        # time; reopening an existing registry with different values raises
+        # instead of silently probing with incompatible band keys
+        registry = IncrementalLsh(
+            spark,
+            args.registry_dir,
+            n_hashes=args.n_hashes,
+            bands=args.bands,
+            k_shingle=args.k_shingle,
+            hash_family=args.hash_family,
+            nbuckets=args.nbuckets,
+        )
     else:
         registry = IncrementalDedup(spark, args.registry_dir, nbuckets=args.nbuckets)
 
@@ -82,13 +98,14 @@ def main(argv: list[str]) -> int:
             raise SystemExit(2) from exc
 
     def _register(batch, epoch_id: int) -> None:
+        kw = {"max_bucket": args.max_bucket} if args.near_dup else {}
         out = registry.ingest(
             batch, batch_id=f"epoch:{epoch_id}",
-            text_col=args.text_col, id_col=args.id_col,
+            text_col=args.text_col, id_col=args.id_col, **kw,
         )
         # idempotent per-epoch sink: replay overwrites, never appends twice
         # (ingest return values are replay-idempotent for both registries)
-        if args.near_dup:  # out = candidate pairs (new_id, old_id, band_idx)
+        if args.near_dup:  # out = candidate pairs (a, b, band_idx)
             out.write.mode("overwrite").parquet(f"{args.accepted_dir}/batch={epoch_id}")
         else:  # out = accepted (doc_id, fp): keep the full accepted rows
             (

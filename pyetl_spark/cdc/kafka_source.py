@@ -179,14 +179,17 @@ def kafka_ingest(
     :func:`kafka_envelope_stream` with ``spark.readStream.format("kafka")``
     — nothing else changes."""
     dead_letters: list[dict] = []
-    _dl_epochs_seen: set[int] = set()
+    _dl_counts: dict[int, int] = {}
 
     def _parse_then_transform(batch: DataFrame, epoch_id: int) -> DataFrame:
+        import shutil
+
         parsed = parse_kafka_envelope(batch, value_schema, keep_meta=True)
         bad = parsed.filter(F.col("_corrupt"))
         n_bad = bad.count()
-        if n_bad:
-            if dead_letter_dir:
+        if dead_letter_dir:
+            dl_path = os.path.join(dead_letter_dir, f"batch={epoch_id}")
+            if n_bad:
                 # keyed by batch + overwrite: foreachBatch is at-least-once,
                 # so a replayed epoch REPLACES its own dead-letter partition
                 # instead of appending duplicates — idempotent like the
@@ -195,10 +198,19 @@ def kafka_ingest(
                 # partition column.
                 bad.select("_topic", "_partition", "_offset").write.mode(
                     "overwrite"
-                ).parquet(os.path.join(dead_letter_dir, f"batch={epoch_id}"))
-            if epoch_id not in _dl_epochs_seen:  # don't double-count replays
-                _dl_epochs_seen.add(epoch_id)
-                dead_letters.append({"batch": epoch_id, "corrupt": n_bad})
+                ).parquet(dl_path)
+            elif os.path.isdir(dl_path):
+                # a replayed epoch that now parses CLEAN (e.g. after a
+                # value_schema fix) voids its previous attempt's dead
+                # letters — idempotency must hold for the zero-bad case
+                # too, or stale corrupt rows outlive the replay (ADVICE r03)
+                shutil.rmtree(dl_path)
+        # latest attempt wins per epoch: a replay may legitimately change
+        # the count (schema fixed → 0), so entries are rebuilt, not appended
+        _dl_counts[epoch_id] = n_bad
+        dead_letters[:] = [
+            {"batch": e, "corrupt": c} for e, c in sorted(_dl_counts.items()) if c
+        ]
         typed = parsed.filter(~F.col("_corrupt") & ~F.col("_tombstone")).drop(
             *_KAFKA_META
         )

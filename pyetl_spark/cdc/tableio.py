@@ -90,13 +90,20 @@ class SnapshotTable:
         keys: Sequence[str],
         nbuckets: int = 32,
         bucket_cols: Sequence[str] | None = None,
+        props: dict | None = None,
     ) -> "SnapshotTable":
         """``bucket_cols`` (default: ``keys``) picks which key columns drive
         row bucketing. Must be a subset of ``keys`` — then same-key rows
         still land in one bucket (MERGE correctness: a key's stale copy can
         never survive in an untouched bucket), while readers that know only
         the bucket_cols prefix (e.g. a band-key registry probing its batch's
-        buckets) get exact bucket-pruned reads via :meth:`bucket_ids`."""
+        buckets) get exact bucket-pruned reads via :meth:`bucket_ids`.
+
+        ``props``: immutable creator-owned table properties (Iceberg table
+        properties analog) carried in every manifest — e.g. the banding
+        parameters a near-dup registry was created with, so a reopen can
+        refuse incompatible parameters instead of silently probing with
+        band keys the stored history never used."""
         if bucket_cols is not None and not set(bucket_cols) <= set(keys):
             raise ValueError(f"bucket_cols {bucket_cols} must be a subset of keys {keys}")
         os.makedirs(os.path.join(root, "_versions"), exist_ok=True)
@@ -107,6 +114,7 @@ class SnapshotTable:
             "keys": list(keys),
             "bucket_cols": list(bucket_cols) if bucket_cols is not None else list(keys),
             "nbuckets": nbuckets,
+            "props": dict(props) if props else {},
             "schema": None,
             "buckets": {},
             "committed_batches": {},
@@ -250,6 +258,10 @@ class SnapshotTable:
 
     def committed_batches(self) -> dict[str, int]:
         return self.manifest()["committed_batches"]
+
+    def props(self) -> dict:
+        """creator-owned table properties (empty for pre-props tables)."""
+        return self.manifest().get("props", {})
 
     def max_seq(self) -> int:
         """Highest applied commit sequence — the reference's ``dbmaxval``

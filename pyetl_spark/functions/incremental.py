@@ -38,6 +38,7 @@ idempotent end state AND idempotent return value. Use inside
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,6 +46,8 @@ from pyspark.sql import functions as F
 
 from pyetl_spark.cdc.tableio import SnapshotTable
 from pyetl_spark.functions.text import fingerprint_md5
+
+log = logging.getLogger(__name__)
 
 
 def _candidate_pairs(
@@ -56,7 +59,18 @@ def _candidate_pairs(
 ) -> DataFrame:
     """shared banding-candidate stage for the LSH and ANN registries:
     within-batch + against-history collision pairs on ``bucket_key``,
-    canonicalized to ``new_id > old_id`` (replay-idempotent, no self-pairs).
+    canonicalized to ``(a, b)`` with ``a < b`` — sorted member ids, never
+    self-pairs, replay-idempotent (a pair arrives in one orientation only
+    regardless of which side was the batch and which the history).
+
+    Degenerate buckets are capped on BOTH sides (log-and-drop, never
+    silent): store buckets larger than ``max_bucket`` are dropped from the
+    history probe, and batch buckets larger than ``max_bucket`` are dropped
+    from the within-batch self-join — without the latter, one
+    boilerplate-heavy delivery (500 identical headers → one band bucket)
+    quadratically explodes its OWN self-join no matter how clean the store
+    is. Batch-vs-history output is linear in the batch (≤ |batch| ×
+    max_bucket), so the batch cap applies only to the self-join.
 
     The history probe is bucket-pruned ONLY when the store was created with
     ``bucket_cols == bucket_key`` — a legacy store bucketed by its full row
@@ -79,10 +93,26 @@ def _candidate_pairs(
                 .join(new.select(*bucket_key).distinct(), bucket_key, "left_semi")
             )
 
+    # within-batch self-join, capped: only buckets with 2..max_bucket
+    # members meet themselves (size-1 buckets yield no pairs; oversize
+    # buckets are dropped before the join output can materialize — the
+    # count aggregate never holds a bucket's members, just its size)
+    new_sizes = keys.groupBy(*bucket_key).agg(F.count("*").alias("__n"))
+    dropped_batch = new_sizes.filter(F.col("__n") > max_bucket).count()
+    if dropped_batch:
+        log.warning(
+            "incremental registry: dropped %d within-batch bucket(s) larger "
+            "than max_bucket=%d from the self-join (degenerate/boilerplate "
+            "content; raise max_bucket to keep them)",
+            dropped_batch,
+            max_bucket,
+        )
+    within_ok = new_sizes.filter(F.col("__n").between(2, max_bucket)).drop("__n")
+    bounded_new = new.join(within_ok, bucket_key, "left_semi")
     within = (
-        new.alias("l")
+        bounded_new.alias("l")
         .join(
-            new.select(*bucket_key, F.col("new_id").alias("old_id")).alias("r"),
+            bounded_new.select(*bucket_key, F.col("new_id").alias("old_id")).alias("r"),
             bucket_key,
         )
         .where(F.col("new_id") > F.col("old_id"))
@@ -92,6 +122,14 @@ def _candidate_pairs(
         # sizes are full per-band-key bucket sizes (the semi-join above
         # keeps whole buckets, it never splits one)
         sizes = history.groupBy(*bucket_key).agg(F.count("*").alias("__n"))
+        dropped_hist = sizes.filter(F.col("__n") > max_bucket).count()
+        if dropped_hist:
+            log.warning(
+                "incremental registry: dropped %d store bucket(s) larger "
+                "than max_bucket=%d from the history probe",
+                dropped_hist,
+                max_bucket,
+            )
         bounded = history.join(
             sizes.where(F.col("__n") <= max_bucket).drop("__n"),
             bucket_key,
@@ -104,10 +142,39 @@ def _candidate_pairs(
     else:
         pairs = within
     return pairs.select(
-        F.greatest("new_id", "old_id").alias("new_id"),
-        F.least("new_id", "old_id").alias("old_id"),
+        F.least("new_id", "old_id").alias("a"),
+        F.greatest("new_id", "old_id").alias("b"),
         "band_idx",
     ).distinct()
+
+
+def _check_registry_props(table: SnapshotTable, kind: str, cfg: dict) -> None:
+    """refuse to open a registry with parameters incompatible with the ones
+    it was created with (ADVICE r03): band keys computed under different
+    n_hashes/bands/k_shingle/hash_family (or dim/bits/seed) never collide
+    with the stored history, so every probe would silently return "no
+    near-dups". The config is persisted in the SnapshotTable manifest at
+    create time; legacy stores without it get a warning and are trusted."""
+    stored = table.props()
+    if not stored:
+        log.warning(
+            "%s registry at %s predates banding-config persistence; cannot "
+            "validate parameters %s against the store — history probes are "
+            "only correct if they match the creating job's",
+            kind,
+            table.root,
+            cfg,
+        )
+        return
+    mismatch = {k: (stored.get(k), v) for k, v in cfg.items() if stored.get(k) != v}
+    if mismatch:
+        raise ValueError(
+            f"{kind} registry at {table.root} was created with "
+            f"{ {k: s for k, (s, _) in mismatch.items()} } but reopened with "
+            f"{ {k: g for k, (_, g) in mismatch.items()} }; incompatible band "
+            "keys would silently miss every stored near-dup. Reopen with the "
+            "original parameters or create a new registry root."
+        )
 
 
 class _RegistryMaintenance:
@@ -205,7 +272,7 @@ class IncrementalDedup(_RegistryMaintenance):
 class IncrementalLsh(_RegistryMaintenance):
     """persistent near-dup registry: MinHash band keys against history.
 
-    ``ingest`` returns candidate (new_id, old_id) collisions of the batch
+    ``ingest`` returns candidate sorted (a, b) collisions of the batch
     against everything previously registered (plus within-batch collisions),
     for downstream exact verification — the incremental counterpart of
     ``dedup.minhash_lsh_pairs``'s banding stage. The store is keyed on
@@ -225,9 +292,16 @@ class IncrementalLsh(_RegistryMaintenance):
         self.spark = spark
         self.n_hashes, self.bands, self.k = n_hashes, bands, k_shingle
         self.hash_family = hash_family
+        cfg = {
+            "n_hashes": n_hashes,
+            "bands": bands,
+            "k_shingle": k_shingle,
+            "hash_family": hash_family,
+        }
         table_root = os.path.join(root, "bands")
         if SnapshotTable.exists(table_root):
             self.table = SnapshotTable(spark, table_root)
+            _check_registry_props(self.table, "IncrementalLsh", cfg)
         else:
             # key = band bucket + member id: every (bucket, doc) pair is one
             # immutable registry row; MERGE dedups re-deliveries by key
@@ -241,6 +315,7 @@ class IncrementalLsh(_RegistryMaintenance):
                 keys=["band_idx", "band_hash", "doc_id"],
                 bucket_cols=["band_idx", "band_hash"],
                 nbuckets=nbuckets,
+                props=cfg,
             )
 
     def _band_keys(self, docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -265,12 +340,12 @@ class IncrementalLsh(_RegistryMaintenance):
         max_bucket: int = 50,
     ) -> DataFrame:
         """register a batch; return candidate near-dup pairs
-        (new_id, old_id, band_idx) of this batch against the store and
-        itself, canonicalized to ``new_id > old_id`` (so replays and
-        cross-batch orientation produce one distinct row per unordered
-        pair, never (d, d) self-pairs). Buckets larger than ``max_bucket``
-        in the STORE are degenerate boilerplate — their collisions are
-        dropped (same documented cap as the batch LSH; note a replayed
+        (a, b, band_idx) of this batch against the store and itself,
+        canonicalized to ``a < b`` (sorted ids — so replays and cross-batch
+        orientation produce one distinct row per unordered pair, never
+        (d, d) self-pairs). Buckets larger than ``max_bucket`` — in the
+        STORE or within the batch itself — are degenerate boilerplate:
+        their collisions are dropped with a logged warning (note a replayed
         epoch re-evaluates the cap against the post-merge store, so a
         bucket the batch itself pushed past the cap drops out on replay).
 
@@ -303,7 +378,7 @@ class IncrementalAnn(_RegistryMaintenance):
     wide; two vectors are candidates iff they share a (band_idx, sig)
     bucket in ANY band. The store is bucketed by (band_idx, sig) — a
     batch's history probe reads only its own signature buckets — and
-    ``ingest`` returns canonical ``new_id > old_id`` pairs, idempotent
+    ``ingest`` returns canonical sorted ``(a, b)`` pairs, idempotent
     under re-delivered epochs (same discipline as :class:`IncrementalLsh`).
     Signatures are built as single SQL strings (``rhp_signature_sql``), so
     plan construction stays O(1) py4j calls per band.
@@ -323,9 +398,11 @@ class IncrementalAnn(_RegistryMaintenance):
 
         self.spark = spark
         self.planes = [hyperplanes(dim, bits, seed=seed + b) for b in range(bands)]
+        cfg = {"dim": dim, "bands": bands, "bits": bits, "seed": seed}
         table_root = os.path.join(root, "rhp")
         if SnapshotTable.exists(table_root):
             self.table = SnapshotTable(spark, table_root)
+            _check_registry_props(self.table, "IncrementalAnn", cfg)
         else:
             self.table = SnapshotTable.create(
                 spark,
@@ -333,6 +410,7 @@ class IncrementalAnn(_RegistryMaintenance):
                 keys=["band_idx", "sig", "vec_id"],
                 bucket_cols=["band_idx", "sig"],
                 nbuckets=nbuckets,
+                props=cfg,
             )
 
     def _signatures(self, df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
@@ -358,9 +436,10 @@ class IncrementalAnn(_RegistryMaintenance):
         max_bucket: int = 200,
     ) -> DataFrame:
         """register a batch of embeddings; return candidate neighbour pairs
-        (new_id, old_id, band_idx), canonical ``new_id > old_id``, of the
-        batch against the store and itself. Store buckets larger than
-        ``max_bucket`` are dropped (degenerate direction clusters)."""
+        (a, b, band_idx), canonical sorted ``a < b``, of the batch against
+        the store and itself. Buckets larger than ``max_bucket`` (store or
+        within-batch) are dropped with a logged warning (degenerate
+        direction clusters)."""
         keys = self._signatures(vecs, vec_col, id_col).localCheckpoint(eager=True)
         out = _candidate_pairs(self.table, keys, ["band_idx", "sig"], "vec_id", max_bucket)
 

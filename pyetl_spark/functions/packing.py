@@ -118,13 +118,18 @@ def pack_shards(
     )
     cum = global_cumsum(narrow, tokens_col, "__ord", out="__cum")
     # ``id_col`` must be unique and non-null (it is both the shuffle-order
-    # seed and the join-back key); validate in ONE aggregate over the
-    # already-checkpointed narrow data — a duplicate would silently
-    # multiply rows through the join, a null would silently drop them
+    # seed and the join-back key), and ``tokens_col`` must be non-null and
+    # non-negative (a null token count makes the running sum — and so the
+    # row's shard_id/token_offset — silently null; a negative one corrupts
+    # every later offset). Validate in ONE aggregate over the
+    # already-checkpointed narrow data.
     chk = cum.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(F.col(id_col)).alias("d"),
         F.sum(F.col(id_col).isNull().cast("int")).alias("nulls"),
+        F.sum(
+            (F.col(tokens_col).isNull() | (F.col(tokens_col) < 0)).cast("int")
+        ).alias("badtok"),
     ).first()
     if chk["nulls"]:
         raise ValueError(f"pack_shards: {chk['nulls']} null values in id column {id_col!r}")
@@ -132,6 +137,12 @@ def pack_shards(
         raise ValueError(
             f"pack_shards: id column {id_col!r} is not unique "
             f"({chk['n']} rows, {chk['d']} distinct ids)"
+        )
+    if chk["badtok"]:
+        raise ValueError(
+            f"pack_shards: {chk['badtok']} null/negative values in token "
+            f"column {tokens_col!r} — every document needs a non-negative "
+            "token count to hold the packing contract"
         )
     assign = cum.select(
         id_col,

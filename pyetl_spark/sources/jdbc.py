@@ -34,9 +34,12 @@ of the engine is storage-agnostic.
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+
+log = logging.getLogger(__name__)
 
 
 def _opts(url: str, options: Mapping[str, str] | None) -> dict[str, str]:
@@ -144,18 +147,55 @@ def max_val(
         # retry unquoted ONLY for identifier-resolution failures — a
         # transient error (connection reset, lock timeout) must surface,
         # not be masked by a second query that could even resolve to a
-        # DIFFERENT (folded) column and return a wrong watermark
-        msg = str(exc).lower()
-        resolution = any(
-            t in msg
-            for t in (
-                "column", "identifier", "not found", "does not exist",
-                "doesn't exist", "42x04", "42703", "invalid name",
-            )
-        )
-        if not quote or not resolution:
+        # DIFFERENT (folded) column and return a wrong watermark. The check
+        # is by SQLSTATE (class 42 = syntax/access-rule violation: Derby
+        # 42X04/42X05, standard 42703 undefined column, SQLServer 42S22),
+        # walked down the real JDBC exception chain — never by free-text
+        # substrings, which would fire on any message that merely mentions
+        # a column (ADVICE r03).
+        if not quote or not _is_identifier_resolution_error(exc):
             raise
+        log.warning(
+            "max_val: quoted identifier %s did not resolve on %s.%s; "
+            "retrying unquoted (table likely created by case-folding DDL)",
+            q, table, column,
+        )
+        # positional access: the unquoted alias folds per the database's rule
+        # (Derby/Postgres fold opposite ways), so the result column may be
+        # "M" or "m" — it is the single column either way
         row = read_query(
             spark, url, f"SELECT MAX({column}) AS m FROM {table}", options=options
         ).first()
-    return row["m"] if row else None
+    return row[0] if row else None
+
+
+_RESOLUTION_SQLSTATES = ("42X04", "42X05", "42703", "42S22", "42P01")
+
+
+def _is_identifier_resolution_error(exc: Exception) -> bool:
+    """True iff the exception chain carries a SQLSTATE meaning an
+    identifier failed to resolve. Walks the py4j Java exception's cause
+    chain calling ``getSQLState()`` where present; falls back to scanning
+    the message for an explicit ``SQLSTATE: 42xxx`` token (Derby and the
+    Spark JDBC dialect both embed it verbatim), never for prose."""
+    states: list[str] = []
+    je = getattr(exc, "java_exception", None)
+    depth = 0
+    while je is not None and depth < 10:
+        try:
+            st = je.getSQLState()
+            if st:
+                states.append(str(st).upper())
+        except Exception:  # noqa: BLE001 — not a SQLException; keep walking
+            pass
+        try:
+            je = je.getCause()
+        except Exception:  # noqa: BLE001
+            break
+        depth += 1
+    if states:
+        return any(s in _RESOLUTION_SQLSTATES for s in states)
+    import re as _re
+
+    tokens = _re.findall(r"SQLSTATE:?\s*([0-9A-Z]{5})", str(exc), _re.IGNORECASE)
+    return any(t.upper() in _RESOLUTION_SQLSTATES for t in tokens)

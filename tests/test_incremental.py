@@ -85,15 +85,15 @@ def test_incremental_lsh_candidates_cover_batch_pairs(spark, corpus, tmp_path):
     for b, (lo, hi) in enumerate([(1, 5), (5, 9)]):
         batch = corpus.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
         for r in inc.ingest(batch, batch_id=f"b{b}").collect():
-            got.add((max(r["new_id"], r["old_id"]), min(r["new_id"], r["old_id"])))
+            got.add((min(r["a"], r["b"]), max(r["a"], r["b"])))
     full = minhash_lsh_pairs(
         corpus, n_hashes=32, bands=16, k_shingle=2, threshold=0.5
     )
-    want = {(max(r["a"], r["b"]), min(r["a"], r["b"])) for r in full.collect()}
+    want = {(min(r["a"], r["b"]), max(r["a"], r["b"])) for r in full.collect()}
     assert want <= got
     # the exact dups must collide against HISTORY, not just within-batch:
     # 6 (batch 1) vs 1/2/4 (batch 0)
-    assert (6, 1) in got and (7, 3) in got
+    assert (1, 6) in got and (3, 7) in got
 
 
 def test_band_keys_consistency(spark, corpus):
@@ -117,10 +117,10 @@ def test_incremental_lsh_replay_idempotent(spark, corpus, tmp_path):
     b0 = corpus.filter(F.col("doc_id") < 5)
     b1 = corpus.filter(F.col("doc_id") >= 5)
     inc.ingest(b0, batch_id="b0")
-    first = {(r["new_id"], r["old_id"]) for r in inc.ingest(b1, batch_id="b1").collect()}
-    again = {(r["new_id"], r["old_id"]) for r in inc.ingest(b1, batch_id="b1").collect()}
+    first = {(r["a"], r["b"]) for r in inc.ingest(b1, batch_id="b1").collect()}
+    again = {(r["a"], r["b"]) for r in inc.ingest(b1, batch_id="b1").collect()}
     assert again == first
-    assert all(a > b for a, b in again)  # canonical, never self-pairs
+    assert all(a < b for a, b in again)  # canonical sorted, never self-pairs
 
 
 def test_lsh_store_is_band_bucketed(spark, corpus, tmp_path):
@@ -155,12 +155,12 @@ def test_incremental_ann_replay_and_history(spark, tmp_path):
     inc = IncrementalAnn(spark, str(tmp_path), dim=8, bands=2, bits=4, nbuckets=4)
     b0 = df.filter(F.col("vec_id") <= 2)
     b1 = df.filter(F.col("vec_id") >= 3)
-    p0 = {(r["new_id"], r["old_id"]) for r in inc.ingest(b0, batch_id="b0").collect()}
-    p1 = {(r["new_id"], r["old_id"]) for r in inc.ingest(b1, batch_id="b1").collect()}
-    assert (4, 1) in p1              # identical vector found in HISTORY
+    p0 = {(r["a"], r["b"]) for r in inc.ingest(b0, batch_id="b0").collect()}
+    p1 = {(r["a"], r["b"]) for r in inc.ingest(b1, batch_id="b1").collect()}
+    assert (1, 4) in p1              # identical vector found in HISTORY
     assert not any(a == b for a, b in p0 | p1)
-    assert all(a > b for a, b in p0 | p1)
-    again = {(r["new_id"], r["old_id"]) for r in inc.ingest(b1, batch_id="b1").collect()}
+    assert all(a < b for a, b in p0 | p1)
+    again = {(r["a"], r["b"]) for r in inc.ingest(b1, batch_id="b1").collect()}
     assert again == p1               # replay-idempotent
     # antipodal vector never pairs with v1/v4
     assert not any({a, b} >= {3, 1} or {a, b} >= {3, 4} for a, b in p0 | p1)
@@ -218,5 +218,89 @@ def test_pack_validation_and_legacy_stores(spark, corpus, tmp_path):
     )
     inc2 = IncrementalLsh(spark, root_b, n_hashes=32, bands=16, k_shingle=2)
     b1 = corpus.filter(F.col("doc_id") >= 5)
-    pairs = {(r["new_id"], r["old_id"]) for r in inc2.ingest(b1, batch_id="b1").collect()}
-    assert (6, 1) in pairs  # history collision found despite legacy bucketing
+    pairs = {(r["a"], r["b"]) for r in inc2.ingest(b1, batch_id="b1").collect()}
+    assert (1, 6) in pairs  # history collision found despite legacy bucketing
+
+
+def test_within_batch_bucket_cap_lsh(spark, tmp_path, caplog):
+    """one boilerplate-heavy delivery (500 identical docs → one band bucket
+    per band) must NOT quadratically explode its own self-join: oversize
+    within-batch buckets are dropped with a logged warning, exactly like the
+    history side's cap (VERDICT r03 #1). Distinct docs in the same batch are
+    unaffected."""
+    import logging
+
+    n = 500
+    rows = [(i, "exact same boilerplate header repeated in every file") for i in range(n)]
+    rows += [(n, "one genuinely distinct document body here"),
+             (n + 1, "one genuinely distinct document body here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    inc = IncrementalLsh(spark, str(tmp_path), n_hashes=32, bands=4, k_shingle=2)
+    with caplog.at_level(logging.WARNING, logger="pyetl_spark.functions.incremental"):
+        pairs = inc.ingest(df, batch_id="b0", max_bucket=50).collect()
+    # without the cap the identical docs alone emit C(500,2)*4 ≈ 499k pairs
+    got = {(r["a"], r["b"]) for r in pairs}
+    assert len(got) <= 50 * 50
+    assert (n, n + 1) in got          # sane buckets still pair
+    assert any("within-batch bucket" in r.getMessage() for r in caplog.records)
+    # replay returns the identical (still-capped) set: the batch's own keys
+    # are now store buckets > max_bucket, dropped by the history cap
+    again = {(r["a"], r["b"]) for r in inc.ingest(df, batch_id="b0", max_bucket=50).collect()}
+    assert again == got
+
+
+def test_within_batch_bucket_cap_ann(spark, tmp_path, caplog):
+    """same guarantee for the embedding registry: a batch of identical
+    vectors (one degenerate direction cluster) yields a bounded pair count
+    and a logged drop, not an O(n^2) self-join."""
+    import logging
+
+    from pyetl_spark.functions.incremental import IncrementalAnn
+
+    v = [1.0, 0.5] + [0.0] * 6
+    rows = [(i, v) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    inc = IncrementalAnn(spark, str(tmp_path), dim=8, bands=2, bits=4, nbuckets=4)
+    with caplog.at_level(logging.WARNING, logger="pyetl_spark.functions.incremental"):
+        pairs = inc.ingest(df, batch_id="b0", max_bucket=100).collect()
+    assert len(pairs) == 0            # the only bucket is oversize → dropped
+    assert any("within-batch bucket" in r.getMessage() for r in caplog.records)
+
+
+def test_registry_config_mismatch_raises(spark, tmp_path, caplog):
+    """banding parameters are persisted at create time (ADVICE r03): a
+    reopen with different values would compute band keys the stored history
+    never used — every probe silently empty — so it must raise instead."""
+    import logging
+
+    import pytest as _pytest
+
+    from pyetl_spark.functions.incremental import IncrementalAnn
+
+    from pyetl_spark.cdc.tableio import SnapshotTable
+
+    root = str(tmp_path / "lsh")
+    IncrementalLsh(spark, root, n_hashes=32, bands=16, k_shingle=2)
+    assert SnapshotTable(spark, root + "/bands").props()["bands"] == 16
+    with _pytest.raises(ValueError, match="created with"):
+        IncrementalLsh(spark, root, n_hashes=32, bands=8, k_shingle=2)
+    with _pytest.raises(ValueError, match="hash_family"):
+        IncrementalLsh(spark, root, n_hashes=32, bands=16, k_shingle=2, hash_family="md5")
+    # matching parameters reopen fine
+    IncrementalLsh(spark, root, n_hashes=32, bands=16, k_shingle=2)
+
+    root2 = str(tmp_path / "ann")
+    IncrementalAnn(spark, root2, dim=8, bands=2, bits=4)
+    with _pytest.raises(ValueError, match="created with"):
+        IncrementalAnn(spark, root2, dim=16, bands=2, bits=4)
+    IncrementalAnn(spark, root2, dim=8, bands=2, bits=4)
+
+    # a legacy store without persisted props warns and is trusted
+    root3 = str(tmp_path / "legacy")
+    SnapshotTable.create(
+        spark, root3 + "/bands", keys=["band_idx", "band_hash", "doc_id"],
+        bucket_cols=["band_idx", "band_hash"], nbuckets=4,
+    )
+    with caplog.at_level(logging.WARNING, logger="pyetl_spark.functions.incremental"):
+        IncrementalLsh(spark, root3, n_hashes=32, bands=16, k_shingle=2)
+    assert any("predates banding-config persistence" in r.getMessage() for r in caplog.records)

@@ -107,6 +107,32 @@ def test_append_and_max_val(spark, derby):
     assert jdbc.max_val(spark, url, "EVENTS", "id", options=opts) == 249
 
 
+def test_max_val_unquoted_fallback_by_sqlstate(spark, derby, caplog):
+    """a table created by plain case-folding DDL stores the column as ID, so
+    the quoted probe MAX("id") fails with SQLSTATE 42X04; max_val must
+    detect that BY SQLSTATE (walking the JDBC exception chain, never prose
+    matching — ADVICE r03), log the fallback, and return the unquoted
+    result. A genuinely missing table must still raise, not be masked."""
+    import logging
+
+    url, opts = derby
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)  # noqa: SLF001
+    st = conn.createStatement()
+    try:
+        st.execute("CREATE TABLE PLAINDDL (id INT)")
+        st.execute("INSERT INTO PLAINDDL VALUES (1),(5),(3)")
+    finally:
+        st.close()
+        conn.close()
+    with caplog.at_level(logging.WARNING, logger="pyetl_spark.sources.jdbc"):
+        assert jdbc.max_val(spark, url, "PLAINDDL", "id", options=opts) == 5
+    assert any("retrying unquoted" in r.getMessage() for r in caplog.records)
+    # non-resolution errors surface: both quoted and unquoted forms fail on
+    # a missing table, so the retry (42X05 IS a resolution state) re-raises
+    with pytest.raises(Exception):
+        jdbc.max_val(spark, url, "NO_SUCH_TABLE", "id", options=opts)
+
+
 def test_dbset_decorrelated_lookup(spark, derby):
     """dbset (traitement_db.py:633-700) is a per-row correlated lookup in
     the reference; the scale form is decorrelated — read the lookup relation

@@ -94,6 +94,44 @@ def test_kafka_ingest_matches_oracle_and_is_exactly_once(
     assert table.current_version() == v
 
 
+def test_dead_letter_clean_replay_voids_stale_partition(spark, events, topic_dir, tmp_path):
+    """idempotency must hold for the ZERO-bad case too (ADVICE r03): a
+    replayed epoch that now parses clean (e.g. after a value_schema fix)
+    must void its previous attempt's dead-letter partition AND its
+    driver-side count, not leave them standing."""
+    import os
+
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), keys=["repo", "path"], nbuckets=4)
+    dl_dir = str(tmp_path / "dl")
+    ingest = kafka_ingest(
+        spark, topic_dir, table, str(tmp_path / "ckpt"), dead_letter_dir=dl_dir
+    )
+    env = events_to_envelope(events.limit(10))
+    corrupt = env.withColumn(
+        "value",
+        F.when(F.col("offset") < 3, F.lit(b"{not json")).otherwise(F.col("value")),
+    )
+    # first attempt of epoch 7: 3 corrupt rows land in the dead letter
+    ingest.transform(corrupt, 7)
+    assert os.path.isdir(f"{dl_dir}/batch=7")
+    assert spark.read.parquet(f"{dl_dir}/batch=7").count() == 3
+    assert ingest.dead_letters == [{"batch": 7, "corrupt": 3}]
+    # replay of epoch 7 parses clean: stale partition removed, count voided
+    ingest.transform(env, 7)
+    assert not os.path.isdir(f"{dl_dir}/batch=7")
+    assert ingest.dead_letters == []
+    # replay with FEWER bad rows: latest attempt wins, overwrite not append
+    ingest.transform(
+        env.withColumn(
+            "value",
+            F.when(F.col("offset") == 0, F.lit(b"xx")).otherwise(F.col("value")),
+        ),
+        7,
+    )
+    assert spark.read.parquet(f"{dl_dir}/batch=7").count() == 1
+    assert ingest.dead_letters == [{"batch": 7, "corrupt": 1}]
+
+
 def test_tombstone_routed_not_merged(spark, events):
     """null-value records are deletion markers, not corrupt rows, and must
     not reach the MERGE as null-key upserts."""

@@ -161,3 +161,18 @@ def test_pack_shards_rejects_duplicate_and_null_ids(spark):
     with pytest.raises(ValueError, match="null"):
         pack_shards(nul, "toks", "doc_id", budget=10)
     del SF
+
+
+def test_pack_shards_rejects_null_and_negative_tokens(spark):
+    """a null token count would silently null the running sum (and so the
+    row's shard assignment); a negative one corrupts every later offset —
+    both must fail the packing contract loudly (ADVICE r03)."""
+    nul = spark.createDataFrame([(1, 5), (2, None), (3, 3)], "doc_id long, toks long")
+    with pytest.raises(ValueError, match="token"):
+        pack_shards(nul, "toks", "doc_id", budget=10)
+    neg = spark.createDataFrame([(1, 5), (2, -4), (3, 3)], "doc_id long, toks long")
+    with pytest.raises(ValueError, match="token"):
+        pack_shards(neg, "toks", "doc_id", budget=10)
+    # zero-token documents are legal (empty after cleaning): no raise
+    zero = spark.createDataFrame([(1, 0), (2, 4)], "doc_id long, toks long")
+    assert pack_shards(zero, "toks", "doc_id", budget=10).count() == 2
