@@ -1351,17 +1351,22 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal feature extraction over all three REAL codecs (BMP image,
-    PCM-WAV audio, DIB-AVI video — pyetl_spark.functions.codecs, pure
-    stdlib): decode_stub=False, so every width/height/n_frames below is read
-    out of actual decoded bytes by the Arrow-batched mapInPandas path — a
-    broken header parse, stride computation or frame walk fails the row.
-    The payloads are deterministic synthetics, so the decoded dimensions
-    have a closed form the SQL oracle states independently."""
+    """Multimodal feature extraction over all four REAL codecs (BMP + PNG
+    image, PCM-WAV audio, DIB-AVI video — pyetl_spark.functions.codecs,
+    pure stdlib): decode_stub=False, so every width/height/n_frames below
+    is read out of actual decoded bytes by the Arrow-batched mapInPandas
+    path — a broken header parse, zlib inflate, scanline unfilter, stride
+    computation or frame walk fails the row. The 6 PNG payloads cycle
+    scanline filter types 0-4, so Sub/Up/Average/Paeth reconstruction is
+    all on the certified path. The payloads are deterministic synthetics,
+    so the decoded dimensions have a closed form the SQL oracle states
+    independently (PNGs are 20x14, distinguishing them from the 32x24
+    BMPs)."""
     from pyetl_spark.functions import multimodal as mm
 
     media = (
         mm.synthetic_bmp_media(spark, 6, width=32, height=24)
+        .unionByName(mm.synthetic_png_media(spark, 6, width=20, height=14))
         .unionByName(mm.synthetic_wav_media(spark, 6, sample_rate=8000, duration_ms=250))
         .unionByName(mm.synthetic_avi_media(spark, 6, width=24, height=16, n_frames=12, fps=10))
     )
@@ -2256,6 +2261,10 @@ def oracle_sql() -> dict[str, str]:
                 SELECT r.range AS media_id, 'image' AS kind,
                        CAST(32 AS INT) AS width, CAST(24 AS INT) AS height,
                        CAST(1 AS INT) AS n_frames
+                FROM range(6) r
+                UNION ALL
+                SELECT r.range, 'image', CAST(20 AS INT), CAST(14 AS INT),
+                       CAST(1 AS INT)
                 FROM range(6) r
                 UNION ALL
                 SELECT r.range, 'audio', CAST(NULL AS INT), CAST(NULL AS INT),

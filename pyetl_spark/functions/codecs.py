@@ -300,6 +300,166 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
     return out, fps
 
 
+# --------------------------------------------------------------------- PNG
+# PNG needs no codec library either: the container is chunked (length, type,
+# body, CRC32), the pixel stream is zlib (stdlib) over per-scanline filtered
+# rows, and the five filter predictors (None/Sub/Up/Average/Paeth, PNG spec
+# §9) are byte arithmetic. Scope: 8-bit depth, color types 0 (gray),
+# 2 (RGB) and 6 (RGBA), non-interlaced — the layout every screenshot tool
+# and most training-corpus PNGs use; palette (3), 16-bit and Adam7 raise.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_IHDR = struct.Struct(">IIBBBBB")  # width, height, depth, color, comp, filter, interlace
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # color type -> samples per pixel
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_row(ftype: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """apply filter ``ftype`` to one raw scanline (forward direction, for
+    the encoder). int16/int32 math, returned mod 256 as uint8."""
+    r = row.astype(np.int32)
+    left = np.zeros_like(r)
+    left[bpp:] = r[:-bpp]
+    up = prev.astype(np.int32)
+    upleft = np.zeros_like(up)
+    upleft[bpp:] = up[:-bpp]
+    if ftype == 0:
+        out = r
+    elif ftype == 1:
+        out = r - left
+    elif ftype == 2:
+        out = r - up
+    elif ftype == 3:
+        out = r - (left + up) // 2
+    elif ftype == 4:
+        out = r - _paeth(left, up, upleft)
+    else:
+        raise ValueError(f"unknown PNG filter type {ftype}")
+    return (out % 256).astype(np.uint8)
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized (PNG spec §9.4)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
+    """uint8 array -> PNG bytes. Shapes: (h, w) gray, (h, w, 3) RGB,
+    (h, w, 4) RGBA. ``filter_type`` picks the per-scanline filter (0-4) —
+    real encoders choose per row; a fixed type keeps the output
+    deterministic while letting tests exercise every unfilter path."""
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.ndim != 3 or px.shape[2] not in (1, 3, 4):
+        raise ValueError(f"expected (h, w[, 1|3|4]) uint8 array, got shape {pixels.shape}")
+    h, w, ch = px.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    raw = px.reshape(h, w * ch)
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    lines = []
+    for y in range(h):
+        lines.append(bytes([filter_type]))
+        filt = _png_filter_row(filter_type, raw[y], prev, ch)
+        lines.append(filt.tobytes())
+        prev = raw[y]
+    idat = zlib.compress(b"".join(lines), level)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", _IHDR.pack(w, h, 8, color, 0, 0, 0))
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def is_png(payload: bytes | None) -> bool:
+    return bool(payload) and payload[: len(_PNG_SIG)] == _PNG_SIG
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, channels) uint8 array (gray decoded as (h, w, 1)).
+    Walks the chunk list (IDAT may be split; ancillary chunks skipped),
+    inflates with stdlib zlib, and un-filters every scanline per its own
+    filter byte — all five PNG filter types. Interlaced, paletted and
+    16-bit images raise (out of the pure-stdlib scope)."""
+    import zlib
+
+    if not is_png(payload):
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = len(_PNG_SIG), None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = _IHDR.unpack(body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + CRC
+    if ihdr is None or not idat:
+        raise ValueError("PNG payload missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported (got depth={depth})")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color} (palette needs PLTE handling)")
+    if interlace:
+        raise ValueError("Adam7-interlaced PNG not supported")
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    stream = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if stream.size != h * (stride + 1):
+        raise ValueError(
+            f"PNG pixel stream is {stream.size} bytes, expected {h * (stride + 1)}"
+        )
+    scan = stream.reshape(h, stride + 1)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = int(scan[y, 0])
+        row = scan[y, 1:].astype(np.int32)
+        if ftype == 0:
+            cur = row
+        elif ftype == 2:
+            cur = (row + prev) % 256
+        else:
+            # Sub/Average/Paeth depend on the just-reconstructed left pixel:
+            # recur per pixel-group along x (bpp-wide vector ops per step)
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(0, stride, ch):
+                left = cur[x - ch : x] if x >= ch else np.zeros(ch, dtype=np.int32)
+                up = prev[x : x + ch]
+                upleft = prev[x - ch : x] if x >= ch else np.zeros(ch, dtype=np.int32)
+                seg = row[x : x + ch]
+                if ftype == 1:
+                    cur[x : x + ch] = (seg + left) % 256
+                elif ftype == 3:
+                    cur[x : x + ch] = (seg + (left + up) // 2) % 256
+                elif ftype == 4:
+                    cur[x : x + ch] = (seg + _paeth(left, up, upleft)) % 256
+                else:
+                    raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur  # the RECONSTRUCTED row is the next row's 'up' reference
+    return out.reshape(h, w, ch)
+
+
 def image_features(pixels: np.ndarray, bins: int = 16) -> list[float]:
     """deterministic real features from decoded pixels: a ``bins``-bucket
     grayscale intensity histogram (L1-normalized) — the same shape a real

@@ -9,6 +9,10 @@ shape, Arrow-batched UDF signatures via ``mapInPandas``. Codec status:
   ``decode_stub=False``, ``extract_features`` computes true width/height
   and pixel-histogram features, and ``resize_images`` re-encodes actually
   resampled pixels, for any payload whose magic bytes say BMP.
+- **PNG images decode for REAL too** (same module: chunk walk + stdlib
+  zlib inflate + all five per-scanline unfilters; 8-bit gray/RGB/RGBA,
+  non-interlaced — the layout most corpus PNGs use). ``resize_images``
+  round-trips PNG payloads through decode → resample → re-encode.
 - **WAV audio decodes for REAL** (same module: RIFF/PCM-16 encoder/decoder
   + spectrum/RMS/zero-crossing features — no torchaudio needed).
   ``sample_audio_windows`` emits per-window RMS rows from actual samples.
@@ -16,7 +20,7 @@ shape, Arrow-batched UDF signatures via ``mapInPandas``. Codec status:
   encoder/decoder whose '00db' frames share BMP's pixel layout — no pyav
   needed). ``sample_frames`` emits every-Nth-frame rows with true
   per-frame histogram features and timestamps.
-- Compressed formats (JPEG/PNG/MP3/H.264) remain STUBBED (their
+- Codec-library formats (JPEG/MP3/H.264) remain STUBBED (their
   libraries are not in this container): ``decode_stub=True`` (default)
   runs a clearly-marked deterministic fake decoder so the plumbing is
   testable end-to-end; ``decode_stub=False`` raises
@@ -102,6 +106,37 @@ def synthetic_bmp_media(
                         "kind": "image",
                         "payload": codecs.encode_bmp(px),
                         "mime": "image/bmp",
+                        "meta": {"width": width, "height": height, "duration_ms": None},
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def synthetic_png_media(
+    spark, n: int = 50, width: int = 32, height: int = 24, seed: int = 42
+) -> DataFrame:
+    """deterministic REAL-media table: every payload is a valid 8-bit RGB
+    PNG (seeded random pixels). The scanline filter type CYCLES 0-4 with
+    media_id, so a scan of the table exercises every PNG unfilter path —
+    a decoder that mishandles Sub/Up/Average/Paeth fails 4/5 of rows."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyetl_spark.functions import codecs
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                rng = np.random.default_rng(seed + int(mid))
+                px = rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "kind": "image",
+                        "payload": codecs.encode_png(px, filter_type=int(mid) % 5),
+                        "mime": "image/png",
                         "meta": {"width": width, "height": height, "duration_ms": None},
                     }
                 )
@@ -209,12 +244,20 @@ def _fake_decode(payload: bytes, kind: str) -> dict:
 
 
 def _real_decode(payload: bytes) -> dict | None:
-    """real decode for formats the stdlib codec handles (BMP + WAV today);
-    None when the payload is neither — caller falls back to stub/raise."""
+    """real decode for formats the stdlib codec handles (BMP, PNG, WAV,
+    AVI); None otherwise — caller falls back to stub/raise."""
     from pyetl_spark.functions import codecs
 
-    if codecs.is_bmp(payload):
-        px = codecs.decode_bmp(payload)
+    if codecs.is_bmp(payload) or codecs.is_png(payload):
+        px = (
+            codecs.decode_bmp(payload)
+            if codecs.is_bmp(payload)
+            else codecs.decode_png(payload)
+        )
+        if px.shape[2] == 1:  # grayscale PNG: histogram over the one channel
+            px = px.repeat(3, axis=2)
+        elif px.shape[2] == 4:  # RGBA: features over the color planes
+            px = px[:, :, :3]
         return {
             "width": int(px.shape[1]),
             "height": int(px.shape[0]),
@@ -249,9 +292,10 @@ def _real_decode(payload: bytes) -> dict | None:
 
 def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     """decode + feature-extract via Arrow-batched ``mapInPandas`` (map-only:
-    no shuffle; binary stays within its input partition). BMP, WAV and AVI
-    payloads (magic-sniffed) decode for real in EITHER mode; ``decode_stub``
-    controls what happens to everything else (fake vs NotImplementedError)."""
+    no shuffle; binary stays within its input partition). BMP, PNG, WAV and
+    AVI payloads (magic-sniffed) decode for real in EITHER mode;
+    ``decode_stub`` controls what happens to everything else (fake vs
+    NotImplementedError)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -264,9 +308,9 @@ def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
                         d = _fake_decode(payload, r.kind)
                     else:
                         raise NotImplementedError(
-                            "real decode for non-BMP/WAV/AVI media requires "
-                            "codec libraries (PIL/pyav); install them and "
-                            "extend _real_decode"
+                            "real decode for non-BMP/PNG/WAV/AVI media "
+                            "requires codec libraries (PIL/pyav); install "
+                            "them and extend _real_decode"
                         )
                 rows.append(
                     {
@@ -284,10 +328,11 @@ def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int, decode_stub: bool = True) -> DataFrame:
-    """image resize. ``decode_stub=False``: REAL path — decode BMP payloads,
-    nearest-neighbor resample, re-encode BMP (map-only ``mapInPandas``; a
-    non-BMP payload raises at the codec seam). ``decode_stub=True``: stub —
-    passes payload through and stamps the target dimensions in metadata."""
+    """image resize. ``decode_stub=False``: REAL path — decode BMP/PNG
+    payloads, nearest-neighbor resample, re-encode in the SAME container
+    (map-only ``mapInPandas``; any other format raises at the codec seam).
+    ``decode_stub=True``: stub — passes payload through and stamps the
+    target dimensions in metadata."""
     imgs = df.filter(F.col("kind") == "image")
     if decode_stub:
         return imgs.withColumn(
@@ -308,13 +353,17 @@ def resize_images(df: DataFrame, width: int, height: int, decode_stub: bool = Tr
             payloads, metas = [], []
             for r in pdf.itertuples(index=False):
                 payload = bytes(r.payload) if r.payload is not None else b""
-                if not codecs.is_bmp(payload):
+                if codecs.is_bmp(payload):
+                    px = codecs.resize_nearest(codecs.decode_bmp(payload), width, height)
+                    payloads.append(codecs.encode_bmp(px))
+                elif codecs.is_png(payload):
+                    px = codecs.resize_nearest(codecs.decode_png(payload), width, height)
+                    payloads.append(codecs.encode_png(px))
+                else:
                     raise NotImplementedError(
-                        "real resize for non-BMP images requires PIL — "
+                        "real resize for non-BMP/PNG images requires PIL — "
                         "plug in at this seam"
                     )
-                px = codecs.resize_nearest(codecs.decode_bmp(payload), width, height)
-                payloads.append(codecs.encode_bmp(px))
                 meta = dict(r.meta) if isinstance(r.meta, dict) else {}
                 metas.append(
                     {"width": width, "height": height, "duration_ms": meta.get("duration_ms")}
