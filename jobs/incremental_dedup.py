@@ -33,6 +33,38 @@ from pyspark.sql import functions as F
 from pyetl_spark.functions.incremental import IncrementalDedup
 
 
+def make_register(
+    registry,
+    accepted_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    near_dup: bool = False,
+    max_bucket: int = 50,
+):
+    """the job's foreachBatch body, exposed so tests can drive the exact
+    production code path (kill mid-stream, resume from checkpoint) without
+    going through argv."""
+
+    def _register(batch, epoch_id: int) -> None:
+        kw = {"max_bucket": max_bucket} if near_dup else {}
+        out = registry.ingest(
+            batch, batch_id=f"epoch:{epoch_id}",
+            text_col=text_col, id_col=id_col, **kw,
+        )
+        # idempotent per-epoch sink: replay overwrites, never appends twice
+        # (ingest return values are replay-idempotent for both registries)
+        if near_dup:  # out = candidate pairs (a, b, band_idx)
+            out.write.mode("overwrite").parquet(f"{accepted_dir}/batch={epoch_id}")
+        else:  # out = accepted (doc_id, fp): keep the full accepted rows
+            (
+                batch.join(out.select(F.col("doc_id").alias(id_col)), id_col)
+                .write.mode("overwrite")
+                .parquet(f"{accepted_dir}/batch={epoch_id}")
+            )
+
+    return _register
+
+
 def main(argv: list[str]) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("docs_dir")
@@ -97,22 +129,11 @@ def main(argv: list[str]) -> int:
             )
             raise SystemExit(2) from exc
 
-    def _register(batch, epoch_id: int) -> None:
-        kw = {"max_bucket": args.max_bucket} if args.near_dup else {}
-        out = registry.ingest(
-            batch, batch_id=f"epoch:{epoch_id}",
-            text_col=args.text_col, id_col=args.id_col, **kw,
-        )
-        # idempotent per-epoch sink: replay overwrites, never appends twice
-        # (ingest return values are replay-idempotent for both registries)
-        if args.near_dup:  # out = candidate pairs (a, b, band_idx)
-            out.write.mode("overwrite").parquet(f"{args.accepted_dir}/batch={epoch_id}")
-        else:  # out = accepted (doc_id, fp): keep the full accepted rows
-            (
-                batch.join(out.select(F.col("doc_id").alias(args.id_col)), args.id_col)
-                .write.mode("overwrite")
-                .parquet(f"{args.accepted_dir}/batch={epoch_id}")
-            )
+    _register = make_register(
+        registry, args.accepted_dir,
+        text_col=args.text_col, id_col=args.id_col,
+        near_dup=args.near_dup, max_bucket=args.max_bucket,
+    )
 
     stream = (
         spark.readStream.schema(schema)
