@@ -103,6 +103,62 @@ def bench_cdc_replay(spark, n_events: int, nbuckets: int = 32, n_batches: int = 
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_incremental(spark, sf_dir: str, n_batches: int = 3) -> dict:
+    """the production ingest path (VERDICT r03 #4): replay the documents
+    table as ``n_batches`` ordered deliveries through the persistent exact
+    and LSH registries — per-batch cost must stay batch-proportional, and a
+    throughput regression here must show up in BENCH_rN."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from pyetl_spark.functions.incremental import IncrementalDedup, IncrementalLsh
+
+    fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="bench_inc_", dir=fast)
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        n = docs.count()
+        step = n // n_batches + 1
+        batches = [
+            docs.filter(
+                (F2.col("doc_id") >= b * step) & (F2.col("doc_id") < (b + 1) * step)
+            )
+            for b in range(n_batches)
+        ]
+        # warmup replay into throwaway roots: the registry merge/probe
+        # stages are fresh codegen classes (one-time gVisor JIT toll)
+        warm = IncrementalDedup(spark, os.path.join(root, "warm_e"), nbuckets=16)
+        warm.ingest(batches[0].limit(200), batch_id="w0")
+        warm_l = IncrementalLsh(spark, os.path.join(root, "warm_l"), nbuckets=16)
+        warm_l.ingest(batches[0].limit(200), batch_id="w0")
+
+        exact = IncrementalDedup(spark, os.path.join(root, "exact"), nbuckets=16)
+        t0 = time.time()
+        for b, batch in enumerate(batches):
+            exact.ingest(batch, batch_id=f"b{b}")
+        exact_sec = time.time() - t0
+
+        lsh = IncrementalLsh(spark, os.path.join(root, "lsh"), nbuckets=16)
+        t0 = time.time()
+        pairs = 0
+        for b, batch in enumerate(batches):
+            pairs += lsh.ingest(batch, batch_id=f"b{b}").count()
+        lsh_sec = time.time() - t0
+        return {
+            "docs": n,
+            "batches": n_batches,
+            "exact_sec": round(exact_sec, 2),
+            "exact_docs_per_sec": int(n / exact_sec),
+            "lsh_sec": round(lsh_sec, 2),
+            "lsh_docs_per_sec": int(n / lsh_sec),
+            "lsh_candidate_pairs": pairs,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -181,13 +237,18 @@ def main() -> None:
             [sys.executable, os.path.abspath(__file__), "--replay-worker", str(n_events)],
             capture_output=True,
             text=True,
-            timeout=900,
+            timeout=1200,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-        cdc = json.loads(out.stdout.strip().splitlines()[-1])
+        worker = json.loads(out.stdout.strip().splitlines()[-1])
+        cdc = worker["cdc_replay"]
+        incremental = worker.get("incremental_ingest", {})
     except Exception as e:  # noqa: BLE001
         cdc = {"error": f"{type(e).__name__}: {e}"[:200], "sec": 0}
+        incremental = {}
 
+    # headline total stays queries + flagship replay (comparable across
+    # rounds); the incremental tier is reported alongside in extras
     total = round(sum(timings.values()) + cdc["sec"], 3)
     print(
         json.dumps(
@@ -199,6 +260,7 @@ def main() -> None:
                 "sf": float(sf),
                 "extras": {
                     "cdc_replay": cdc,
+                    "incremental_ingest": incremental,
                     "cpus": int(cpus),
                     "calibration": {"start_sec": calib_start, "end_sec": calib_end},
                     "cold_first_run": cold,
@@ -210,8 +272,11 @@ def main() -> None:
 
 
 def _replay_worker(n_events: int) -> None:
-    """Fresh-JVM flagship replay (invoked by main via subprocess)."""
+    """Fresh-JVM flagship replay + incremental-registry tier (invoked by
+    main via subprocess — a long query session measurably degrades a shared
+    JVM, and the production ingest jobs get their own drivers anyway)."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     fast_dir = "/dev/shm" if os.path.isdir("/dev/shm") else None
     spark = get_spark(
         app_name="pyetl_spark_bench_cdc",
@@ -223,7 +288,11 @@ def _replay_worker(n_events: int) -> None:
             **({"spark.local.dir": f"{fast_dir}/bench_shuffle"} if fast_dir else {}),
         },
     )
-    print(json.dumps(bench_cdc_replay(spark, n_events)))
+    out = {
+        "cdc_replay": bench_cdc_replay(spark, n_events),
+        "incremental_ingest": bench_incremental(spark, sf_dir),
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -24,11 +24,22 @@ empirically forced by this sandbox — see BASELINE.md for the numbers):
     object store) does not have; compute_path isolates the engine's
     distributed-compute scaling from that sandbox artifact.
 
-Usage:  python bench_scaling.py            # prints one JSON line
+Usage:  python bench_scaling.py            # prints one JSON line, archives
+                                           # the campaign, regenerates the
+                                           # BASELINE.md campaign table
         python bench_scaling.py --worker N # internal, one level
+        python bench_scaling.py --sync-doc # regenerate the BASELINE.md
+                                           # table from the archive only
 Env:    SPARK_GRAFT_SCALE_EVENTS (2000000), SPARK_GRAFT_SCALE_BATCHES (2),
         SPARK_GRAFT_SCALE_LEVELS ("2,8"), SPARK_GRAFT_SCALE_ROUNDS (2 JVMs
-        per level), SPARK_GRAFT_SCALE_REPS (2 measured runs per metric/JVM).
+        per level), SPARK_GRAFT_SCALE_REPS (2 measured runs per metric/JVM),
+        SPARK_GRAFT_ROUND (round tag for the archive entry),
+        SPARK_GRAFT_ARCHIVE=0 (skip archiving, for debug runs).
+
+The campaign table in BASELINE.md is GENERATED from
+BENCH_SCALING_CAMPAIGNS.json (between the CAMPAIGNS markers) on every
+archived run, so the narrative can never drift from the raw archive again
+(VERDICT r03 #5).
 """
 
 from __future__ import annotations
@@ -137,9 +148,81 @@ def run_level(cpus: int) -> dict:
         shutil.rmtree(os.path.join(fast_dir, f"scale_shuffle_{cpus}"), ignore_errors=True)
 
 
+_HERE = os.path.dirname(os.path.abspath(__file__))
+CAMPAIGNS_FILE = os.path.join(_HERE, "BENCH_SCALING_CAMPAIGNS.json")
+BASELINE_DOC = os.path.join(_HERE, "BASELINE.md")
+_MARK_BEGIN = "<!-- CAMPAIGNS:BEGIN (generated by bench_scaling.py --sync-doc; do not edit) -->"
+_MARK_END = "<!-- CAMPAIGNS:END -->"
+# campaigns archived before the 'round' field existed (see the file's note)
+_LEGACY_ROUND = {1: 2, 2: 2, 3: 2, 4: 2, 5: 3, 6: 3, 7: 3, 8: 3}
+
+
+def _campaign_table(campaigns: list[dict]) -> str:
+    """markdown table of EVERY archived campaign — sub-0.8 readings
+    included, that is the point."""
+    lines = [
+        "| # | round | events | replay eff | compute eff | replay ev/s @4N | compute ev/s @4N |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for i, c in enumerate(campaigns, 1):
+        eff = c["efficiency_n_to_4n"].get("2to8", {})
+        lvl4 = next((lv for lv in c.get("levels", []) if lv["cpus"] == 8), {})
+        events = (c.get("levels") or [{}])[0].get("events", "?")
+        rnd = c.get("round", _LEGACY_ROUND.get(i, "?"))
+        lines.append(
+            f"| {i} | r{rnd} | {events:,} | {eff.get('replay', float('nan')):.3f} "
+            f"| {eff.get('compute_path', float('nan')):.3f} "
+            f"| {lvl4.get('replay_events_per_sec', 0):,} "
+            f"| {lvl4.get('compute_events_per_sec', 0):,} |"
+        )
+    reps = [c["efficiency_n_to_4n"]["2to8"]["replay"] for c in campaigns]
+    comps = [c["efficiency_n_to_4n"]["2to8"]["compute_path"] for c in campaigns]
+    both = sum(1 for r, x in zip(reps, comps) if r >= 0.8 and x >= 0.8)
+    lines.append("")
+    lines.append(
+        f"{len(campaigns)} campaigns archived; best replay {max(reps):.3f}, "
+        f"best compute {max(comps):.3f}; {both}/{len(campaigns)} clear 0.8 on "
+        "both axes simultaneously (shared-host noise is one-sided — see the "
+        "methodology notes above; every raw run is in the archive file)."
+    )
+    return "\n".join(lines)
+
+
+def sync_doc() -> None:
+    """regenerate the BASELINE.md campaign table from the archive."""
+    with open(CAMPAIGNS_FILE) as f:
+        campaigns = json.load(f)["campaigns"]
+    with open(BASELINE_DOC) as f:
+        doc = f.read()
+    if _MARK_BEGIN not in doc or _MARK_END not in doc:
+        raise SystemExit(f"BASELINE.md is missing the {_MARK_BEGIN!r} markers")
+    head, rest = doc.split(_MARK_BEGIN, 1)
+    _, tail = rest.split(_MARK_END, 1)
+    doc = head + _MARK_BEGIN + "\n" + _campaign_table(campaigns) + "\n" + _MARK_END + tail
+    with open(BASELINE_DOC, "w") as f:
+        f.write(doc)
+
+
+def _archive_campaign(result: dict) -> None:
+    with open(CAMPAIGNS_FILE) as f:
+        data = json.load(f)
+    entry = dict(result)
+    entry.pop("note", None)
+    if os.environ.get("SPARK_GRAFT_ROUND"):
+        entry["round"] = int(os.environ["SPARK_GRAFT_ROUND"])
+    data["campaigns"].append(entry)
+    tmp = CAMPAIGNS_FILE + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(data, f, indent=1)
+    os.replace(tmp, CAMPAIGNS_FILE)
+
+
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
         print(json.dumps(run_level(int(sys.argv[2]))))
+        return
+    if len(sys.argv) >= 2 and sys.argv[1] == "--sync-doc":
+        sync_doc()
         return
 
     levels = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(",")]
@@ -185,9 +268,7 @@ def main() -> None:
                 "compute_path": round(best[n]["compute_sec"] / best[n * 4]["compute_sec"] / 4, 3),
             }
     headline = max((v["replay"] for v in eff.values()), default=None)
-    print(
-        json.dumps(
-            {
+    result = {
                 "metric": "cdc_replay_scaling_efficiency",
                 "value": headline,
                 "unit": "ratio",
@@ -209,8 +290,10 @@ def main() -> None:
                     "ceiling."
                 ),
             }
-        )
-    )
+    print(json.dumps(result))
+    if os.environ.get("SPARK_GRAFT_ARCHIVE", "1") != "0":
+        _archive_campaign(result)
+        sync_doc()
 
 
 if __name__ == "__main__":

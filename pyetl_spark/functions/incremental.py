@@ -96,10 +96,13 @@ def _candidate_pairs(
     # within-batch self-join, capped: only buckets with 2..max_bucket
     # members meet themselves (size-1 buckets yield no pairs; oversize
     # buckets are dropped before the join output can materialize — the
-    # count aggregate never holds a bucket's members, just its size)
+    # count aggregate never holds a bucket's members, just its size).
+    # The drop-count probe (one tiny job per side) only runs when the cap
+    # can actually bind — callers passing an unbounded cap (the oracle
+    # configuration, max_bucket >= 1e9) skip it.
+    capped = max_bucket < 10**9
     new_sizes = keys.groupBy(*bucket_key).agg(F.count("*").alias("__n"))
-    dropped_batch = new_sizes.filter(F.col("__n") > max_bucket).count()
-    if dropped_batch:
+    if capped and (dropped_batch := new_sizes.filter(F.col("__n") > max_bucket).count()):
         log.warning(
             "incremental registry: dropped %d within-batch bucket(s) larger "
             "than max_bucket=%d from the self-join (degenerate/boilerplate "
@@ -122,8 +125,7 @@ def _candidate_pairs(
         # sizes are full per-band-key bucket sizes (the semi-join above
         # keeps whole buckets, it never splits one)
         sizes = history.groupBy(*bucket_key).agg(F.count("*").alias("__n"))
-        dropped_hist = sizes.filter(F.col("__n") > max_bucket).count()
-        if dropped_hist:
+        if capped and (dropped_hist := sizes.filter(F.col("__n") > max_bucket).count()):
             log.warning(
                 "incremental registry: dropped %d store bucket(s) larger "
                 "than max_bucket=%d from the history probe",
