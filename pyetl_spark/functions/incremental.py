@@ -233,11 +233,11 @@ class IncrementalDedup(_RegistryMaintenance):
             F.col(id_col).alias("doc_id"), fingerprint_md5(F.col(text_col)).alias("fp")
         )
         firsts = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-        replayed = str(batch_id) in self.table.committed_batches()
-        seen = self.table.read()
+        m = self.table.manifest()
+        replayed = str(batch_id) in m["committed_batches"]
         novel = firsts
-        if seen is not None and not seen.isEmpty():
-            novel = firsts.join(seen.select("fp"), "fp", "left_anti")
+        if m["buckets"]:  # empty-store check is driver-side (manifest), not a job
+            novel = firsts.join(self.table.read().select("fp"), "fp", "left_anti")
         novel = novel.localCheckpoint(eager=True)  # merge runs 2 jobs over it
         self.table.merge(
             novel.select(
