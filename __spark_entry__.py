@@ -1167,7 +1167,7 @@ def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch = docs.filter(
                 (F.col("doc_id") >= b * step) & (F.col("doc_id") < (b + 1) * step)
             )
-            pairs = inc.ingest(batch, batch_id=f"q:{b}", max_bucket=10**9)
+            pairs = inc.ingest(batch, batch_id=f"q:{b}", max_bucket=None)
             out = pairs if out is None else out.unionByName(pairs)
         return out.select("a", "b").distinct().localCheckpoint(eager=True)
     finally:
@@ -1196,7 +1196,7 @@ def q_sim_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch = vecs.filter(
                 (F.col("vec_id") >= b * step) & (F.col("vec_id") < (b + 1) * step)
             )
-            pairs = inc.ingest(batch, batch_id=f"q:{b}", max_bucket=10**9)
+            pairs = inc.ingest(batch, batch_id=f"q:{b}", max_bucket=None)
             out = pairs if out is None else out.unionByName(pairs)
         return out.select("a", "b").distinct().localCheckpoint(eager=True)
     finally:

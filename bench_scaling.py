@@ -161,22 +161,28 @@ def _campaign_table(campaigns: list[dict]) -> str:
     """markdown table of EVERY archived campaign — sub-0.8 readings
     included, that is the point."""
     lines = [
-        "| # | round | events | replay eff | compute eff | replay ev/s @4N | compute ev/s @4N |",
-        "|---|---|---|---|---|---|---|",
+        "| # | round | levels | events | replay eff | compute eff | replay ev/s @4N | compute ev/s @4N |",
+        "|---|---|---|---|---|---|---|---|",
     ]
+    pairs = []
     for i, c in enumerate(campaigns, 1):
-        eff = c["efficiency_n_to_4n"].get("2to8", {})
-        lvl4 = next((lv for lv in c.get("levels", []) if lv["cpus"] == 8), {})
-        events = (c.get("levels") or [{}])[0].get("events", "?")
+        effs = c.get("efficiency_n_to_4n") or {}
+        key, eff = next(iter(effs.items()), (None, {}))
+        pairs.append(eff if key else None)
+        hi = int(key.split("to")[1]) if key else None
+        lvl4 = next((lv for lv in c.get("levels", []) if lv["cpus"] == hi), {})
+        events = (c.get("levels") or [{}])[0].get("events")
+        ev = f"{events:,}" if isinstance(events, int) else "?"
         rnd = c.get("round", _LEGACY_ROUND.get(i, "?"))
         lines.append(
-            f"| {i} | r{rnd} | {events:,} | {eff.get('replay', float('nan')):.3f} "
+            f"| {i} | r{rnd} | {key or '?'} | {ev} "
+            f"| {eff.get('replay', float('nan')):.3f} "
             f"| {eff.get('compute_path', float('nan')):.3f} "
             f"| {lvl4.get('replay_events_per_sec', 0):,} "
             f"| {lvl4.get('compute_events_per_sec', 0):,} |"
         )
-    reps = [c["efficiency_n_to_4n"]["2to8"]["replay"] for c in campaigns]
-    comps = [c["efficiency_n_to_4n"]["2to8"]["compute_path"] for c in campaigns]
+    reps = [p["replay"] for p in pairs if p]
+    comps = [p["compute_path"] for p in pairs if p]
     both = sum(1 for r, x in zip(reps, comps) if r >= 0.8 and x >= 0.8)
     lines.append("")
     lines.append(

@@ -206,11 +206,18 @@ def kafka_ingest(
                 # too, or stale corrupt rows outlive the replay (ADVICE r03)
                 shutil.rmtree(dl_path)
         # latest attempt wins per epoch: a replay may legitimately change
-        # the count (schema fixed → 0), so entries are rebuilt, not appended
-        _dl_counts[epoch_id] = n_bad
-        dead_letters[:] = [
-            {"batch": e, "corrupt": c} for e, c in sorted(_dl_counts.items()) if c
-        ]
+        # the count (schema fixed → 0), so entries are rebuilt, not
+        # appended. Only CORRUPT epochs are tracked — a long-lived tail
+        # processes millions of clean epochs and must not grow driver state
+        # (or pay a per-batch rebuild) proportional to stream age.
+        if n_bad:
+            _dl_counts[epoch_id] = n_bad
+        elif _dl_counts.pop(epoch_id, None) is None:
+            n_bad = None  # clean epoch, nothing tracked: skip the rebuild
+        if n_bad is not None:
+            dead_letters[:] = [
+                {"batch": e, "corrupt": c} for e, c in sorted(_dl_counts.items())
+            ]
         typed = parsed.filter(~F.col("_corrupt") & ~F.col("_tombstone")).drop(
             *_KAFKA_META
         )

@@ -436,25 +436,36 @@ def decode_png(payload: bytes) -> np.ndarray:
         row = scan[y, 1:].astype(np.int32)
         if ftype == 0:
             cur = row
+        elif ftype == 1:
+            # Sub reconstructs to a per-channel prefix sum mod 256 —
+            # fully vectorized (cumsum in int64, mod distributes over +)
+            cur = (
+                np.cumsum(row.reshape(-1, ch), axis=0, dtype=np.int64) % 256
+            ).reshape(stride).astype(np.int32)
         elif ftype == 2:
             cur = (row + prev) % 256
+        elif ftype in (3, 4):
+            # Average/Paeth are a true recurrence on the reconstructed left
+            # pixel — no vector form; plain-int byte loop (no per-step
+            # numpy allocs), ~linear in bytes, only for rows that use them
+            row_l, prev_l = row.tolist(), prev.tolist()
+            cur_l = [0] * stride
+            if ftype == 3:
+                for x in range(stride):
+                    left = cur_l[x - ch] if x >= ch else 0
+                    cur_l[x] = (row_l[x] + ((left + prev_l[x]) >> 1)) & 255
+            else:
+                for x in range(stride):
+                    a = cur_l[x - ch] if x >= ch else 0
+                    b = prev_l[x]
+                    c = prev_l[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur_l[x] = (row_l[x] + pred) & 255
+            cur = np.array(cur_l, dtype=np.int32)
         else:
-            # Sub/Average/Paeth depend on the just-reconstructed left pixel:
-            # recur per pixel-group along x (bpp-wide vector ops per step)
-            cur = np.zeros(stride, dtype=np.int32)
-            for x in range(0, stride, ch):
-                left = cur[x - ch : x] if x >= ch else np.zeros(ch, dtype=np.int32)
-                up = prev[x : x + ch]
-                upleft = prev[x - ch : x] if x >= ch else np.zeros(ch, dtype=np.int32)
-                seg = row[x : x + ch]
-                if ftype == 1:
-                    cur[x : x + ch] = (seg + left) % 256
-                elif ftype == 3:
-                    cur[x : x + ch] = (seg + (left + up) // 2) % 256
-                elif ftype == 4:
-                    cur[x : x + ch] = (seg + _paeth(left, up, upleft)) % 256
-                else:
-                    raise ValueError(f"unknown PNG filter type {ftype}")
+            raise ValueError(f"unknown PNG filter type {ftype}")
         out[y] = cur.astype(np.uint8)
         prev = cur  # the RECONSTRUCTED row is the next row's 'up' reference
     return out.reshape(h, w, ch)

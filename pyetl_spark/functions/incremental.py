@@ -50,12 +50,40 @@ from pyetl_spark.functions.text import fingerprint_md5
 log = logging.getLogger(__name__)
 
 
+def _oversize_buckets(
+    src: DataFrame, bucket_key: list[str], max_bucket: int, side: str
+) -> DataFrame | None:
+    """collect the bucket KEYS whose population exceeds ``max_bucket`` (one
+    tiny job — the aggregate holds sizes, never members; the result is at
+    most a handful of degenerate keys) and log the drop. Returns a literal
+    DataFrame of those keys for an anti-join, or None when every bucket is
+    sane — the common case, which then costs the main join NOTHING."""
+    big = (
+        src.groupBy(*bucket_key)
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > max_bucket)
+        .select(*bucket_key)
+    )
+    rows = big.collect()
+    if not rows:
+        return None
+    log.warning(
+        "incremental registry: dropping %d %s bucket(s) larger than "
+        "max_bucket=%d (degenerate/boilerplate content; raise max_bucket "
+        "to keep them)",
+        len(rows),
+        side,
+        max_bucket,
+    )
+    return big.sparkSession.createDataFrame(rows, big.schema)
+
+
 def _candidate_pairs(
     table: SnapshotTable,
     keys: DataFrame,
     bucket_key: list[str],
     member_col: str,
-    max_bucket: int,
+    max_bucket: int | None,
 ) -> DataFrame:
     """shared banding-candidate stage for the LSH and ANN registries:
     within-batch + against-history collision pairs on ``bucket_key``,
@@ -64,13 +92,17 @@ def _candidate_pairs(
     regardless of which side was the batch and which the history).
 
     Degenerate buckets are capped on BOTH sides (log-and-drop, never
-    silent): store buckets larger than ``max_bucket`` are dropped from the
-    history probe, and batch buckets larger than ``max_bucket`` are dropped
-    from the within-batch self-join — without the latter, one
+    silent; ``max_bucket=None`` disables the cap — the oracle-replay
+    configuration): store buckets larger than ``max_bucket`` are dropped
+    from the history probe, and batch buckets larger than ``max_bucket``
+    are dropped from the within-batch self-join — without the latter, one
     boilerplate-heavy delivery (500 identical headers → one band bucket)
     quadratically explodes its OWN self-join no matter how clean the store
     is. Batch-vs-history output is linear in the batch (≤ |batch| ×
-    max_bucket), so the batch cap applies only to the self-join.
+    max_bucket), so the batch cap applies only to the self-join. Cost
+    shape: one sizes aggregate per side (≤ a few result rows collected);
+    when nothing exceeds the cap — the steady state — the pair join itself
+    carries no extra operator at all.
 
     The history probe is bucket-pruned ONLY when the store was created with
     ``bucket_cols == bucket_key`` — a legacy store bucketed by its full row
@@ -93,25 +125,11 @@ def _candidate_pairs(
                 .join(new.select(*bucket_key).distinct(), bucket_key, "left_semi")
             )
 
-    # within-batch self-join, capped: only buckets with 2..max_bucket
-    # members meet themselves (size-1 buckets yield no pairs; oversize
-    # buckets are dropped before the join output can materialize — the
-    # count aggregate never holds a bucket's members, just its size).
-    # The drop-count probe (one tiny job per side) only runs when the cap
-    # can actually bind — callers passing an unbounded cap (the oracle
-    # configuration, max_bucket >= 1e9) skip it.
-    capped = max_bucket < 10**9
-    new_sizes = keys.groupBy(*bucket_key).agg(F.count("*").alias("__n"))
-    if capped and (dropped_batch := new_sizes.filter(F.col("__n") > max_bucket).count()):
-        log.warning(
-            "incremental registry: dropped %d within-batch bucket(s) larger "
-            "than max_bucket=%d from the self-join (degenerate/boilerplate "
-            "content; raise max_bucket to keep them)",
-            dropped_batch,
-            max_bucket,
-        )
-    within_ok = new_sizes.filter(F.col("__n").between(2, max_bucket)).drop("__n")
-    bounded_new = new.join(within_ok, bucket_key, "left_semi")
+    bounded_new = new
+    if max_bucket is not None:
+        big = _oversize_buckets(keys, bucket_key, max_bucket, "within-batch")
+        if big is not None:
+            bounded_new = new.join(F.broadcast(big), bucket_key, "left_anti")
     within = (
         bounded_new.alias("l")
         .join(
@@ -121,22 +139,11 @@ def _candidate_pairs(
         .where(F.col("new_id") > F.col("old_id"))
     )
     if history is not None:
-        # cap degenerate store buckets BEFORE the join output explodes;
-        # sizes are full per-band-key bucket sizes (the semi-join above
-        # keeps whole buckets, it never splits one)
-        sizes = history.groupBy(*bucket_key).agg(F.count("*").alias("__n"))
-        if capped and (dropped_hist := sizes.filter(F.col("__n") > max_bucket).count()):
-            log.warning(
-                "incremental registry: dropped %d store bucket(s) larger "
-                "than max_bucket=%d from the history probe",
-                dropped_hist,
-                max_bucket,
-            )
-        bounded = history.join(
-            sizes.where(F.col("__n") <= max_bucket).drop("__n"),
-            bucket_key,
-            "left_semi",
-        )
+        bounded = history
+        if max_bucket is not None:
+            big = _oversize_buckets(history, bucket_key, max_bucket, "store")
+            if big is not None:
+                bounded = history.join(F.broadcast(big), bucket_key, "left_anti")
         against = new.join(bounded, bucket_key).where(
             F.col("new_id") != F.col("old_id")
         )
@@ -339,7 +346,7 @@ class IncrementalLsh(_RegistryMaintenance):
         batch_id: str,
         text_col: str = "text",
         id_col: str = "doc_id",
-        max_bucket: int = 50,
+        max_bucket: int | None = 50,
     ) -> DataFrame:
         """register a batch; return candidate near-dup pairs
         (a, b, band_idx) of this batch against the store and itself,
@@ -435,7 +442,7 @@ class IncrementalAnn(_RegistryMaintenance):
         batch_id: str,
         vec_col: str = "embedding",
         id_col: str = "vec_id",
-        max_bucket: int = 200,
+        max_bucket: int | None = 200,
     ) -> DataFrame:
         """register a batch of embeddings; return candidate neighbour pairs
         (a, b, band_idx), canonical sorted ``a < b``, of the batch against

@@ -179,7 +179,12 @@ def _is_identifier_resolution_error(exc: Exception) -> bool:
     the message for an explicit ``SQLSTATE: 42xxx`` token (Derby and the
     Spark JDBC dialect both embed it verbatim), never for prose."""
     states: list[str] = []
+    # py4j errors expose .java_exception; pyspark CapturedException wraps
+    # the py4j error as ._origin — reach through both to the JVM chain
     je = getattr(exc, "java_exception", None)
+    if je is None:
+        origin = getattr(exc, "_origin", None)
+        je = getattr(origin, "java_exception", None)
     depth = 0
     while je is not None and depth < 10:
         try:
