@@ -161,8 +161,8 @@ def _campaign_table(campaigns: list[dict]) -> str:
     """markdown table of EVERY archived campaign — sub-0.8 readings
     included, that is the point."""
     lines = [
-        "| # | round | levels | events | replay eff | compute eff | replay ev/s @4N | compute ev/s @4N |",
-        "|---|---|---|---|---|---|---|---|",
+        "| # | round | mode | levels | events | replay eff | compute eff | replay ev/s @4N | compute ev/s @4N |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     pairs = []
     for i, c in enumerate(campaigns, 1):
@@ -174,8 +174,9 @@ def _campaign_table(campaigns: list[dict]) -> str:
         events = (c.get("levels") or [{}])[0].get("events")
         ev = f"{events:,}" if isinstance(events, int) else "?"
         rnd = c.get("round", _LEGACY_ROUND.get(i, "?"))
+        mode = "submit" if c.get("mode") == "spark-submit" else "inproc"
         lines.append(
-            f"| {i} | r{rnd} | {key or '?'} | {ev} "
+            f"| {i} | r{rnd} | {mode} | {key or '?'} | {ev} "
             f"| {eff.get('replay', float('nan')):.3f} "
             f"| {eff.get('compute_path', float('nan')):.3f} "
             f"| {lvl4.get('replay_events_per_sec', 0):,} "
@@ -223,6 +224,38 @@ def _archive_campaign(result: dict) -> None:
     os.replace(tmp, CAMPAIGNS_FILE)
 
 
+def _submit_worker_cmd(cpus: int, fast_dir: str) -> list[str]:
+    """the literal north-rule path: this campaign level runs as
+    `spark-submit --py-files pyetl_spark.zip jobs/cdc_ingest.py
+    --bench-replay ...` — the deployable job measures itself and prints the
+    same JSON shape as the in-process worker."""
+    import zipfile
+
+    zip_path = os.path.join(fast_dir, "pyetl_spark_bench.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
+            pkg = os.path.join(_HERE, "pyetl_spark")
+            for dirpath, _dirs, files in os.walk(pkg):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        z.write(full, os.path.relpath(full, _HERE))
+    scratch = os.path.join(fast_dir, f"submit_scale_{cpus}")
+    return [
+        "spark-submit",
+        "--master", f"local[{cpus}]",
+        "--py-files", zip_path,
+        "--conf", f"spark.sql.shuffle.partitions={cpus}",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", f"spark.local.dir={os.path.join(scratch, 'shuffle')}",
+        "--conf", "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version=2",
+        os.path.join(_HERE, "jobs", "cdc_ingest.py"),
+        "unused_events", os.path.join(scratch, "tables"), "unused_ckpt",
+        "--bench-replay", str(N_EVENTS),
+        "--bench-batches", str(N_BATCHES),
+    ]
+
+
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
         print(json.dumps(run_level(int(sys.argv[2]))))
@@ -230,15 +263,22 @@ def main() -> None:
     if len(sys.argv) >= 2 and sys.argv[1] == "--sync-doc":
         sync_doc()
         return
+    submit_mode = "--submit" in sys.argv[1:]
 
     levels = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(",")]
     rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
+    fast_dir = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     raw: list[dict] = []
     failures: list[str] = []
     for _ in range(rounds):  # alternate levels across JVMs to decorrelate host noise
         for cpus in levels:
+            cmd = (
+                _submit_worker_cmd(cpus, fast_dir)
+                if submit_mode
+                else [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)]
+            )
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
+                cmd,
                 capture_output=True,
                 text=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
@@ -246,7 +286,19 @@ def main() -> None:
             if out.returncode != 0:  # one dead JVM must not lose the campaign
                 failures.append(f"worker {cpus}: rc={out.returncode} {out.stderr[-200:]}")
                 continue
-            raw.append(json.loads(out.stdout.strip().splitlines()[-1]))
+            line = next(
+                (ln for ln in reversed(out.stdout.strip().splitlines()) if ln.startswith("{")),
+                None,
+            )
+            if line is None:
+                failures.append(f"worker {cpus}: no JSON line in output")
+                continue
+            raw.append(json.loads(line))
+    if submit_mode:
+        import shutil as _sh
+
+        for cpus in levels:
+            _sh.rmtree(os.path.join(fast_dir, f"submit_scale_{cpus}"), ignore_errors=True)
 
     best: dict[int, dict[str, float]] = {}
     for r in raw:
@@ -276,6 +328,7 @@ def main() -> None:
     headline = max((v["replay"] for v in eff.values()), default=None)
     result = {
                 "metric": "cdc_replay_scaling_efficiency",
+                "mode": "spark-submit" if submit_mode else "in-process",
                 "value": headline,
                 "unit": "ratio",
                 "target": 0.8,
