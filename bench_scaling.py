@@ -245,6 +245,17 @@ def _submit_worker_cmd(cpus: int, fast_dir: str) -> list[str]:
         "spark-submit",
         "--master", f"local[{cpus}]",
         "--py-files", zip_path,
+        # match the engine session factory (pyetl_spark.session.get_spark):
+        # spark-submit's 1g driver default starves an 8M-event local-mode
+        # replay (everything runs in the driver JVM), and the measured
+        # pipeline assumes AQE + Arrow — without these the submit-path
+        # numbers measure the missing confs, not the engine (campaign 10)
+        "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.adaptive.coalescePartitions.enabled=true",
+        "--conf", "spark.sql.adaptive.skewJoin.enabled=true",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
         "--conf", f"spark.sql.shuffle.partitions={cpus}",
         "--conf", "spark.ui.enabled=false",
         "--conf", f"spark.local.dir={os.path.join(scratch, 'shuffle')}",
