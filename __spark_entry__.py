@@ -1387,6 +1387,55 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("media_id", "frame_idx", "ts_ms", "width", "height")
 
 
+def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel (SnapshotTable versioned reads — the Iceberg
+    `VERSION AS OF` analog, cdc/tableio.py): replay the events table as 3
+    ordered CDC batches, then read back EVERY retained snapshot version and
+    aggregate its visible state. Each version must equal the LWW state of
+    exactly the batches committed up to it — a broken manifest chain, a
+    COW rewrite that leaked rows across versions, or a reader that sees
+    uncommitted data all fail a row. Oracle states each version as the
+    argmax over the corresponding event-id prefix."""
+    import shutil
+    import tempfile
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("op", F.lit("upsert"))
+        .select("user_id", "event_id", "event_type", "value", "op")
+    )
+    n = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    step = n // 3 + 1
+    root = tempfile.mkdtemp(prefix="q_cdc_tt_")
+    try:
+        table = SnapshotTable.create(
+            spark, os.path.join(root, "t"), keys=["user_id"], nbuckets=8
+        )
+        versions = []
+        for b in range(3):
+            batch = ev.filter(
+                (F.col("event_id") >= b * step) & (F.col("event_id") < (b + 1) * step)
+            )
+            stats = table.merge(batch, batch_id=f"q:{b}", seq_col="event_id")
+            versions.append(stats.version)
+        out = None
+        for ord_, v in enumerate(versions):
+            state = (
+                table.read_raw(version=v)
+                .filter(~F.col("_deleted"))
+                .agg(
+                    F.count("*").alias("n_keys"),
+                    F.max("_seq").alias("max_seq"),
+                    F.round(F.sum("value"), 4).alias("value_sum"),
+                )
+                .select(F.lit(ord_).alias("version_ord"), "n_keys", "max_seq", "value_sum")
+            )
+            out = state if out is None else out.unionByName(state)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image resize across BOTH stdlib image codecs (resize_images,
     decode_stub=False): BMP and PNG payloads are decoded, nearest-neighbor
@@ -1433,6 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries every run.
     return {
         # -- new in round 4, or implementation changed in round 4
+        "cdc_time_travel": q_cdc_time_travel,          # new: versioned snapshot reads
         "multimodal_resize": q_multimodal_resize,      # new: PNG/BMP resize roundtrip
         "multimodal_features": q_multimodal_features,  # +6 PNG rows (filters 0-4)
         "dedup_incremental_lsh": q_dedup_incremental_lsh,  # pairs renamed (a, b)
@@ -1485,10 +1535,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_enum_recode": q_schema_enum_recode,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "emb_near_dup": q_emb_near_dup,
         # ---- position 51+ : outside the driver's 50-row certification
         # window (every entry below has a green ROUND-3 driver row; the
         # local oracle suite still checks every one of them each run)
+        "emb_near_dup": q_emb_near_dup,
         "sim_brute_topk": q_sim_brute_topk,
         "rules_hstore": q_rules_hstore,
         "rules_jsonops": q_rules_jsonops,
@@ -2137,6 +2187,22 @@ def oracle_sql() -> dict[str, str]:
                    max_by(event_type, event_id) AS event_type,
                    max_by(value, event_id) AS last_value
             FROM events GROUP BY user_id
+        """,
+        # time travel: version v's visible state == LWW over the event-id
+        # prefix of the batches committed up to v (3 equal-width batches)
+        "cdc_time_travel": """
+            WITH s AS (SELECT (max(event_id) + 1) // 3 + 1 AS step FROM events),
+            state AS (
+                SELECT v.b, e.user_id,
+                       max(e.event_id) AS le,
+                       max_by(e.value, e.event_id) AS lv
+                FROM (VALUES (0), (1), (2)) v(b)
+                JOIN events e ON e.event_id < (v.b + 1) * (SELECT step FROM s)
+                GROUP BY v.b, e.user_id
+            )
+            SELECT b AS version_ord, count(*) AS n_keys, max(le) AS max_seq,
+                   round(sum(lv), 4) AS value_sum
+            FROM state GROUP BY b
         """,
         # write+read roundtrips must be lossless -> identity oracles
         "csv_roundtrip": """
