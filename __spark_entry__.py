@@ -1387,6 +1387,54 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("media_id", "frame_idx", "ts_ms", "width", "height")
 
 
+def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC family driven end-to-end through a REAL database (embedded
+    Apache Derby — on Spark's own classpath, jars/derby-10.16.*): dbwrite
+    (bulk load via DataFrameWriter.jdbc), dbalpha (table scan back), and
+    dbrequest (a GROUP BY shipped to and evaluated BY Derby's SQL engine,
+    sources/jdbc.py read_query). The oracle recomputes the same join from
+    the parquet source — so the row only matches if the write, the scan
+    and the database-evaluated aggregate are all lossless. Reference:
+    formats/db/database.py + traitement_db.py:169-273,395-631,763-835."""
+    import shutil
+    import tempfile
+
+    from pyetl_spark.sources import jdbc
+
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    root = tempfile.mkdtemp(prefix="q_jdbc_")
+    try:
+        spark._jvm.java.lang.System.setProperty("derby.system.home", root)  # noqa: SLF001
+        url = f"jdbc:derby:{root}/db;create=true"
+        opts = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+        jdbc.write_table(
+            nation, url, "NATION", mode="overwrite", transaction_size=16,
+            options={**opts, "createTableColumnTypes": "n_name VARCHAR(64)"},
+        )
+        back = jdbc.read_table(spark, url, "NATION", options=opts)
+        per_region = jdbc.read_query(  # evaluated by Derby, not Spark
+            spark, url,
+            'SELECT "n_regionkey" AS rk, COUNT(*) AS region_nations '
+            'FROM NATION GROUP BY "n_regionkey"',
+            options=opts,
+        )
+        out = back.join(
+            per_region, back["n_regionkey"] == per_region["rk"]
+        ).select(
+            "n_nationkey", "n_name", "n_regionkey",
+            F.col("region_nations").cast("long").alias("region_nations"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        try:  # Derby signals a successful shutdown via SQLException 08006
+            spark._jvm.java.sql.DriverManager.getConnection(  # noqa: SLF001
+                f"jdbc:derby:{root}/db;shutdown=true"
+            )
+        except Exception:  # noqa: BLE001
+            pass
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot time travel (SnapshotTable versioned reads — the Iceberg
     `VERSION AS OF` analog, cdc/tableio.py): replay the events table as 3
@@ -1482,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries every run.
     return {
         # -- new in round 4, or implementation changed in round 4
+        "jdbc_roundtrip": q_jdbc_roundtrip,            # new: real-Derby DB family
         "cdc_time_travel": q_cdc_time_travel,          # new: versioned snapshot reads
         "multimodal_resize": q_multimodal_resize,      # new: PNG/BMP resize roundtrip
         "multimodal_features": q_multimodal_features,  # +6 PNG rows (filters 0-4)
@@ -1534,10 +1583,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_cast_infer": q_schema_cast_infer,
         "schema_enum_recode": q_schema_enum_recode,
         "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         # ---- position 51+ : outside the driver's 50-row certification
         # window (every entry below has a green ROUND-3 driver row; the
         # local oracle suite still checks every one of them each run)
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "emb_near_dup": q_emb_near_dup,
         "sim_brute_topk": q_sim_brute_topk,
         "rules_hstore": q_rules_hstore,
@@ -2187,6 +2236,15 @@ def oracle_sql() -> dict[str, str]:
                    max_by(event_type, event_id) AS event_type,
                    max_by(value, event_id) AS last_value
             FROM events GROUP BY user_id
+        """,
+        # the DB roundtrip is lossless and Derby's GROUP BY agrees with the
+        # parquet-side recomputation
+        "jdbc_roundtrip": """
+            SELECT n.n_nationkey, n.n_name, n.n_regionkey, c.region_nations
+            FROM nation n JOIN (
+                SELECT n_regionkey, count(*) AS region_nations
+                FROM nation GROUP BY n_regionkey
+            ) c USING (n_regionkey)
         """,
         # time travel: version v's visible state == LWW over the event-id
         # prefix of the batches committed up to v (3 equal-width batches)
