@@ -1387,6 +1387,70 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("media_id", "frame_idx", "ts_ms", "width", "height")
 
 
+def q_fixedwidth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width text reader (sources/io.py read_fixed_width — the
+    reference's format_textfile.py column-position layout): render the
+    nation table as fixed-width lines (format_string, one codegen'd
+    projection), write as plain text, read back by (start, length) slices,
+    and cast. Identity oracle — a mis-specified slice boundary or a
+    padding/trim bug shifts every value and fails the row."""
+    import shutil
+    import tempfile
+
+    from pyetl_spark.sources.io import read_fixed_width
+
+    src = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    lines = src.select(
+        F.format_string("%-6d%-20s%-4d", "n_nationkey", "n_name", "n_regionkey").alias(
+            "value"
+        )
+    )
+    root = tempfile.mkdtemp(prefix="q_fixed_")
+    try:
+        path = os.path.join(root, "nation_fixed.text")
+        lines.write.mode("overwrite").text(path)
+        back = read_fixed_width(
+            spark, path,
+            [("n_nationkey", 1, 6), ("n_name", 7, 20), ("n_regionkey", 27, 4)],
+        )
+        return back.select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_zip_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipped-delivery ingestion (sources/smallfiles.zip_extract via
+    read_any — the reference's f_zipextract, traitement_archives.py): write
+    the region table as CSV, zip the delivery driver-side (stdlib zipfile,
+    nested folder inside the archive like real deliveries), then read the
+    .zip directly through the generic scan with an explicit schema.
+    Identity oracle."""
+    import shutil
+    import tempfile
+    import zipfile
+
+    from pyetl_spark.sources.io import read_any, write_any
+
+    src = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    root = tempfile.mkdtemp(prefix="q_zip_")
+    try:
+        csv_dir = os.path.join(root, "region_csv.csv")
+        write_any(src, csv_dir)
+        zpath = os.path.join(root, "delivery.zip")
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+            for fn in sorted(os.listdir(csv_dir)):
+                if fn.endswith(".csv"):
+                    z.write(os.path.join(csv_dir, fn), f"delivery/region/{fn}")
+        back = read_any(spark, zpath, schema="r_regionkey long, r_name string")
+        return back.select("r_regionkey", "r_name").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lossless write→read across three more registered source formats in
     one certified pass (sources/io.py read_any/write_any): JSONL, Spark-4
@@ -1562,6 +1626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries every run.
     return {
         # -- new in round 4, or implementation changed in round 4
+        "fixedwidth_roundtrip": q_fixedwidth_roundtrip,  # new: positional slices
+        "zip_delivery": q_zip_delivery,                  # new: zipped-CSV ingest
         "formats_roundtrip": q_formats_roundtrip,      # new: jsonl/xml/orc legs
         "jdbc_roundtrip": q_jdbc_roundtrip,            # new: real-Derby DB family
         "cdc_time_travel": q_cdc_time_travel,          # new: versioned snapshot reads
@@ -1613,11 +1679,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- certified twice (r1 + r3); fills the window to exactly 50
         "sim_knn_brute": q_sim_knn_brute,
         "text_quality": q_text_quality,
-        "schema_cast_infer": q_schema_cast_infer,
-        "schema_enum_recode": q_schema_enum_recode,
         # ---- position 51+ : outside the driver's 50-row certification
         # window (every entry below has a green ROUND-3 driver row; the
         # local oracle suite still checks every one of them each run)
+        "schema_cast_infer": q_schema_cast_infer,
+        "schema_enum_recode": q_schema_enum_recode,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "emb_near_dup": q_emb_near_dup,
@@ -2269,6 +2335,14 @@ def oracle_sql() -> dict[str, str]:
                    max_by(event_type, event_id) AS event_type,
                    max_by(value, event_id) AS last_value
             FROM events GROUP BY user_id
+        """,
+        # positional slicing must reproduce the source exactly
+        "fixedwidth_roundtrip": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
+        """,
+        # a zipped CSV delivery reads back losslessly through the zip seam
+        "zip_delivery": """
+            SELECT r_regionkey, r_name FROM region
         """,
         # three more lossless write->read legs, one identity oracle each
         "formats_roundtrip": """
