@@ -41,6 +41,7 @@ from pyetl_spark.operators import (
     unique_n,
 )
 from pyetl_spark.functions import dedup as fdedup
+from pyetl_spark.functions import quality as fqual
 from pyetl_spark.functions import similarity as fsim
 from pyetl_spark.functions import text as ftext
 from pyetl_spark.cdc import SnapshotTable, change_events, lww_dedup, lww_dedup_salted
@@ -1614,6 +1615,88 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction (quality.py) over documents with deterministic
+    synthetic PII injected from doc_id (the corpus itself is PII-free, so
+    the contract plants one known kind per residue class and checks both
+    the per-kind counts and the rewritten text). All JVM-side regex."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" mail user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com ok"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit(" ip 10."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".0."),
+                (F.col("doc_id") % 250).cast("string"),
+                F.lit(" end"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(" tel 202-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            )
+        ),
+    )
+    d = docs.select("doc_id", injected.alias("t"))
+    return d.select(
+        "doc_id",
+        fqual.pii_count(F.col("t"), "email").alias("n_email"),
+        fqual.pii_count(F.col("t"), "ipv4").alias("n_ipv4"),
+        fqual.pii_count(F.col("t"), "phone").alias("n_phone"),
+        fqual.pii_redact(F.col("t")).alias("redacted"),
+    )
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-word fraction (pure
+    Column) + bigram repetition profile (explode → two chained hash-aggs,
+    quality.gram_repetition). The top gram itself is not emitted (ties
+    would be engine-dependent); its count/fraction are exact."""
+    docs = _t(spark, sf_dir, "documents")
+    n, d = fqual.word_counts(F.col("text"))
+    scal = docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        d.alias("n_distinct_words"),
+        fqual.word_repetition_frac(F.col("text")).alias("word_rep_frac"),
+    )
+    prof = fqual.gram_repetition(docs, "doc_id", "text", n=2)
+    return scal.join(prof, "doc_id")
+
+
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicate-span removal: 4-word chunks appearing in ≥3
+    distinct documents are cut corpus-wide, survivors re-joined in order
+    (dedup.dedup_duplicate_chunks; ~2.6% of sf0.01 chunks are boilerplate
+    at these settings, so clean_text carries real rewrites)."""
+    docs = _t(spark, sf_dir, "documents")
+    return fdedup.dedup_duplicate_chunks(
+        docs, "doc_id", "text", chunk_size=4, min_docs=3
+    )
+
+
+def q_sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup candidate pairs: k-means cells from the deterministic seeds
+    quantizer (centroids = rows vec_id 0..7, same as sim_ivf_topk's oracle-
+    recomputable assignment), within-cell cosine ≥ 0.38 as (cell, a, b,
+    cos_sim). The keep-policy half (semdedup_keep) is one anti join,
+    covered by pytest; the pair stage is the value-bearing contract."""
+    embs = _t(spark, sf_dir, "embeddings")
+    cents = fsim.ivf_fit_seeds(embs, list(range(8)))
+    return fsim.semdedup_pairs(embs, cents, tau=0.38)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the driver's CORRECTNESS run certifies
     # the FIRST 50 entries only (a "position 51+" marker sits at the exact
@@ -1626,6 +1709,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries every run.
     return {
         # -- new in round 4, or implementation changed in round 4
+        "text_pii_redact": q_text_pii_redact,          # new: PII scan/redaction
+        "text_repetition": q_text_repetition,          # new: Gopher rep signals
+        "dedup_chunks": q_dedup_chunks,                # new: C4 span removal
+        "sim_semdedup": q_sim_semdedup,                # new: SemDeDup pairs
         "fixedwidth_roundtrip": q_fixedwidth_roundtrip,  # new: positional slices
         "zip_delivery": q_zip_delivery,                  # new: zipped-CSV ingest
         "formats_roundtrip": q_formats_roundtrip,      # new: jsonl/xml/orc legs
@@ -1653,11 +1740,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rules_checksum": q_rules_checksum,
         "rules_split_explode": q_rules_split_explode,
         "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
         "tpch_q6": q_tpch_q6,
         "stat_cube": q_stat_cube,
         "stat_rollup": q_stat_rollup,
-        "union_except": q_union_except,
         "topk_per_group": q_topk_per_group,
         "text_tokens": q_text_tokens,
         "text_stats": q_text_stats,
@@ -1676,12 +1761,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_pack": q_shard_pack,
         "stratified_sample": q_stratified_sample,
         "pipeline_curate": q_pipeline_curate,
-        # -- certified twice (r1 + r3); fills the window to exactly 50
+        # ---- position 51+ : outside the driver's 50-row certification
+        # window (every entry below has a green driver row in ≥1 prior
+        # round — sim_knn_brute/text_quality in r1+r3, tpch_q3/union_except
+        # in r1+r2, the rest in r3 — and the local oracle suite still
+        # checks every one of them each run). r5 rotation: re-front
+        # tpch_q3 and union_except, whose latest green row is r2.
         "sim_knn_brute": q_sim_knn_brute,
         "text_quality": q_text_quality,
-        # ---- position 51+ : outside the driver's 50-row certification
-        # window (every entry below has a green ROUND-3 driver row; the
-        # local oracle suite still checks every one of them each run)
+        "tpch_q3": q_tpch_q3,
+        "union_except": q_union_except,
         "schema_cast_infer": q_schema_cast_infer,
         "schema_enum_recode": q_schema_enum_recode,
         "dedup_exact": q_dedup_exact,
@@ -2045,8 +2134,105 @@ def _unrolled_prod(a: str, b: str, dim: int) -> str:
     return " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(1, dim + 1))
 
 
+def _semdedup_oracle(dim: int = _RHP_DIM, n_seeds: int = 8, tau: float = 0.38) -> str:
+    """mirrors ivf_fit_seeds(ids=0..n_seeds-1) + ivf_assign (expanded L2,
+    first-min argmin — same CTEs as _ivf_topk_oracle) + the within-cell
+    cosine pair stage of semdedup_pairs."""
+    vv = _unrolled_sq("e.v", dim)
+    vcv = _unrolled_prod("e.v", "c.cv", dim)
+    cvcv = _unrolled_sq("c.cv", dim)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {n_seeds}),
+    d AS (SELECT e.vec_id, e.v, c.cid,
+                 ({vv}) - 2.0 * ({vcv}) + ({cvcv}) AS dist
+          FROM e CROSS JOIN c),
+    a AS (SELECT vec_id, v, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d),
+    cells AS (SELECT vec_id, v, CAST(cid AS INT) AS cell FROM a WHERE rn = 1)
+    SELECT l.cell, l.vec_id AS a, r.vec_id AS b,
+           round(list_cosine_similarity(l.v, r.v), 6) AS cos_sim
+    FROM cells l JOIN cells r ON l.cell = r.cell AND l.vec_id < r.vec_id
+    WHERE round(list_cosine_similarity(l.v, r.v), 6) >= {tau}
+    """
+
+
+_PII_SQL_INJECT = """
+        SELECT doc_id,
+               text || CASE CAST(doc_id % 3 AS INT)
+                 WHEN 0 THEN ' mail user' || doc_id || '@example.com ok'
+                 WHEN 1 THEN ' ip 10.' || (doc_id % 200) || '.0.' || (doc_id % 250) || ' end'
+                 ELSE ' tel 202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               END AS t
+        FROM documents
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "text_pii_redact": rf"""
+            WITH d AS ({_PII_SQL_INJECT})
+            SELECT doc_id,
+                   len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS n_email,
+                   len(regexp_extract_all(t, '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b')) AS n_ipv4,
+                   len(regexp_extract_all(t, '\b\d{{3}}-\d{{3}}-\d{{4}}\b')) AS n_phone,
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                       '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '<IP>', 'g'),
+                       '\b\d{{3}}-\d{{3}}-\d{{4}}\b', '<PHONE>', 'g') AS redacted
+            FROM d
+        """,
+        "text_repetition": """
+            WITH w AS (SELECT doc_id,
+                              unnest(string_split(text, ' ')) AS word,
+                              generate_subscripts(string_split(text, ' '), 1) AS pos
+                       FROM documents),
+            g AS (SELECT a.doc_id, a.word || ' ' || b.word AS gram
+                  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+            c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+            s AS (SELECT doc_id,
+                         CAST(sum(cnt) AS BIGINT) AS n_grams,
+                         CAST(count(*) AS BIGINT) AS n_distinct_grams,
+                         CAST(max(cnt) AS BIGINT) AS top_gram_cnt
+                  FROM c GROUP BY 1)
+            SELECT d.doc_id,
+                   len(string_split(d.text, ' ')) AS n_words,
+                   len(list_distinct(string_split(d.text, ' '))) AS n_distinct_words,
+                   round((len(string_split(d.text, ' ')) - len(list_distinct(string_split(d.text, ' '))))
+                         / len(string_split(d.text, ' ')), 6) AS word_rep_frac,
+                   coalesce(s.n_grams, 0) AS n_grams,
+                   coalesce(s.n_distinct_grams, 0) AS n_distinct_grams,
+                   coalesce(s.top_gram_cnt, 0) AS top_gram_cnt,
+                   CASE WHEN coalesce(s.n_grams, 0) > 0
+                        THEN round(s.top_gram_cnt / s.n_grams, 6)
+                        ELSE 0.0 END AS top_gram_frac
+            FROM documents d LEFT JOIN s USING (doc_id)
+        """,
+        "dedup_chunks": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            n AS (SELECT doc_id, w,
+                         greatest(CAST(ceil(len(w) / 4.0) AS INT), 1) AS nc
+                  FROM d),
+            ex AS (SELECT doc_id, i AS pos,
+                          array_to_string(w[(i*4+1):(i*4+4)], ' ') AS chunk
+                   FROM n, unnest(generate_series(0, nc - 1)) AS t(i)),
+            dup AS (SELECT md5(chunk) AS h FROM ex
+                    GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+            kept AS (SELECT ex.* FROM ex LEFT JOIN dup ON md5(ex.chunk) = dup.h
+                     WHERE dup.h IS NULL),
+            agg AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
+                           CAST(count(*) AS BIGINT) AS n_kept
+                    FROM kept GROUP BY 1),
+            tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+                    FROM ex GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(agg.clean_text, '') AS clean_text,
+                   coalesce(agg.n_kept, 0) AS n_kept,
+                   coalesce(tot.n_chunks, 0) AS n_chunks
+            FROM d LEFT JOIN tot USING (doc_id) LEFT JOIN agg USING (doc_id)
+        """,
+        "sim_semdedup": _semdedup_oracle(),
         "rules_scalar": """
             SELECT p_partkey,
                    upper(p_type) AS type_u,

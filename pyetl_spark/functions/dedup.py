@@ -615,3 +615,75 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+# --------------------------------------------- C4-style duplicate chunks
+
+
+def chunk_words(col: Column, size: int = 4) -> Column:
+    """array<string> of non-overlapping ``size``-word chunks (the "line"
+    unit for corpora whose documents carry no newlines).  The last chunk may
+    be shorter; empty/whitespace-free text yields one chunk ([""])."""
+    w = F.split(col, " ")
+    n = F.greatest(F.ceil(F.size(w) / size).cast("int"), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(w, i * size + 1, size), " "),
+    )
+
+
+def dedup_duplicate_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 4,
+    min_docs: int = 3,
+) -> DataFrame:
+    """C4-style intra-corpus span removal: any chunk that appears in at
+    least ``min_docs`` DISTINCT documents is cut from every document; the
+    survivors are re-joined in original order.  Returns ``(id, clean_text,
+    n_kept, n_chunks)`` (clean_text = '' when everything was boilerplate).
+
+    The reference's nearest machinery is ``unique``'s whole-object key walk
+    (pyetl/moteur/traitements.py) — per-object, in-memory; this is the
+    span-level corpus-wide form C4/RefinedWeb use against boilerplate.
+
+    Plan shape at 100 TB: posexplode (linear) → count-distinct hash-agg on
+    the chunk's md5 (16-byte shuffle key instead of the span text) → anti
+    join back → one sort-free re-aggregation (order restored by sorting the
+    collected (pos, chunk) structs per doc, not by a global sort).  No
+    window over the corpus, no driver state; AQE is free to broadcast the
+    duplicate-chunk side when it is small.
+    """
+    ex = df.select(
+        id_col, F.posexplode(chunk_words(F.col(text_col), chunk_size)).alias("pos", "chunk")
+    ).withColumn("chash", F.md5(F.col("chunk")))
+    dup = (
+        ex.groupBy("chash")
+        .agg(F.countDistinct(id_col).alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("chash")
+    )
+    kept = ex.join(dup, "chash", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = ex.groupBy(id_col).agg(F.count("*").alias("n_chunks"))
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+        )
+    )

@@ -19,6 +19,7 @@ plan-time literals — tiny: bits × dim floats).
 
 from __future__ import annotations
 
+import logging
 import math
 
 import numpy as np
@@ -449,3 +450,72 @@ def ivf_topk(
         F.round(F.expr(cosine_const_sql("__v", query)), 6).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+# ------------------------------------------------------------- SemDeDup
+
+_sd_log = logging.getLogger(__name__)
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    centroids: list[list[float]],
+    tau: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cell: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023) candidate stage: assign every vector
+    to its nearest centroid (``ivf_assign`` — unrolled L2, first-min
+    argmin), then emit within-cell pairs with cosine ≥ ``tau`` as
+    ``(cell, a, b, cos_sim)`` with a < b and cos rounded to 6.
+
+    Scale shape: the pair join is an equi join on the cell id (shuffle-hash
+    hinted, co-partitioned — never all-pairs across cells); norms are
+    hoisted per ROW before the join so per-pair work is one dot product.
+    ``max_cell`` caps degenerate cells (log + drop, never silently): the
+    cell-size probe is one tiny aggregate — at most ``len(centroids)``
+    rows — so the guard costs one scan of the assignment, not a join.
+    """
+    dim = len(centroids[0])
+    cells = ivf_assign(df, centroids, vec_col, out="cell")
+    base = cells.select(
+        id_col,
+        "cell",
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn("__n", F.expr(norm_fixed_sql("__v", dim)))
+    if max_cell is not None:
+        sizes = base.groupBy("cell").agg(F.count("*").alias("n"))
+        big = [r["cell"] for r in sizes.filter(F.col("n") > max_cell).collect()]
+        if big:
+            _sd_log.warning(
+                "semdedup_pairs: dropping %d cell(s) over max_cell=%d: %s",
+                len(big), max_cell, sorted(big),
+            )
+            base = base.filter(~F.col("cell").isin(big))
+    l, r = base.alias("l"), base.alias("r")
+    pairs = l.hint("shuffle_hash").join(
+        r,
+        (F.col("l.cell") == F.col("r.cell"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    )
+    cos = F.expr(dot_fixed_sql("l.__v", "r.__v", dim)) / F.greatest(
+        F.col("l.__n") * F.col("r.__n"), F.lit(1e-12)
+    )
+    return pairs.select(
+        F.col("l.cell").alias("cell"),
+        F.col(f"l.{id_col}").alias("a"),
+        F.col(f"r.{id_col}").alias("b"),
+        F.round(cos, 6).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= tau)
+
+
+def semdedup_keep(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Drop every pair's higher id (the SemDeDup keep-one-per-near-dup-set
+    policy with lowest-id canonical): one distinct + one anti join."""
+    drops = pairs.select(F.col("b").alias(id_col)).distinct()
+    return df.join(drops, id_col, "left_anti")
