@@ -1675,6 +1675,19 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scal.join(prof, "doc_id")
 
 
+def q_quality_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed Gopher-style quality gate (quality.gopher_gate): word-count
+    bounds + duplicate-word fraction + top-bigram occurrence share, emitted
+    as signals plus a `kept` routing flag (reference analog: the fail/abort
+    data-quality gates divert rather than delete, pyetl commandes.py).
+    Thresholds chosen so sf0.01 has real rejects on every axis
+    (153/500 kept; 106 too-short, 240 rep-fraction, 33 top-gram)."""
+    docs = _t(spark, sf_dir, "documents")
+    return fqual.gopher_gate(
+        docs, min_words=30, max_words=5_000, max_word_rep=0.55, max_top_gram=0.08
+    ).withColumn("kept", F.col("kept").cast("int"))
+
+
 def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style duplicate-span removal: 4-word chunks appearing in ≥3
     distinct documents are cut corpus-wide, survivors re-joined in order
@@ -1711,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4, or implementation changed in round 4
         "text_pii_redact": q_text_pii_redact,          # new: PII scan/redaction
         "text_repetition": q_text_repetition,          # new: Gopher rep signals
+        "quality_gopher_gate": q_quality_gopher_gate,  # new: composed quality gate
         "dedup_chunks": q_dedup_chunks,                # new: C4 span removal
         "sim_semdedup": q_sim_semdedup,                # new: SemDeDup pairs
         "fixedwidth_roundtrip": q_fixedwidth_roundtrip,  # new: positional slices
@@ -1760,13 +1774,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "shard_pack": q_shard_pack,
         "stratified_sample": q_stratified_sample,
-        "pipeline_curate": q_pipeline_curate,
         # ---- position 51+ : outside the driver's 50-row certification
         # window (every entry below has a green driver row in ≥1 prior
         # round — sim_knn_brute/text_quality in r1+r3, tpch_q3/union_except
         # in r1+r2, the rest in r3 — and the local oracle suite still
         # checks every one of them each run). r5 rotation: re-front
         # tpch_q3 and union_except, whose latest green row is r2.
+        "pipeline_curate": q_pipeline_curate,  # r3-certified; benched every run
         "sim_knn_brute": q_sim_knn_brute,
         "text_quality": q_text_quality,
         "tpch_q3": q_tpch_q3,
@@ -2208,6 +2222,31 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(s.top_gram_cnt / s.n_grams, 6)
                         ELSE 0.0 END AS top_gram_frac
             FROM documents d LEFT JOIN s USING (doc_id)
+        """,
+        "quality_gopher_gate": """
+            WITH w AS (SELECT doc_id,
+                              unnest(string_split(text, ' ')) AS word,
+                              generate_subscripts(string_split(text, ' '), 1) AS pos
+                       FROM documents),
+            g AS (SELECT a.doc_id, a.word || ' ' || b.word AS gram
+                  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+            c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+            s AS (SELECT doc_id, sum(cnt) AS n_grams, max(cnt) AS top_cnt
+                  FROM c GROUP BY 1),
+            q AS (SELECT d.doc_id,
+                         len(string_split(d.text, ' ')) AS n_words,
+                         round((len(string_split(d.text, ' '))
+                                - len(list_distinct(string_split(d.text, ' '))))
+                               / len(string_split(d.text, ' ')), 6) AS word_rep_frac,
+                         CASE WHEN coalesce(s.n_grams, 0) > 0
+                              THEN round(s.top_cnt / s.n_grams, 6)
+                              ELSE 0.0 END AS top_gram_frac
+                  FROM documents d LEFT JOIN s USING (doc_id))
+            SELECT doc_id, n_words, word_rep_frac, top_gram_frac,
+                   CAST(n_words BETWEEN 30 AND 5000
+                        AND word_rep_frac <= 0.55
+                        AND top_gram_frac <= 0.08 AS INT) AS kept
+            FROM q
         """,
         "dedup_chunks": """
             WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -55,6 +55,13 @@ BENCH_QUERIES = [
     # round 3: the composed curation pipeline (gate → stratified sample →
     # exact dedup → token-budget shard packing) — the training-data flagship
     "pipeline_curate",
+    # round 4: the new curation-tier operators (PII redaction, Gopher
+    # repetition profile, C4 span removal, SemDeDup within-cell pairs)
+    "text_pii_redact",
+    "text_repetition",
+    "quality_gopher_gate",
+    "dedup_chunks",
+    "sim_semdedup",
 ]
 
 

@@ -109,3 +109,43 @@ def gram_repetition(
         .otherwise(F.lit(0.0))
         .alias("top_gram_frac"),
     )
+
+
+def gopher_gate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 10_000,
+    max_word_rep: float = 0.6,
+    max_top_gram: float = 0.05,
+    n: int = 2,
+) -> DataFrame:
+    """The composed Gopher-style quality gate: word-count bounds +
+    duplicate-word fraction + top-n-gram occurrence share, as one
+    DataFrame op returning ``(id, n_words, word_rep_frac, top_gram_frac,
+    kept)``.  Callers drop rejected docs with ``.filter("kept")`` — the
+    flag is returned (not pre-filtered) so curation pipelines can route
+    rejects to a quarantine sink, mirroring the reference's fail/abort
+    data-quality gates (pyetl/moteur/commandes.py `fail`) which divert
+    rather than delete.
+
+    Plan shape: the scalar signals are pure Columns on the scan; the only
+    shuffles are gram_repetition's two chained hash-aggregations plus the
+    id-equi join back — all map-side combinable, no window, no skew key
+    (ids are unique).
+    """
+    nw, _nd = word_counts(F.col(text_col))
+    sig = df.select(
+        id_col,
+        nw.alias("n_words"),
+        word_repetition_frac(F.col(text_col)).alias("word_rep_frac"),
+    )
+    prof = gram_repetition(df, id_col, text_col, n).select(id_col, "top_gram_frac")
+    out = sig.join(prof, id_col)
+    kept = (
+        F.col("n_words").between(min_words, max_words)
+        & (F.col("word_rep_frac") <= max_word_rep)
+        & (F.col("top_gram_frac") <= max_top_gram)
+    )
+    return out.withColumn("kept", kept)

@@ -91,6 +91,39 @@ def test_word_ngrams_guard_short_text(spark):
     assert [len(r["g"]) for r in out] == [0, 0]
 
 
+def test_gopher_gate_flags(spark):
+    long_ok = " ".join(f"w{i}" for i in range(30))          # 30 distinct words
+    too_short = "just five words right here"                 # < min_words
+    repeaty = " ".join(["dup"] * 25)                         # rep frac 0.96
+    gramy = " ".join(["a b"] * 15)                           # one bigram dominates
+    df = spark.createDataFrame(
+        [(0, long_ok), (1, too_short), (2, repeaty), (3, gramy)],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in fq.gopher_gate(df, min_words=20, max_words=100).collect()
+    }
+    assert out[0]["kept"] is True
+    assert out[1]["kept"] is False and out[1]["n_words"] == 5
+    assert out[2]["kept"] is False and out[2]["word_rep_frac"] == 0.96
+    assert out[3]["kept"] is False and out[3]["top_gram_frac"] > 0.05
+    # signals are returned, not pre-filtered: all four rows present
+    assert sorted(out) == [0, 1, 2, 3]
+
+
+def test_gopher_gate_routes_not_deletes(spark):
+    # the kept flag partitions the input exactly (quarantine-sink contract)
+    df = spark.createDataFrame(
+        [(i, " ".join(f"t{i}x{j}" for j in range(25))) for i in range(6)]
+        + [(99, "tiny")],
+        ["doc_id", "text"],
+    )
+    out = fq.gopher_gate(df)
+    assert out.count() == 7
+    assert out.filter("kept").count() + out.filter("NOT kept").count() == 7
+
+
 # ---------------------------------------------------------- chunk dedup
 
 
