@@ -40,6 +40,7 @@ from pyetl_spark.operators import (
     topk,
     unique_n,
 )
+from pyetl_spark.functions import decontam as fdecon
 from pyetl_spark.functions import dedup as fdedup
 from pyetl_spark.functions import quality as fqual
 from pyetl_spark.functions import similarity as fsim
@@ -1675,6 +1676,21 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scal.join(prof, "doc_id")
 
 
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (decontam.decontaminate): a deterministic
+    'eval set' is carved from the corpus itself (docs with doc_id % 101 ==
+    7, first 20 normalized words), then every document is profiled for
+    13-gram overlap — (doc_id, n_grams, n_hits, contaminated). Eval grams
+    are md5-hashed, distinct, and BROADCAST; the corpus side never
+    shuffles its text, only the final per-doc count aggregates."""
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(fdecon.normalize_text(F.col("text")), " ")
+    ev = docs.filter(F.col("doc_id") % 101 == 7).select(
+        F.concat_ws(" ", F.slice(w, 1, 20)).alias("text")
+    )
+    return fdecon.decontaminate(docs, ev, n=13)
+
+
 def q_quality_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed Gopher-style quality gate (quality.gopher_gate): word-count
     bounds + duplicate-word fraction + top-bigram occurrence share, emitted
@@ -1725,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redact": q_text_pii_redact,          # new: PII scan/redaction
         "text_repetition": q_text_repetition,          # new: Gopher rep signals
         "quality_gopher_gate": q_quality_gopher_gate,  # new: composed quality gate
+        "text_decontaminate": q_text_decontaminate,    # new: eval-set decontamination
         "dedup_chunks": q_dedup_chunks,                # new: C4 span removal
         "sim_semdedup": q_sim_semdedup,                # new: SemDeDup pairs
         "fixedwidth_roundtrip": q_fixedwidth_roundtrip,  # new: positional slices
@@ -1773,7 +1790,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_stateful_stats": q_cdc_stateful_stats,
         "dedup_incremental": q_dedup_incremental,
         "shard_pack": q_shard_pack,
-        "stratified_sample": q_stratified_sample,
         # ---- position 51+ : outside the driver's 50-row certification
         # window (every entry below has a green driver row in ≥1 prior
         # round — sim_knn_brute/text_quality in r1+r3, tpch_q3/union_except
@@ -1781,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checks every one of them each run). r5 rotation: re-front
         # tpch_q3 and union_except, whose latest green row is r2.
         "pipeline_curate": q_pipeline_curate,  # r3-certified; benched every run
+        "stratified_sample": q_stratified_sample,  # r3-certified
         "sim_knn_brute": q_sim_knn_brute,
         "text_quality": q_text_quality,
         "tpch_q3": q_tpch_q3,
@@ -2222,6 +2239,29 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(s.top_gram_cnt / s.n_grams, 6)
                         ELSE 0.0 END AS top_gram_frac
             FROM documents d LEFT JOIN s USING (doc_id)
+        """,
+        "text_decontaminate": r"""
+            WITH nt AS (SELECT doc_id,
+                               string_split(trim(regexp_replace(lower(text),
+                                   '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+                        FROM documents),
+            ev AS (SELECT array_to_string(w[1:20], ' ') AS etext
+                   FROM nt WHERE doc_id % 101 = 7),
+            ew AS (SELECT string_split(etext, ' ') AS ws FROM ev),
+            eg AS (SELECT DISTINCT array_to_string(ws[i:i+12], ' ') AS gram
+                   FROM ew, unnest(generate_series(1, len(ws) - 12)) AS t(i)),
+            dg AS (SELECT doc_id, array_to_string(w[i:i+12], ' ') AS gram
+                   FROM nt, unnest(generate_series(1, len(w) - 12)) AS t(i)),
+            tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+                    FROM dg GROUP BY 1),
+            hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+                    FROM dg JOIN eg USING (gram) GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(tot.n_grams, 0) AS n_grams,
+                   coalesce(hit.n_hits, 0) AS n_hits,
+                   CAST(coalesce(hit.n_hits, 0) > 0 AS INT) AS contaminated
+            FROM documents d
+            LEFT JOIN tot USING (doc_id) LEFT JOIN hit USING (doc_id)
         """,
         "quality_gopher_gate": """
             WITH w AS (SELECT doc_id,

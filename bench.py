@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "text_pii_redact",
     "text_repetition",
     "quality_gopher_gate",
+    "text_decontaminate",
     "dedup_chunks",
     "sim_semdedup",
 ]
