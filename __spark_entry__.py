@@ -40,6 +40,7 @@ from pyetl_spark.operators import (
     topk,
     unique_n,
 )
+from pyetl_spark.cdc import scd as fscd
 from pyetl_spark.functions import decontam as fdecon
 from pyetl_spark.functions import dedup as fdedup
 from pyetl_spark.functions import quality as fqual
@@ -1676,6 +1677,23 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scal.join(prof, "doc_id")
 
 
+def q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 history build (cdc/scd.py scd2_build) treating events as
+    a changelog of a per-user dimension: attribute = event_type, ordered
+    by (ts, event_id). Consecutive same-value deliveries collapse (no-op
+    updates cut no version); valid_to = next version's valid_from; exactly
+    one open (is_current) row per user. One shuffle on user_id, two window
+    passes, no joins."""
+    ev = _t(spark, sf_dir, "events")
+    return fscd.scd2_build(
+        ev.select("user_id", "event_type", "ts", "event_id"),
+        ["user_id"],
+        ["event_type"],
+        "ts",
+        "event_id",
+    )
+
+
 def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (decontam.decontaminate): a deterministic
     'eval set' is carved from the corpus itself (docs with doc_id % 101 ==
@@ -1742,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,          # new: Gopher rep signals
         "quality_gopher_gate": q_quality_gopher_gate,  # new: composed quality gate
         "text_decontaminate": q_text_decontaminate,    # new: eval-set decontamination
+        "cdc_scd2": q_cdc_scd2,                        # new: SCD Type 2 history
         "dedup_chunks": q_dedup_chunks,                # new: C4 span removal
         "sim_semdedup": q_sim_semdedup,                # new: SemDeDup pairs
         "fixedwidth_roundtrip": q_fixedwidth_roundtrip,  # new: positional slices
@@ -1789,7 +1808,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "cdc_stateful_stats": q_cdc_stateful_stats,
         "dedup_incremental": q_dedup_incremental,
-        "shard_pack": q_shard_pack,
         # ---- position 51+ : outside the driver's 50-row certification
         # window (every entry below has a green driver row in ≥1 prior
         # round — sim_knn_brute/text_quality in r1+r3, tpch_q3/union_except
@@ -1798,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tpch_q3 and union_except, whose latest green row is r2.
         "pipeline_curate": q_pipeline_curate,  # r3-certified; benched every run
         "stratified_sample": q_stratified_sample,  # r3-certified
+        "shard_pack": q_shard_pack,  # r3-certified
         "sim_knn_brute": q_sim_knn_brute,
         "text_quality": q_text_quality,
         "tpch_q3": q_tpch_q3,
@@ -2239,6 +2258,23 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(s.top_gram_cnt / s.n_grams, 6)
                         ELSE 0.0 END AS top_gram_frac
             FROM documents d LEFT JOIN s USING (doc_id)
+        """,
+        "cdc_scd2": """
+            WITH m AS (SELECT user_id, event_type, ts, event_id,
+                              lag(event_type) OVER w AS prev,
+                              row_number() OVER w AS rn
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, event_type, ts, event_id FROM m
+                  WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+            SELECT user_id, event_type,
+                   ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS valid_to,
+                   CAST(lead(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                        AS INT) AS is_current
+            FROM s
         """,
         "text_decontaminate": r"""
             WITH nt AS (SELECT doc_id,

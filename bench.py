@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "text_repetition",
     "quality_gopher_gate",
     "text_decontaminate",
+    "cdc_scd2",
     "dedup_chunks",
     "sim_semdedup",
 ]
