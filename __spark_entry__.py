@@ -41,6 +41,7 @@ from pyetl_spark.operators import (
     unique_n,
 )
 from pyetl_spark.cdc import scd as fscd
+from pyetl_spark.functions import packing as fpack
 from pyetl_spark.functions import decontam as fdecon
 from pyetl_spark.functions import dedup as fdedup
 from pyetl_spark.functions import quality as fqual
@@ -1677,6 +1678,20 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scal.join(prof, "doc_id")
 
 
+def q_rebalance_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix rebalancing (packing.rebalance_mix): the largest corpus
+    whose language mix is exactly 40/15/15/15/15 over en/fr/de/es/zh.
+    Selection = per-stratum n smallest md5 hashes, but computed two-phase
+    (hash-range bucket counts → keep whole buckets, rank only the one
+    straddling bucket) so no whole-stratum window exists in the plan.
+    Quota arithmetic is exact-rational on the driver; the oracle restates
+    it as integer SQL (weights 8/3/3/3/3, W=20)."""
+    docs = _t(spark, sf_dir, "documents")
+    target = {"en": 0.4, "fr": 0.15, "de": 0.15, "es": 0.15, "zh": 0.15}
+    out = fpack.rebalance_mix(docs, "lang", target, "doc_id", seed=0, buckets=64)
+    return out.select("doc_id", "lang", "source")
+
+
 def q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type 2 history build (cdc/scd.py scd2_build) treating events as
     a changelog of a per-user dimension: attribute = event_type, ordered
@@ -1761,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gopher_gate": q_quality_gopher_gate,  # new: composed quality gate
         "text_decontaminate": q_text_decontaminate,    # new: eval-set decontamination
         "cdc_scd2": q_cdc_scd2,                        # new: SCD Type 2 history
+        "rebalance_mix": q_rebalance_mix,              # new: exact domain-mix quotas
         "dedup_chunks": q_dedup_chunks,                # new: C4 span removal
         "sim_semdedup": q_sim_semdedup,                # new: SemDeDup pairs
         "fixedwidth_roundtrip": q_fixedwidth_roundtrip,  # new: positional slices
@@ -1807,7 +1823,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "dedup_components": q_dedup_components,
         "cdc_stateful_stats": q_cdc_stateful_stats,
-        "dedup_incremental": q_dedup_incremental,
         # ---- position 51+ : outside the driver's 50-row certification
         # window (every entry below has a green driver row in ≥1 prior
         # round — sim_knn_brute/text_quality in r1+r3, tpch_q3/union_except
@@ -1817,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate": q_pipeline_curate,  # r3-certified; benched every run
         "stratified_sample": q_stratified_sample,  # r3-certified
         "shard_pack": q_shard_pack,  # r3-certified
+        "dedup_incremental": q_dedup_incremental,  # r3-certified
         "sim_knn_brute": q_sim_knn_brute,
         "text_quality": q_text_quality,
         "tpch_q3": q_tpch_q3,
@@ -2258,6 +2274,23 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(s.top_gram_cnt / s.n_grams, 6)
                         ELSE 0.0 END AS top_gram_frac
             FROM documents d LEFT JOIN s USING (doc_id)
+        """,
+        "rebalance_mix": """
+            WITH t(lang, w) AS (VALUES ('en', 8), ('fr', 3), ('de', 3),
+                                       ('es', 3), ('zh', 3)),
+            c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+            nn AS (SELECT min(c.n * 20 // t.w) AS N
+                   FROM c JOIN t USING (lang)),
+            q AS (SELECT t.lang, t.w * nn.N // 20 AS quota FROM t, nn),
+            r AS (SELECT doc_id, lang, source,
+                         row_number() OVER (PARTITION BY lang
+                             ORDER BY ('0x' || substr(md5('0:' ||
+                                 CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                                 doc_id) AS rk
+                  FROM documents
+                  WHERE lang IN (SELECT lang FROM t))
+            SELECT doc_id, lang, source
+            FROM r JOIN q USING (lang) WHERE rk <= quota
         """,
         "cdc_scd2": """
             WITH m AS (SELECT user_id, event_type, ts, event_id,

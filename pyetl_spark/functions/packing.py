@@ -182,3 +182,116 @@ def sample_stratified(
     for k, v in sorted(fractions.items()):
         thr = F.when(F.col(strata_col) == F.lit(k), F.lit(int(v * _HASH_SCALE))).otherwise(thr)
     return df.filter(u < thr)
+
+
+def rebalance_mix(
+    df: DataFrame,
+    strata_col: str,
+    target: dict[str, float],
+    id_col: str,
+    seed: int = 0,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Domain-mix rebalancing with EXACT per-stratum quotas: draw the
+    largest corpus whose stratum proportions equal ``target`` (weights are
+    normalized; strata absent from ``target`` are dropped). The feasible
+    size is N = min_s floor(count_s / frac_s); each stratum keeps its
+    n_s = floor(frac_s * N) smallest-hash rows — deterministic in
+    ``seed``, reproducible at any parallelism, and statable in one SQL
+    window (the oracle) as rank-by-hash <= n_s.
+
+    ``sample_stratified`` is the zero-shuffle cousin with binomial counts;
+    this one trades one bounded shuffle for exact counts (what a training
+    run's data card actually promises).
+
+    Scale shape — deliberately NOT a whole-stratum window (at 100 TB a
+    single-domain window partition is one task): selection runs in two
+    phases on the 60-bit hash,
+
+    1. rows land in ``buckets`` equal-width hash ranges; a (stratum,
+       bucket) count aggregate (K*buckets rows, tiny) is cumsum'd to find,
+       per stratum, which buckets fit entirely under the quota and which
+       single bucket straddles it;
+    2. keep-all buckets pass with no further work; ONLY the straddling
+       bucket's rows (~stratum/buckets of the data) get an exact
+       row_number, partitioned per stratum.
+
+    Driver state is the O(K) quota map (same O(P)-scalars discipline as
+    pack_shards). Raises if a targeted stratum is missing from the data —
+    an empty mandatory domain makes N = 0, which is never what the caller
+    meant.
+
+    Quota arithmetic is exact rational (floats go through their DECIMAL
+    string: 0.15 means 15/100, not the nearest binary double), so
+    floor(count * W / w) here equals integer SQL arithmetic in an oracle —
+    no float-boundary disagreement on quota edges.
+    """
+    from fractions import Fraction
+
+    fracs = {
+        k: (Fraction(v) if isinstance(v, int) else Fraction(str(v)))
+        for k, v in target.items()
+        if v > 0
+    }
+    if not fracs:
+        raise ValueError("rebalance_mix: target has no positive weights")
+    tot_w = sum(fracs.values())
+    fracs = {k: v / tot_w for k, v in fracs.items()}
+
+    counts = {
+        r[strata_col]: r["__n"]
+        for r in df.filter(F.col(strata_col).isin(*fracs))
+        .groupBy(strata_col)
+        .agg(F.count("*").alias("__n"))
+        .collect()
+    }
+    missing = sorted(set(fracs) - set(counts))
+    if missing:
+        raise ValueError(
+            f"rebalance_mix: targeted strata absent from data: {missing}"
+        )
+    n_total = min(counts[s] // f for s, f in fracs.items())
+    quotas = {s: int(f * n_total) for s, f in fracs.items()}
+
+    seeded = F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    width = _HASH_SCALE // buckets
+    sub = df.filter(F.col(strata_col).isin(*fracs)).withColumn(
+        "__h", md5_int60(seeded)
+    )
+    sub = sub.withColumn("__b", (F.col("__h") / F.lit(width)).cast("long"))
+
+    quota_col = F.lit(None).cast("long")
+    for s, q in sorted(quotas.items()):
+        quota_col = F.when(F.col(strata_col) == s, F.lit(q)).otherwise(quota_col)
+
+    bcnt = sub.groupBy(strata_col, "__b").agg(F.count("*").alias("__bn"))
+    wcum = Window.partitionBy(strata_col).orderBy("__b")
+    meta = bcnt.select(
+        strata_col,
+        "__b",
+        (F.sum("__bn").over(wcum) - F.col("__bn")).alias("__before"),
+        F.col("__bn").alias("__bn"),
+        quota_col.alias("__q"),
+    )
+    meta = meta.select(
+        strata_col,
+        "__b",
+        "__before",
+        # full: the whole bucket fits under the quota; cut: it straddles
+        ((F.col("__before") + F.col("__bn")) <= F.col("__q")).alias("__full"),
+        (F.col("__before") < F.col("__q")).alias("__reach"),
+        (F.col("__q") - F.col("__before")).alias("__room"),
+    ).filter(F.col("__reach"))
+
+    routed = sub.join(F.broadcast(meta), [strata_col, "__b"], "inner")
+    keep_full = routed.filter(F.col("__full")).drop(
+        "__h", "__b", "__before", "__full", "__reach", "__room"
+    )
+    cut = routed.filter(~F.col("__full"))
+    wrank = Window.partitionBy(strata_col).orderBy("__h", id_col)
+    keep_cut = (
+        cut.withColumn("__rk", F.row_number().over(wrank))
+        .filter(F.col("__rk") <= F.col("__room"))
+        .drop("__h", "__b", "__before", "__full", "__reach", "__room", "__rk")
+    )
+    return keep_full.unionByName(keep_cut)
