@@ -1709,6 +1709,58 @@ def q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed read (SnapshotTable.changes — the Delta CDF /
+    Iceberg changelog-view analog, cdc/tableio.py): replay the events
+    table as 3 ordered CDC batches (click events become deletes, so real
+    tombstone transitions occur), then read back the row-level feed for
+    the whole lineage. Every commit's emission must be exactly the
+    insert / delete / update_pre+postimage set its batch caused — a feed
+    that leaks copied-but-unchanged COW rows, mis-types a tombstone
+    overwrite, or surfaces a tombstone's own payload fails the hash.
+    Scale shape: per commit, only buckets named by the MANIFEST DIFF are
+    read on either side (cost ∝ changed data, not table size)."""
+    import shutil
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "click", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    n = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    step = n // 3 + 1
+    root = tempfile.mkdtemp(prefix="q_cdc_cf_")
+    try:
+        table = SnapshotTable.create(
+            spark, os.path.join(root, "t"), keys=["user_id"], nbuckets=8
+        )
+        versions = []
+        for b in range(3):
+            batch = ev.filter(
+                (F.col("event_id") >= b * step) & (F.col("event_id") < (b + 1) * step)
+            )
+            versions.append(
+                table.merge(batch, batch_id=f"q:{b}", seq_col="event_id").version
+            )
+        ord_col = F.lit(None).cast("int")
+        for i, v in enumerate(versions, start=1):
+            ord_col = F.when(F.col("_commit_version") == v, F.lit(i)).otherwise(ord_col)
+        out = table.changes(0).select(
+            "user_id",
+            "event_type",
+            "value",
+            F.col("_change_type").alias("change_type"),
+            ord_col.alias("commit_ord"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (decontam.decontaminate): a deterministic
     'eval set' is carved from the corpus itself (docs with doc_id % 101 ==
@@ -1776,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gopher_gate": q_quality_gopher_gate,  # new: composed quality gate
         "text_decontaminate": q_text_decontaminate,    # new: eval-set decontamination
         "cdc_scd2": q_cdc_scd2,                        # new: SCD Type 2 history
+        "cdc_table_changes": q_cdc_table_changes,      # new: CDF feed read
         "rebalance_mix": q_rebalance_mix,              # new: exact domain-mix quotas
         "dedup_chunks": q_dedup_chunks,                # new: C4 span removal
         "sim_semdedup": q_sim_semdedup,                # new: SemDeDup pairs
@@ -2694,6 +2747,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         # time travel: version v's visible state == LWW over the event-id
         # prefix of the batches committed up to v (3 equal-width batches)
+        "cdc_table_changes": """
+            WITH s AS (SELECT (max(event_id) + 1) // 3 + 1 AS step FROM events),
+            state AS (
+                SELECT v.b, e.user_id,
+                       max(e.event_id) AS seq,
+                       max_by(e.event_type, e.event_id) AS event_type,
+                       max_by(e.value, e.event_id) AS value,
+                       max_by(e.event_type = 'click', e.event_id) AS del
+                FROM (VALUES (1), (2), (3)) v(b)
+                JOIN events e ON e.event_id < v.b * (SELECT step FROM s)
+                GROUP BY v.b, e.user_id
+            ),
+            d AS (
+                SELECT c.b AS commit_ord, c.user_id,
+                       p.seq AS a_seq, p.del AS a_del,
+                       p.event_type AS a_et, p.value AS a_val,
+                       c.seq AS b_seq, c.del AS b_del,
+                       c.event_type AS b_et, c.value AS b_val
+                FROM state c
+                LEFT JOIN state p ON p.b = c.b - 1 AND p.user_id = c.user_id
+            ),
+            pre AS (
+                SELECT user_id, a_et AS event_type, a_val AS value,
+                       CASE WHEN b_del THEN 'delete'
+                            ELSE 'update_preimage' END AS change_type,
+                       commit_ord
+                FROM d
+                WHERE a_del = false AND (b_del OR a_seq <> b_seq)
+            ),
+            post AS (
+                SELECT user_id, b_et AS event_type, b_val AS value,
+                       CASE WHEN a_del = false THEN 'update_postimage'
+                            ELSE 'insert' END AS change_type,
+                       commit_ord
+                FROM d
+                WHERE b_del = false
+                  AND (a_del IS NULL OR a_del OR a_seq <> b_seq)
+            )
+            SELECT * FROM pre UNION ALL SELECT * FROM post
+        """,
         "cdc_time_travel": """
             WITH s AS (SELECT (max(event_id) + 1) // 3 + 1 AS step FROM events),
             state AS (

@@ -372,6 +372,156 @@ class SnapshotTable:
             raise ValueError(f"version {version} not retained (expired or never existed)")
         self._swap_pointer(version)
 
+    # ------------------------------------------------------------ change feed
+
+    def _lineage(self, from_version: int, to_version: int) -> list[int]:
+        """Commit lineage ``from_version → … → to_version`` by walking the
+        manifest ``parent`` chain (NOT numeric adjacency: after a rollback
+        the next merge's parent is the rollback target, so v2 may not be
+        v3's ancestor). Raises if ``from_version`` is not an ancestor of
+        ``to_version`` or an intermediate manifest was expired."""
+        if not os.path.exists(self._manifest_path(from_version)):
+            raise ValueError(
+                f"version {from_version} not retained (expired or never existed)"
+            )
+        chain = [to_version]
+        v = to_version
+        while v != from_version:
+            if not os.path.exists(self._manifest_path(v)):
+                raise ValueError(
+                    f"version {v} not retained (expired) — change feed "
+                    f"from v{from_version} to v{to_version} is unreadable"
+                )
+            parent = self.manifest(v).get("parent")
+            if parent is None:
+                raise ValueError(
+                    f"v{from_version} is not an ancestor of v{to_version} "
+                    "(diverged lineage, e.g. across a rollback)"
+                )
+            chain.append(parent)
+            v = parent
+        return list(reversed(chain))
+
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Row-level change feed for commits ``(from_version, to_version]``
+        — the Delta CDF / Iceberg ``create_changelog_view`` analog:
+        ``_change_type ∈ insert | delete | update_preimage |
+        update_postimage`` plus ``_commit_version``, with the row's column
+        values as of the relevant side (pre-images carry the old values,
+        inserts/post-images the new).
+
+        Scale shape: for each commit on the lineage, the MANIFEST DIFF
+        names the buckets whose file list changed — only those buckets are
+        read on either side, so a streaming tail's feed costs ∝ changed
+        data per commit, not table size. Within a rewritten bucket,
+        copied-but-untouched rows are dropped by (``_seq``, ``_deleted``)
+        equality (LWW keeps exactly one row per key, so an unchanged
+        ``_seq`` means an identical row). Pure-rewrite commits
+        (:meth:`compact`) therefore contribute nothing, as they should.
+
+        Semantics at the edges: a key that FIRST appears as a tombstone
+        emits nothing (a delete of a row that never existed is not a
+        change); a tombstone refreshed by a later delete event emits
+        nothing; a tombstone overwritten by a live row emits ``insert``.
+        """
+        if to_version is None:
+            to_version = self.current_version()
+        m_to = self.manifest(to_version)
+        keys = m_to["keys"]
+
+        def _state(version: int, buckets: list[str]) -> tuple[DataFrame, list[str]] | None:
+            raw = self.read_raw(version, buckets=[int(b) for b in buckets])
+            if raw is None:
+                return None
+            pay = [c for c in raw.columns if c not in (*keys, SEQ, DELETED)]
+            return raw, pay
+
+        lineage = self._lineage(from_version, to_version)
+        out: DataFrame | None = None
+        prev_m = self.manifest(from_version)
+        for v in lineage[1:]:
+            m = self.manifest(v)
+            changed = sorted(
+                b
+                for b in set(prev_m["buckets"]) | set(m["buckets"])
+                if prev_m["buckets"].get(b) != m["buckets"].get(b)
+            )
+            prev_m = m
+            if not changed:
+                continue
+            a = _state(m["parent"], changed)
+            b = _state(v, changed)
+            if b is None:
+                continue
+            b_raw, b_pay = b
+            a_pay = a[1] if a is not None else []
+            all_pay = b_pay + [c for c in a_pay if c not in b_pay]
+
+            def _side(raw: DataFrame, pay: list[str], tag: str) -> DataFrame:
+                cols = [
+                    (F.col(c) if c in pay else F.lit(None)).alias(c) for c in all_pay
+                ]
+                return raw.select(
+                    *keys,
+                    F.struct(*cols).alias(f"__{tag}"),
+                    F.col(SEQ).alias(f"__{tag}_seq"),
+                    F.col(DELETED).alias(f"__{tag}_del"),
+                )
+
+            bd = _side(b_raw, b_pay, "b")
+            if a is not None:
+                j = _side(a[0], a_pay, "a").join(bd, on=list(keys), how="full")
+            else:
+                j = bd.select(
+                    *keys,
+                    F.lit(None).cast(bd.schema["__b"].dataType).alias("__a"),
+                    F.lit(None).cast("long").alias("__a_seq"),
+                    F.lit(None).cast("boolean").alias("__a_del"),
+                    "__b",
+                    "__b_seq",
+                    "__b_del",
+                )
+            a_live = F.col("__a_del").eqNullSafe(F.lit(False))
+            b_live = F.col("__b_del").eqNullSafe(F.lit(False))
+            updated = a_live & b_live & (F.col("__a_seq") != F.col("__b_seq"))
+            pre = j.filter(
+                (a_live & F.col("__b_del").eqNullSafe(F.lit(True))) | updated
+            ).select(
+                *keys,
+                "__a.*",
+                F.when(F.col("__b_del"), F.lit("delete"))
+                .otherwise(F.lit("update_preimage"))
+                .alias("_change_type"),
+            )
+            post = j.filter(
+                (b_live & ~a_live) | updated
+            ).select(
+                *keys,
+                "__b.*",
+                F.when(updated, F.lit("update_postimage"))
+                .otherwise(F.lit("insert"))
+                .alias("_change_type"),
+            )
+            delta = pre.unionByName(post).withColumn("_commit_version", F.lit(v))
+            out = (
+                delta
+                if out is None
+                else out.unionByName(delta, allowMissingColumns=True)
+            )
+        if out is None:
+            from pyspark.sql.types import StructType
+
+            base = (
+                StructType.fromJson(json.loads(m_to["schema"]))
+                if m_to["schema"]
+                else StructType()
+            )
+            empty = self.spark.createDataFrame([], base).drop(SEQ, DELETED)
+            return empty.withColumn(
+                "_change_type", F.lit(None).cast("string")
+            ).withColumn("_commit_version", F.lit(None).cast("int"))
+        return out
+
     # ----------------------------------------------------------------- merge
 
     def merge(
