@@ -1761,6 +1761,49 @@ def q_cdc_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_cdc_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping scan (SnapshotTable.scan + per-file footer min/max
+    metrics, cdc/tableio.py — Iceberg metrics-based file pruning analog):
+    replay events as 2 CDC batches into a table created with
+    stats_cols=['value'] (error events become deletes), sort-rewrite via
+    compact, then range-scan value >= 70. The scan result must equal the
+    plain filtered LWW state — pruning may only cut I/O, never rows; a
+    wrong bound (truncated max, absent-column mishandling, a tombstone
+    surfacing through a pruned read) changes the hash. File skipping
+    effectiveness is asserted separately in tests/test_skipping.py."""
+    import shutil
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    n = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    half = n // 2
+    root = tempfile.mkdtemp(prefix="q_cdc_skip_")
+    try:
+        table = SnapshotTable.create(
+            spark,
+            os.path.join(root, "t"),
+            keys=["user_id"],
+            nbuckets=4,
+            props={"stats_cols": ["value"], "max_file_rows": 16},
+        )
+        table.merge(ev.filter(F.col("event_id") < half), "q:0", seq_col="event_id")
+        table.merge(ev.filter(F.col("event_id") >= half), "q:1", seq_col="event_id")
+        table.compact(min_files=1)
+        out = table.scan([("value", ">=", 70.0)]).select(
+            "user_id", "event_type", "value"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (decontam.decontaminate): a deterministic
     'eval set' is carved from the corpus itself (docs with doc_id % 101 ==
@@ -1829,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": q_text_decontaminate,    # new: eval-set decontamination
         "cdc_scd2": q_cdc_scd2,                        # new: SCD Type 2 history
         "cdc_table_changes": q_cdc_table_changes,      # new: CDF feed read
+        "cdc_skipping_scan": q_cdc_skipping_scan,      # new: file-metric pruning
         "rebalance_mix": q_rebalance_mix,              # new: exact domain-mix quotas
         "dedup_chunks": q_dedup_chunks,                # new: C4 span removal
         "sim_semdedup": q_sim_semdedup,                # new: SemDeDup pairs
@@ -2747,6 +2791,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         # time travel: version v's visible state == LWW over the event-id
         # prefix of the batches committed up to v (3 equal-width batches)
+        "cdc_skipping_scan": """
+            SELECT user_id,
+                   max_by(event_type, event_id) AS event_type,
+                   max_by(value, event_id) AS value
+            FROM events
+            GROUP BY user_id
+            HAVING NOT max_by(event_type = 'error', event_id)
+               AND max_by(value, event_id) >= 70.0
+        """,
         "cdc_table_changes": """
             WITH s AS (SELECT (max(event_id) + 1) // 3 + 1 AS step FROM events),
             state AS (

@@ -63,6 +63,93 @@ def _bucket_col(keys: Sequence[str], nbuckets: int):
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(nbuckets)).cast("int")
 
 
+def _file_identity(p: str) -> str:
+    """Root-relative file identity (version dir / bucket dir / filename) —
+    stable across different spellings of the table root (see
+    :meth:`SnapshotTable.expire_snapshots`)."""
+    return "/".join(os.path.normpath(p).split(os.sep)[-3:])
+
+
+def _footer_minmax(path: str, cols: Sequence[str]) -> dict:
+    """Per-file ``{col: [min, max]}`` from the parquet FOOTER (driver-side
+    metadata read, no data scan — the Iceberg per-data-file column metrics
+    analog). A column maps to ``None`` (unprunable) when any row group
+    lacks min/max stats or the values aren't JSON scalars (int/float/str;
+    timestamps and NaN/Inf are excluded), and to ``"absent"`` when the file
+    predates the column entirely (all rows null there — comparison
+    predicates can never match, so the file is safely prunable). Parquet
+    writers that truncate string stats must widen the bound (min prefix ≤
+    true min, max prefix incremented), so pruning on them stays sound."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    def _bad(x) -> bool:
+        if isinstance(x, bool) or not isinstance(x, (int, float, str)):
+            return True
+        return isinstance(x, float) and not math.isfinite(x)
+
+    md = pq.ParquetFile(path).metadata
+    want = set(cols)
+    acc: dict = {}
+    seen: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            if name not in want:
+                continue
+            seen.add(name)
+            if name in acc and acc[name] is None:
+                continue
+            st = c.statistics
+            mn, mx = (
+                (st.min, st.max) if st is not None and st.has_min_max else (None, None)
+            )
+            if isinstance(mn, bytes) or isinstance(mx, bytes):
+                try:
+                    mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                except (UnicodeDecodeError, AttributeError):
+                    mn = mx = None
+            if mn is None or mx is None or _bad(mn) or _bad(mx):
+                acc[name] = None
+            elif name in acc:
+                acc[name] = [min(acc[name][0], mn), max(acc[name][1], mx)]
+            else:
+                acc[name] = [mn, mx]
+    return {c: (acc.get(c) if c in seen else "absent") for c in want}
+
+
+def _file_prunable(fstats: dict | None, filters: Sequence[tuple]) -> bool:
+    """True iff the file's stats PROVE no row can satisfy the conjunctive
+    ``(col, op, literal)`` filters. Missing/unknown stats always keep the
+    file (pruning is an optimization, never a correctness lever)."""
+    if not fstats:
+        return False
+    for c, op, v in filters:
+        s = fstats.get(c, "__missing__")
+        if s == "absent":
+            return True  # column never written in this file: all null
+        if s is None or s == "__missing__":
+            continue
+        mn, mx = s
+        try:
+            if op == "=" and (v < mn or v > mx):
+                return True
+            if op == "<" and not mn < v:
+                return True
+            if op == "<=" and not mn <= v:
+                return True
+            if op == ">" and not mx > v:
+                return True
+            if op == ">=" and not mx >= v:
+                return True
+        except TypeError:  # literal/stat type mismatch: keep the file
+            continue
+    return False
+
+
 @dataclass
 class MergeStats:
     batch_id: str | None
@@ -247,6 +334,64 @@ class SnapshotTable:
             )
         return raw.filter(~F.col(DELETED)).drop(SEQ, DELETED)
 
+    def scan(
+        self,
+        filters: Sequence[tuple],
+        version: int | None = None,
+        buckets: Sequence[int] | None = None,
+    ) -> DataFrame:
+        """Data-skipping read (Iceberg metrics-based file pruning analog):
+        visible table state matching ALL ``filters`` — conjunctive
+        ``(col, op, literal)`` with ``op ∈ {=, <, <=, >, >=}`` — reading
+        only the data files whose footer min/max ranges can satisfy them.
+
+        Files carry stats when the table was created with
+        ``props={"stats_cols": [...]}``: every MERGE/compact then sorts
+        rows by those columns within each bucket (clustering, so file
+        ranges are narrow) and records per-file min/max from the parquet
+        footers in the manifest. Stats-less files are always read — the
+        predicate is ALSO applied to the rows, so results are identical
+        with or without pruning; stats only cut I/O. At 10^10 rows the
+        hash-bucket layout spreads every key range across all buckets, so
+        WITHIN-bucket clustering + file-level skipping is what turns a
+        range query from a full-table read into ~(selectivity × table)
+        I/O — the same two-level layout (partition → file metrics) Iceberg
+        uses. ``self.last_scan`` records files_total/files_read/pruned for
+        observability (per-partition lineage discipline)."""
+        import operator as _op
+
+        ops = {"=": _op.eq, "<": _op.lt, "<=": _op.le, ">": _op.gt, ">=": _op.ge}
+        for c, op, _ in filters:
+            if op not in ops:
+                raise ValueError(f"scan: unsupported op {op!r} on {c!r}")
+        m = self.manifest(version)
+        stats = m.get("file_stats") or {}
+        items = m["buckets"].items()
+        if buckets is not None:
+            want = {str(b) for b in buckets}
+            items = [(b, fs) for b, fs in items if b in want]
+        allf = [f for _, fs in items for f in fs]
+        kept = [
+            f for f in allf if not _file_prunable(stats.get(_file_identity(f)), filters)
+        ]
+        self.last_scan = {
+            "files_total": len(allf),
+            "files_read": len(kept),
+            "files_pruned": len(allf) - len(kept),
+        }
+        raw = self._read_files(kept)
+        if raw is None:
+            # nothing left to read: reuse read()'s empty-frame schema path
+            out = self.read(version, buckets=[])
+        else:
+            out = raw.filter(~F.col(DELETED)).drop(SEQ, DELETED)
+        for c, op, v in filters:
+            if c in out.columns:
+                out = out.filter(ops[op](F.col(c), F.lit(v)))
+            else:  # pruned-away evolved column: no row can match
+                out = out.filter(F.lit(False))
+        return out
+
     def bucket_ids(self, df: DataFrame) -> list[int]:
         """bucket ids the rows of ``df`` hash into (df must carry the
         table's bucket_cols) — ≤nbuckets ints, one distinct + tiny collect.
@@ -345,21 +490,39 @@ class SnapshotTable:
 
         version = self._next_version(m["version"])
         vdir = os.path.join(self.root, "data", f"v{version:08d}")
+        props = m.get("props") or {}
+        stats_cols = props.get("stats_cols") or []
         new_buckets = dict(m["buckets"])
+        file_stats = dict(m.get("file_stats") or {})
         before = after = 0
         for b, files in frag.items():
             bdir = os.path.join(vdir, f"__b={b}")
-            self._read_files(files).coalesce(1).write.mode("overwrite").parquet(bdir)
+            df = self._read_files(files).coalesce(1)
+            if stats_cols:
+                # sort-rewrite (Iceberg rewrite_data_files with sort order):
+                # re-clusters the bucket so scan()'s file skipping stays
+                # effective after many small merges interleave key ranges
+                present = [c for c in stats_cols if c in df.columns]
+                df = df.sortWithinPartitions(*present) if present else df
+            w = df.write.mode("overwrite")
+            if props.get("max_file_rows"):
+                w = w.option("maxRecordsPerFile", int(props["max_file_rows"]))
+            w.parquet(bdir)
             out = sorted(
                 os.path.join(bdir, f) for f in os.listdir(bdir) if f.endswith(".parquet")
             )
             new_buckets[b] = out
+            if stats_cols:
+                for f in out:
+                    file_stats[_file_identity(f)] = _footer_minmax(f, stats_cols)
             before += len(files)
             after += len(out)
+        live = {_file_identity(f) for fs in new_buckets.values() for f in fs}
+        file_stats = {k: v for k, v in file_stats.items() if k in live}
 
         if self.current_version() != m["version"]:
             raise ConcurrentWriteError("table advanced during compaction; retry")
-        self._commit_manifest({**m, "version": version, "buckets": new_buckets, "parent": m["version"], "committed_ts": time.time()})
+        self._commit_manifest({**m, "version": version, "buckets": new_buckets, "file_stats": file_stats, "parent": m["version"], "committed_ts": time.time()})
         self._swap_pointer(version)
         return {"compacted_buckets": len(frag), "files_before": before, "files_after": after}
 
@@ -595,16 +758,26 @@ class SnapshotTable:
         #    cross-snapshot winners (tombstones retained)
         merged = lww_dedup(union, keys=keys, seq=SEQ)
 
-        # 5. write only the touched buckets to the new version dir
+        # 5. write only the touched buckets to the new version dir. When the
+        #    table declares stats_cols, cluster rows by them within each
+        #    bucket (sortWithinPartitions also satisfies the writer's
+        #    partition-column ordering requirement, so no extra sort is
+        #    inserted) and cap file size so footer min/max ranges stay
+        #    narrow — that's what makes scan()'s file skipping effective.
         version = self._next_version(m["version"])
         vdir = os.path.join(self.root, "data", f"v{version:08d}")
-        (
-            merged.withColumn("__b", _bucket_col(bcols, nbuckets))
-            .repartition(max(len(touched), 1), "__b")
-            .write.partitionBy("__b")
-            .mode("overwrite")
-            .parquet(vdir)
+        props = m.get("props") or {}
+        stats_cols = [c for c in props.get("stats_cols") or []]
+        to_write = merged.withColumn("__b", _bucket_col(bcols, nbuckets)).repartition(
+            max(len(touched), 1), "__b"
         )
+        if stats_cols:
+            present = [c for c in stats_cols if c in to_write.columns]
+            to_write = to_write.sortWithinPartitions("__b", *present)
+        writer = to_write.write.partitionBy("__b").mode("overwrite")
+        if props.get("max_file_rows"):
+            writer = writer.option("maxRecordsPerFile", int(props["max_file_rows"]))
+        writer.parquet(vdir)
 
         # 6. new manifest: new files for touched buckets, parent's for the rest
         new_buckets = dict(m["buckets"])
@@ -625,6 +798,18 @@ class SnapshotTable:
         if obs is not None:  # prune=False: events_in observed during the write
             events_in = int(obs.get["events_in"])
 
+        # per-file column metrics: new files get footer-derived min/max
+        # (driver-side metadata reads, touched buckets only), untouched
+        # files carry their parent-manifest stats forward, dereferenced
+        # files drop out (keyed by root-relative identity, like expiry)
+        file_stats = dict(m.get("file_stats") or {})
+        if stats_cols:
+            for b in touched:
+                for f in new_buckets.get(str(b), []):
+                    file_stats[_file_identity(f)] = _footer_minmax(f, stats_cols)
+        live = {_file_identity(f) for fs in new_buckets.values() for f in fs}
+        file_stats = {k: v for k, v in file_stats.items() if k in live}
+
         schema_json = merged.drop("__b").schema.json()
         committed = dict(m["committed_batches"])
         if batch_id is not None:
@@ -638,6 +823,7 @@ class SnapshotTable:
             "version": version,
             "schema": schema_json,
             "buckets": new_buckets,
+            "file_stats": file_stats,
             "committed_batches": committed,
             "parent": m["version"],
             "committed_ts": time.time(),
