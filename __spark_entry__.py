@@ -47,7 +47,13 @@ from pyetl_spark.functions import dedup as fdedup
 from pyetl_spark.functions import quality as fqual
 from pyetl_spark.functions import similarity as fsim
 from pyetl_spark.functions import text as ftext
-from pyetl_spark.cdc import SnapshotTable, change_events, lww_dedup, lww_dedup_salted
+from pyetl_spark.cdc import (
+    IncrementalAgg,
+    SnapshotTable,
+    change_events,
+    lww_dedup,
+    lww_dedup_salted,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1804,6 +1810,55 @@ def q_cdc_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (cdc/ivm.py IncrementalAgg over the
+    change feed): replay events as 3 CDC batches into a base table (click
+    events become deletes), fold each commit's CDF slice into a persistent
+    per-event_type (count, sum) view, and return the FINAL VIEW STATE. It
+    must equal a from-scratch aggregate of the final LWW table — the view
+    only ever sees row-level deltas, so a sign error, a missed group move,
+    or a tombstone folded twice diverges immediately. Sums are maintained
+    in DECIMAL (exact fold-in/fold-out) and exported as double."""
+    import shutil
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "click", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    n = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    step = n // 3 + 1
+    root = tempfile.mkdtemp(prefix="q_cdc_ivm_")
+    try:
+        base = SnapshotTable.create(
+            spark, os.path.join(root, "t"), keys=["user_id"], nbuckets=8
+        )
+        view = IncrementalAgg(
+            spark, os.path.join(root, "v"), ["event_type"], ["value"]
+        )
+        v_prev = 0
+        for b in range(3):
+            batch = ev.filter(
+                (F.col("event_id") >= b * step) & (F.col("event_id") < (b + 1) * step)
+            )
+            base.merge(batch, batch_id=f"q:{b}", seq_col="event_id")
+            v_now = base.current_version()
+            view.apply(base.changes(v_prev, v_now), batch_id=f"q:{b}")
+            v_prev = v_now
+        out = view.state().select(
+            "event_type",
+            F.col("count").alias("n_keys"),
+            F.col("sum_value").cast("double").alias("value_sum"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (decontam.decontaminate): a deterministic
     'eval set' is carved from the corpus itself (docs with doc_id % 101 ==
@@ -1873,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2": q_cdc_scd2,                        # new: SCD Type 2 history
         "cdc_table_changes": q_cdc_table_changes,      # new: CDF feed read
         "cdc_skipping_scan": q_cdc_skipping_scan,      # new: file-metric pruning
+        "cdc_incremental_agg": q_cdc_incremental_agg,  # new: IVM over the feed
         "rebalance_mix": q_rebalance_mix,              # new: exact domain-mix quotas
         "dedup_chunks": q_dedup_chunks,                # new: C4 span removal
         "sim_semdedup": q_sim_semdedup,                # new: SemDeDup pairs
@@ -2791,6 +2847,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         # time travel: version v's visible state == LWW over the event-id
         # prefix of the batches committed up to v (3 equal-width batches)
+        "cdc_incremental_agg": """
+            WITH lww AS (
+                SELECT user_id,
+                       max_by(event_type, event_id) AS event_type,
+                       max_by(value, event_id) AS value,
+                       max_by(event_type = 'click', event_id) AS del
+                FROM events GROUP BY user_id
+            )
+            SELECT event_type, count(*) AS n_keys,
+                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum
+            FROM lww WHERE NOT del GROUP BY event_type
+        """,
         "cdc_skipping_scan": """
             SELECT user_id,
                    max_by(event_type, event_id) AS event_type,
