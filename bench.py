@@ -64,6 +64,12 @@ BENCH_QUERIES = [
     "cdc_scd2",
     "dedup_chunks",
     "sim_semdedup",
+    "rebalance_mix",
+    # round 4, CDC tier: change-data-feed reads, file-metric data skipping,
+    # incremental view maintenance over the feed
+    "cdc_table_changes",
+    "cdc_skipping_scan",
+    "cdc_incremental_agg",
 ]
 
 

@@ -63,13 +63,26 @@ def word_repetition_frac(col: Column) -> Column:
 
 def word_ngrams(col: Column, n: int = 2) -> Column:
     """array<string> of space-joined word n-grams (empty when the text has
-    fewer than ``n`` words — guarded so F.sequence never runs descending)."""
-    w = F.split(col, " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - (n - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
-    )
-    return F.when(F.size(w) >= n, grams).otherwise(F.array().cast("array<string>"))
+    fewer than ``n`` words — guarded so F.sequence never runs descending).
+
+    The split array is bound as a LAMBDA VARIABLE (via a singleton-array
+    transform) before the per-gram loop touches it: Catalyst does no common
+    subexpression elimination across higher-order-function boundaries, so
+    referencing ``split(col)`` directly inside the inner lambda would
+    re-split the whole text for every element_at — measured 35 s → 4 s on
+    211k 13-grams at sf0.1 (the n× full-text re-parse dwarfed the actual
+    n-gram work)."""
+
+    def per_words(w: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
+        )
+        return F.when(F.size(w) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.get(F.transform(F.array(F.split(col, " ")), per_words), 0)
 
 
 def gram_repetition(

@@ -476,14 +476,27 @@ def semdedup_pairs(
     ``max_cell`` caps degenerate cells (log + drop, never silently): the
     cell-size probe is one tiny aggregate — at most ``len(centroids)``
     rows — so the guard costs one scan of the assignment, not a join.
-    """
+
+    The assignment is PINNED (localCheckpoint) before the self-join: the
+    argmin-over-centroids expression is enormous, and left un-pinned it is
+    re-evaluated on BOTH join inputs and inlined into the join stage,
+    blowing generated code past JIT limits (interpreted fallback). The
+    per-pair dot is zip_with+aggregate, not the dim-unrolled expression —
+    same left-to-right IEEE sum, but constant codegen size; measured 3×
+    faster at dim 64 inside the join stage (the unrolled form still wins
+    for SINGLE-row norms/centroid distances, where it stays in one
+    whole-stage-codegen projection)."""
     dim = len(centroids[0])
     cells = ivf_assign(df, centroids, vec_col, out="cell")
-    base = cells.select(
-        id_col,
-        "cell",
-        F.col(vec_col).cast("array<double>").alias("__v"),
-    ).withColumn("__n", F.expr(norm_fixed_sql("__v", dim)))
+    base = (
+        cells.select(
+            id_col,
+            "cell",
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .withColumn("__n", F.expr(norm_fixed_sql("__v", dim)))
+        .localCheckpoint(eager=True)
+    )
     if max_cell is not None:
         sizes = base.groupBy("cell").agg(F.count("*").alias("n"))
         big = [r["cell"] for r in sizes.filter(F.col("n") > max_cell).collect()]
@@ -499,9 +512,11 @@ def semdedup_pairs(
         (F.col("l.cell") == F.col("r.cell"))
         & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
     )
-    cos = F.expr(dot_fixed_sql("l.__v", "r.__v", dim)) / F.greatest(
-        F.col("l.__n") * F.col("r.__n"), F.lit(1e-12)
-    )
+    cos = F.aggregate(
+        F.zip_with("l.__v", "r.__v", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.greatest(F.col("l.__n") * F.col("r.__n"), F.lit(1e-12))
     return pairs.select(
         F.col("l.cell").alias("cell"),
         F.col(f"l.{id_col}").alias("a"),
