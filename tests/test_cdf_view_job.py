@@ -1,0 +1,59 @@
+"""Change-feed consumer job (jobs/cdf_view.py) — catch-up semantics."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from jobs.cdf_view import consume  # noqa: E402
+from pyetl_spark.cdc.tableio import SnapshotTable  # noqa: E402
+
+
+def _delta(spark, rows):
+    return spark.createDataFrame(rows, ["k", "grp", "x", "op", "seq"])
+
+
+def _recompute(base):
+    return {
+        r["grp"]: (r["n"], float(r["s"]))
+        for r in base.read()
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("x").cast("decimal(28,6)")).alias("s"),
+        )
+        .collect()
+    }
+
+
+def _view_state(spark, view_dir):
+    from pyetl_spark.cdc.ivm import IncrementalAgg
+
+    v = IncrementalAgg(spark, view_dir, ["grp"], ["x"])
+    return {r["grp"]: (r["count"], float(r["sum_x"])) for r in v.state().collect()}
+
+
+def test_consume_catches_up_incrementally_and_is_idempotent(spark, tmp_path):
+    base_dir, view_dir = str(tmp_path / "base"), str(tmp_path / "view")
+    base = SnapshotTable.create(spark, base_dir, keys=["k"], nbuckets=4)
+    base.merge(_delta(spark, [(1, "a", 1.0, "upsert", 1), (2, "b", 2.0, "upsert", 2)]), "b0")
+    base.merge(_delta(spark, [(3, "b", 3.0, "upsert", 3)]), "b1")
+
+    s1 = consume(spark, base_dir, view_dir, ["grp"], ["x"])
+    assert len(s1["applied_now"]) == 2
+    assert _view_state(spark, view_dir) == _recompute(base)
+
+    # nothing new: a rerun applies zero commits and changes nothing
+    s2 = consume(spark, base_dir, view_dir, ["grp"], ["x"])
+    assert s2["applied_now"] == []
+    assert s2["view_version"] == s1["view_version"]
+
+    # new commits since: only those are consumed
+    base.merge(_delta(spark, [(2, "b", 0.0, "delete", 4), (4, "c", 9.0, "upsert", 5)]), "b2")
+    s3 = consume(spark, base_dir, view_dir, ["grp"], ["x"])
+    assert len(s3["applied_now"]) == 1
+    assert _view_state(spark, view_dir) == _recompute(base)
