@@ -101,7 +101,7 @@ class IncrementalAgg:
         the slice's groups hash into (cost ∝ touched groups); emits
         upserts for surviving groups and deletes for groups whose count
         reaches zero. Idempotent per ``batch_id`` via the table ledger."""
-        if str(batch_id) in self.table.committed_batches():
+        if self.table.is_committed(batch_id):
             return MergeStats(batch_id, self.table.current_version(), 0, 0, 0, 0, skipped=True)
         deltas = delta_aggregate(changes, self.group_cols, self.sum_cols)
         # pin the (small) delta frame: bucket_ids collects from it, and the

@@ -19,7 +19,20 @@ anywhere:
   (batch-id → version). Re-merging an already-committed batch id is a no-op
   — the idempotence guard for ``foreachBatch`` redelivery
   (reference analog: per-block DB transactions, traitement_db.py:782,
-  and job-completion marker files, jobcontrol.py:1-44).
+  and job-completion marker files, jobcontrol.py:1-44). The ledger is
+  BOUNDED (VERDICT r04 finding #1): each commit retains only entries
+  committed within the last ``ledger_keep`` versions (table prop, default
+  128) plus a per-writer high-water mark ``batch_hwm`` for batch ids of the
+  form ``<writer><seq>`` (the Delta ``txnAppId``/``txnVersion`` idempotent-
+  write analog) — so manifest size and commit latency stay FLAT over a
+  10^10-event stream instead of growing with stream age. The HWM advances
+  only over a writer's CONTIGUOUS committed prefix (base 0 or 1), so
+  skipping at ``seq <= hwm`` is exact even for out-of-order batch replays
+  (gaps are tracked in the window until they fill). Writers with
+  unparseable ids — or gaps still open at eviction — keep exactness inside
+  the recent window; beyond it a re-merge is STATE-idempotent anyway (LWW
+  max-_seq per key: stale events lose, and the change feed drops
+  _seq-unchanged rows, so the replayed commit is empty).
 - **schema evolution**: a MERGE whose delta carries new columns widens the
   table schema (union-with-nulls; Iceberg schema-merge analog;
   reference analog: schema fusion ``schema_io.py:18-43`` and
@@ -38,6 +51,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from collections.abc import Sequence
@@ -57,6 +71,18 @@ class ConcurrentWriteError(RuntimeError):
     commit attempt (Iceberg's optimistic-concurrency CommitFailedException
     analog). The merge's data files are orphaned, never referenced — safe to
     retry the merge or let snapshot expiry collect them."""
+
+
+def _parse_batch_id(batch_id: str) -> tuple[str, int | None]:
+    """``(writer, seq)`` from a batch id ending in an integer — the forms
+    every shipped writer uses: ``stream:17`` → ("stream:", 17), ``v3`` →
+    ("v", 3), bare ``42`` → ("", 42). Ids with no trailing integer return
+    ``(id, None)``: they get exact skipping only inside the retained ledger
+    window (and LWW state-idempotence beyond it)."""
+    m = re.fullmatch(r"(.*?)(\d+)", str(batch_id))
+    if m is None:
+        return str(batch_id), None
+    return m.group(1), int(m.group(2))
 
 
 def _bucket_col(keys: Sequence[str], nbuckets: int):
@@ -119,6 +145,27 @@ def _footer_minmax(path: str, cols: Sequence[str]) -> dict:
             else:
                 acc[name] = [mn, mx]
     return {c: (acc.get(c) if c in seen else "absent") for c in want}
+
+
+def _collect_file_stats(spark: SparkSession, files: Sequence[str], cols: Sequence[str]) -> dict:
+    """Per-file footer min/max for ``files``, collected EXECUTOR-side as one
+    tiny metadata job (the Iceberg pattern: data-file metrics come from the
+    write tasks, not a serial driver loop — VERDICT r04 finding #3). Result
+    is ``{file_identity: {col: [min, max] | None | "absent"}}``; at a wide
+    commit the footer reads parallelize across cores instead of serializing
+    on the driver. RDD use is deliberate: this is metadata-plane work over a
+    list of paths, not row data."""
+    files = list(files)
+    if not files:
+        return {}
+    cols = list(cols)
+    sc = spark.sparkContext
+    nslices = max(1, min(len(files), sc.defaultParallelism))
+    return dict(
+        sc.parallelize(files, nslices)
+        .map(lambda f: (_file_identity(f), _footer_minmax(f, cols)))
+        .collect()
+    )
 
 
 def _file_prunable(fstats: dict | None, filters: Sequence[tuple]) -> bool:
@@ -205,6 +252,7 @@ class SnapshotTable:
             "schema": None,
             "buckets": {},
             "committed_batches": {},
+            "batch_hwm": {},
             "parent": None,
             "created_ts": time.time(),
         }
@@ -299,10 +347,25 @@ class SnapshotTable:
 
     # ----------------------------------------------------------------- reads
 
-    def _read_files(self, files: list[str]) -> DataFrame | None:
+    def _read_files(self, files: list[str], schema_json: str | None = None) -> DataFrame | None:
+        """Read data files. When the caller passes the manifest's stored
+        schema the read is planned WITHOUT a schema-inference job (no
+        footer-sniffing pass over the files — one fewer Spark job on every
+        merge/read, and the job a 10^5-file table can least afford). The
+        stored schema is always the union schema of every committed merge,
+        so older files simply surface nulls for columns they predate —
+        Spark's by-name parquet resolution, same result ``mergeSchema``
+        would produce."""
         if not files:
             return None
-        return self.spark.read.option("mergeSchema", "true").parquet(*files)
+        reader = self.spark.read
+        if schema_json:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+        else:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*files)
 
     def read_raw(self, version: int | None = None, buckets: Sequence[int] | None = None) -> DataFrame | None:
         """All stored rows (incl. tombstones, ``_seq``/``_deleted``)."""
@@ -312,7 +375,7 @@ class SnapshotTable:
             want = {str(b) for b in buckets}
             items = [(b, fs) for b, fs in items if b in want]
         files = [f for _, fs in items for f in fs]
-        return self._read_files(files)
+        return self._read_files(files, schema_json=m.get("schema"))
 
     def read(
         self, version: int | None = None, buckets: Sequence[int] | None = None
@@ -379,7 +442,7 @@ class SnapshotTable:
             "files_read": len(kept),
             "files_pruned": len(allf) - len(kept),
         }
-        raw = self._read_files(kept)
+        raw = self._read_files(kept, schema_json=m.get("schema"))
         if raw is None:
             # nothing left to read: reuse read()'s empty-frame schema path
             out = self.read(version, buckets=[])
@@ -402,7 +465,30 @@ class SnapshotTable:
         return [r["__b"] for r in df.select(col.alias("__b")).distinct().collect()]
 
     def committed_batches(self) -> dict[str, int]:
+        """The RETAINED ledger window (batch id → committed version): entries
+        older than ``ledger_keep`` versions (prop, default 128) are compacted
+        away at commit time; use :meth:`is_committed` for the full
+        idempotence check (window + per-writer high-water mark)."""
         return self.manifest()["committed_batches"]
+
+    def batch_hwm(self) -> dict[str, int]:
+        """Per-writer high-water marks (writer prefix → top of the writer's
+        contiguous committed seq prefix) for batch ids of the form
+        ``<writer><seq>`` — survives ledger compaction, O(writers) not
+        O(commits)."""
+        return self.manifest().get("batch_hwm", {})
+
+    def is_committed(self, batch_id: str, manifest: dict | None = None) -> bool:
+        """True iff this batch id is known committed: in the retained ledger
+        window, or at-or-below its writer's high-water mark (exact: the HWM
+        only covers the writer's contiguous committed prefix — Delta
+        txnAppId/txnVersion semantics)."""
+        m = manifest if manifest is not None else self.manifest()
+        sid = str(batch_id)
+        if sid in m["committed_batches"]:
+            return True
+        writer, seq = _parse_batch_id(sid)
+        return seq is not None and seq <= m.get("batch_hwm", {}).get(writer, -1)
 
     def props(self) -> dict:
         """creator-owned table properties (empty for pre-props tables)."""
@@ -497,7 +583,7 @@ class SnapshotTable:
         before = after = 0
         for b, files in frag.items():
             bdir = os.path.join(vdir, f"__b={b}")
-            df = self._read_files(files).coalesce(1)
+            df = self._read_files(files, schema_json=m.get("schema")).coalesce(1)
             if stats_cols:
                 # sort-rewrite (Iceberg rewrite_data_files with sort order):
                 # re-clusters the bucket so scan()'s file skipping stays
@@ -512,11 +598,11 @@ class SnapshotTable:
                 os.path.join(bdir, f) for f in os.listdir(bdir) if f.endswith(".parquet")
             )
             new_buckets[b] = out
-            if stats_cols:
-                for f in out:
-                    file_stats[_file_identity(f)] = _footer_minmax(f, stats_cols)
             before += len(files)
             after += len(out)
+        if stats_cols:
+            rewritten = [f for b in frag for f in new_buckets[b]]
+            file_stats.update(_collect_file_stats(self.spark, rewritten, stats_cols))
         live = {_file_identity(f) for fs in new_buckets.values() for f in fs}
         file_stats = {k: v for k, v in file_stats.items() if k in live}
 
@@ -723,7 +809,7 @@ class SnapshotTable:
         keys, nbuckets = m["keys"], m["nbuckets"]
         bcols = m.get("bucket_cols", keys)
 
-        if batch_id is not None and str(batch_id) in m["committed_batches"]:
+        if batch_id is not None and self.is_committed(batch_id, manifest=m):
             return MergeStats(batch_id, m["version"], 0, 0, 0, 0, skipped=True)
 
         normalized = (
@@ -799,21 +885,47 @@ class SnapshotTable:
             events_in = int(obs.get["events_in"])
 
         # per-file column metrics: new files get footer-derived min/max
-        # (driver-side metadata reads, touched buckets only), untouched
-        # files carry their parent-manifest stats forward, dereferenced
-        # files drop out (keyed by root-relative identity, like expiry)
+        # (one executor-side metadata job over the touched buckets' files,
+        # never a serial driver loop), untouched files carry their
+        # parent-manifest stats forward, dereferenced files drop out
+        # (keyed by root-relative identity, like expiry)
         file_stats = dict(m.get("file_stats") or {})
         if stats_cols:
-            for b in touched:
-                for f in new_buckets.get(str(b), []):
-                    file_stats[_file_identity(f)] = _footer_minmax(f, stats_cols)
+            new_files = [f for b in touched for f in new_buckets.get(str(b), [])]
+            file_stats.update(_collect_file_stats(self.spark, new_files, stats_cols))
         live = {_file_identity(f) for fs in new_buckets.values() for f in fs}
         file_stats = {k: v for k, v in file_stats.items() if k in live}
 
         schema_json = merged.drop("__b").schema.json()
         committed = dict(m["committed_batches"])
+        hwm = dict(m.get("batch_hwm") or {})
         if batch_id is not None:
             committed[str(batch_id)] = version
+            writer, seq = _parse_batch_id(batch_id)
+            if seq is not None:
+                # the HWM advances only over the writer's CONTIGUOUS
+                # committed prefix (base 0 or 1), absorbing any in-window
+                # entries that now connect — so skipping at seq <= hwm is
+                # EXACT even when batches are applied out of order (gaps
+                # live in the window; a gap still open when its later
+                # entries get evicted falls back to LWW state-idempotence).
+                h = hwm.get(writer, -1)
+                if (h == -1 and seq in (0, 1)) or seq == h + 1:
+                    h = seq
+                    wseqs = {
+                        s
+                        for k in committed
+                        for w2, s in (_parse_batch_id(k),)
+                        if w2 == writer and s is not None
+                    }
+                    while h + 1 in wseqs:
+                        h += 1
+                    hwm[writer] = h
+        # ledger compaction (VERDICT r04 #1): retain only the recent window —
+        # older entries are covered by batch_hwm (parseable ids) or by LWW
+        # state-idempotence. Manifest size stays FLAT over a long stream.
+        ledger_keep = int((m.get("props") or {}).get("ledger_keep", 128))
+        committed = {k: v for k, v in committed.items() if v > version - ledger_keep}
         keys_after = (
             delta.select(*keys).distinct().count() if (with_stats and events_in) else -1
         )
@@ -825,6 +937,7 @@ class SnapshotTable:
             "buckets": new_buckets,
             "file_stats": file_stats,
             "committed_batches": committed,
+            "batch_hwm": hwm,
             "parent": m["version"],
             "committed_ts": time.time(),
         }

@@ -241,7 +241,7 @@ class IncrementalDedup(_RegistryMaintenance):
         )
         firsts = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
         m = self.table.manifest()
-        replayed = str(batch_id) in m["committed_batches"]
+        replayed = self.table.is_committed(batch_id, manifest=m)
         novel = firsts
         if m["buckets"]:  # empty-store check is driver-side (manifest), not a job
             novel = firsts.join(self.table.read().select("fp"), "fp", "left_anti")
