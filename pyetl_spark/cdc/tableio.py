@@ -651,7 +651,12 @@ class SnapshotTable:
             v = parent
         return list(reversed(chain))
 
-    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+    def changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        checkpoint_every: int = 64,
+    ) -> DataFrame:
         """Row-level change feed for commits ``(from_version, to_version]``
         — the Delta CDF / Iceberg ``create_changelog_view`` analog:
         ``_change_type ∈ insert | delete | update_preimage |
@@ -672,6 +677,16 @@ class SnapshotTable:
         emits nothing (a delete of a row that never existed is not a
         change); a tombstone refreshed by a later delete event emits
         nothing; a tombstone overwritten by a live row emits ``insert``.
+
+        Plan growth over long lineages: the feed is a per-commit union of
+        manifest-diff joins, so a (v0, v10000] range would otherwise build
+        a 10k-branch driver plan (quadratic analysis cost). Every
+        ``checkpoint_every`` contributing commits the accumulated feed is
+        cut over to an eager ``localCheckpoint`` — the plan stays bounded
+        at O(checkpoint_every) branches while results are identical. The
+        shipped consumers (jobs/cdf_view.py) read a few commits per
+        catch-up and never hit this; the knob exists for bulk historical
+        replays of a whole retained lineage.
         """
         if to_version is None:
             to_version = self.current_version()
@@ -687,6 +702,7 @@ class SnapshotTable:
 
         lineage = self._lineage(from_version, to_version)
         out: DataFrame | None = None
+        branches = 0
         prev_m = self.manifest(from_version)
         for v in lineage[1:]:
             m = self.manifest(v)
@@ -757,6 +773,9 @@ class SnapshotTable:
                 if out is None
                 else out.unionByName(delta, allowMissingColumns=True)
             )
+            branches += 1
+            if checkpoint_every and branches % checkpoint_every == 0:
+                out = out.localCheckpoint(eager=True)
         if out is None:
             from pyspark.sql.types import StructType
 

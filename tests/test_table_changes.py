@@ -146,6 +146,24 @@ def test_expired_intermediate_raises(spark, tmp_path):
         t.changes(1)
 
 
+def test_long_lineage_chunked_checkpoint_matches_unchunked(spark, tmp_path):
+    # plan-growth bound: every checkpoint_every commits the accumulated
+    # union is cut over to a localCheckpoint; results must be identical
+    # and the final plan must not carry one branch per commit
+    t = _mk(spark, tmp_path, nbuckets=2)
+    for i in range(10):
+        t.merge(_delta(spark, [(i % 3, f"v{i}", "upsert", i + 1)]), f"b{i}")
+    v = t.current_version()
+    chunked = t.changes(0, v, checkpoint_every=3)
+    plain = t.changes(0, v, checkpoint_every=0)
+    key = ["k", "val", "_change_type", "_commit_version"]
+    assert sorted(map(tuple, chunked.select(key).collect())) == sorted(
+        map(tuple, plain.select(key).collect())
+    )
+    # ≤ checkpoint_every Union branches survive in the chunked plan
+    assert str(chunked._jdf.queryExecution().logical()).count("Union") <= 3
+
+
 def test_empty_range_has_feed_schema(spark, tmp_path):
     t = _mk(spark, tmp_path)
     t.merge(_delta(spark, [(1, "a", "upsert", 1)]), "b1")
