@@ -174,6 +174,86 @@ def bench_incremental(spark, sf_dir: str, n_batches: int = 3) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_ivm_catchup(spark, n_seed: int = 200_000, n_batch: int = 20_000) -> dict:
+    """Incremental view maintenance end-to-end at bench scale (VERDICT r04
+    #6): a repo-level COUNT/SUM view maintained from the live change feed.
+    Reports (a) a 10-batch catch-up (merge → CDF slice → fold), and (b) the
+    touched-groups scaling probe — one batch confined to 1% of the repo
+    groups vs one spread over ~100% of them, same event count. Apply cost
+    must track TOUCHED groups (bucket-pruned state read, slice diff over
+    touched base buckets), not view size, so the 1% apply must come in well
+    under the 100% apply."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from pyetl_spark.cdc import SnapshotTable, change_events
+    from pyetl_spark.cdc.ivm import IncrementalAgg
+
+    N_REPOS = 2000
+    fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="bench_ivm_", dir=fast)
+
+    def _ev(lo: int, hi: int, **kw) -> "object":
+        kw.setdefault("n_repos", N_REPOS)
+        kw.setdefault("paths_per_repo", 500)
+        df = change_events(spark, hi, start=lo, seed=42, **kw)
+        return df.withColumn("bytes", F2.length("content"))
+
+    try:
+        # warmup: the merge/CDF/fold stages are fresh codegen classes
+        wt = SnapshotTable.create(spark, os.path.join(root, "w"), keys=["repo", "path"], nbuckets=8)
+        wt.merge(_ev(0, 5000), batch_id="w0")
+        wv = IncrementalAgg(spark, os.path.join(root, "wv"), ["repo"], ["bytes"], nbuckets=8)
+        wv.apply(wt.changes(0), batch_id="w0")
+
+        base = SnapshotTable.create(spark, os.path.join(root, "t"), keys=["repo", "path"], nbuckets=64)
+        view = IncrementalAgg(spark, os.path.join(root, "v"), ["repo"], ["bytes"], nbuckets=64)
+        base.merge(_ev(0, n_seed), batch_id="seed")
+        t0 = time.time()
+        view.apply(base.changes(0), batch_id="seed")
+        initial_sec = time.time() - t0
+
+        # 10-batch live catch-up: each batch merges into the base table and
+        # the view folds that commit's feed slice
+        lo = n_seed
+        t0 = time.time()
+        for b in range(10):
+            va = base.current_version()
+            base.merge(_ev(lo, lo + n_batch), batch_id=f"b{b}")
+            view.apply(base.changes(va), batch_id=f"b{b}")
+            lo += n_batch
+        catchup_sec = time.time() - t0
+
+        def _probe(tag: str, **kw) -> float:
+            nonlocal lo
+            va = base.current_version()
+            base.merge(_ev(lo, lo + n_batch, **kw), batch_id=tag)
+            lo += n_batch
+            t0 = time.time()
+            view.apply(base.changes(va), batch_id=tag)
+            return round(time.time() - t0, 3)
+
+        # 1% of groups: events confined to repo indices [0, 20); 100%: the
+        # same event count spread uniformly over all 2000 repos
+        apply_1pct = _probe("p1", n_repos=N_REPOS // 100)
+        apply_100pct = _probe("p100", alpha=1.0)
+        groups = view.state().count()
+        return {
+            "seed_events": n_seed,
+            "batch_events": n_batch,
+            "view_groups": groups,
+            "initial_build_sec": round(initial_sec, 2),
+            "catchup_10_batches_sec": round(catchup_sec, 2),
+            "catchup_events_per_sec": int(10 * n_batch / catchup_sec),
+            "apply_1pct_groups_sec": apply_1pct,
+            "apply_100pct_groups_sec": apply_100pct,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -258,9 +338,11 @@ def main() -> None:
         worker = json.loads(out.stdout.strip().splitlines()[-1])
         cdc = worker["cdc_replay"]
         incremental = worker.get("incremental_ingest", {})
+        ivm = worker.get("ivm_catchup", {})
     except Exception as e:  # noqa: BLE001
         cdc = {"error": f"{type(e).__name__}: {e}"[:200], "sec": 0}
         incremental = {}
+        ivm = {}
 
     # headline total stays queries + flagship replay (comparable across
     # rounds); the incremental tier is reported alongside in extras
@@ -276,6 +358,7 @@ def main() -> None:
                 "extras": {
                     "cdc_replay": cdc,
                     "incremental_ingest": incremental,
+                    "ivm_catchup": ivm,
                     "cpus": int(cpus),
                     "calibration": {"start_sec": calib_start, "end_sec": calib_end},
                     "cold_first_run": cold,
@@ -309,6 +392,10 @@ def _replay_worker(n_events: int) -> None:
         out["incremental_ingest"] = bench_incremental(spark, sf_dir)
     except Exception as e:  # noqa: BLE001
         out["incremental_ingest"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    try:
+        out["ivm_catchup"] = bench_ivm_catchup(spark)
+    except Exception as e:  # noqa: BLE001
+        out["ivm_catchup"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     print(json.dumps(out))
 
 
