@@ -43,6 +43,7 @@ from pyetl_spark.operators import (
 from pyetl_spark.cdc import scd as fscd
 from pyetl_spark.functions import packing as fpack
 from pyetl_spark.functions import decontam as fdecon
+from pyetl_spark.functions import dsir as fdsir
 from pyetl_spark.functions import dedup as fdedup
 from pyetl_spark.functions import quality as fqual
 from pyetl_spark.functions import similarity as fsim
@@ -1911,6 +1912,23 @@ def q_quality_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("kept", F.col("kept").cast("int"))
 
 
+def q_quality_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection scores (dsir.dsir_scores_exact): hashed
+    unigram+bigram buckets (md5/Horner family, 2048 buckets), target subset
+    lang='en', per-doc integer cross-multiplied frequency score
+    ``sum_g [n_tgt(b)*N_raw - n_raw(b)*N_tgt]`` — positive exactly when the
+    doc's grams are over-represented in the target distribution. The
+    integer-exact sibling of the production log-likelihood-ratio path
+    (dsir.dsir_log_weights, pytest-oracled in tests/test_dsir.py); both
+    share the two-pass shape: bucket-stats hash agg (<=2048 rows, broadcast
+    back) + per-doc fold. No reference analog — training-data curation tier
+    (Xie et al., NeurIPS 2023)."""
+    docs = _t(spark, sf_dir, "documents")
+    return fdsir.dsir_scores_exact(
+        docs, "doc_id", "text", F.col("lang") == "en", num_buckets=2048
+    )
+
+
 def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style duplicate-span removal: 4-word chunks appearing in ≥3
     distinct documents are cut corpus-wide, survivors re-joined in order
@@ -1948,6 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every run.
     return {
         # -- new in round 5, or implementation changed in round 5
+        "quality_dsir": q_quality_dsir,                # new: DSIR importance scores
         "serve_script": q_serve_script,                # new: pooled serving seam
         "cdc_merge_table": q_cdc_merge_table,          # tableio: ledger compaction+HWM
         "cdc_table_changes": q_cdc_table_changes,      # changes(): bounded plan growth
@@ -2003,10 +2022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window. Every entry below was certified green in ROUND 4's driver
         # window (CORRECTNESS_r04), so its latest green row is at most one
         # round old; the local oracle suite still checks every one of them
-        # each run. One slot above is held open for queries added later in
-        # round 5 — inserting at the top pushes the tail of the round-3
-        # block past this marker, which is safe (those would then be
-        # exactly two rounds stale, the allowed bound).
+        # each run. The round-5 reserve slot is now filled by quality_dsir
+        # (position 1), bringing the front to exactly 50.
         "text_pii_redact": q_text_pii_redact,
         "text_repetition": q_text_repetition,
         "quality_gopher_gate": q_quality_gopher_gate,
@@ -2162,6 +2179,43 @@ def _duck_shingle_hash_list(k: int = 3) -> str:
         f"ELSE [] END)"
     )
     return f"list_distinct({sh})"
+
+
+def _dsir_oracle(num_buckets: int = 2048) -> str:
+    """DuckDB mirror of q_quality_dsir: hashed unigram+bigram buckets over
+    the md5/Horner family (NO distinct — DSIR counts gram occurrences),
+    per-bucket target/raw counts, integer cross-multiplied per-doc score."""
+    from pyetl_spark.functions.text import MERSENNE31 as P
+    from pyetl_spark.functions.text import SHINGLE_A as A
+
+    # Spark's words() drops empty tokens; filter to match before hashing
+    nw = f"list_filter({_NWORDS}, w -> w != '')"
+    wm = f"list_transform({nw}, w -> {_MD5H60.format(x='w')} % {P})"
+    bi = (
+        f"(CASE WHEN len(wm) >= 2 THEN "
+        f"list_transform(range(1, len(wm)), i -> (wm[i] * {A} + wm[i+1]) % {P}) "
+        f"ELSE [] END)"
+    )
+    return f"""
+    WITH wmx AS (SELECT doc_id, lang, {wm} AS wm FROM documents),
+    grams AS (SELECT doc_id, lang,
+                     unnest(list_transform(list_concat(wm, {bi}),
+                                           g -> g % {num_buckets})) AS b
+              FROM wmx),
+    stats AS (SELECT b, count(*)::BIGINT AS n_raw,
+                     sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_tgt
+              FROM grams GROUP BY b),
+    tot AS (SELECT sum(n_raw)::BIGINT AS nr, sum(n_tgt)::BIGINT AS nt FROM stats),
+    perdoc AS (SELECT g.doc_id,
+                      sum(s.n_tgt * t.nr - s.n_raw * t.nt)::BIGINT AS dsir_score,
+                      count(*)::BIGINT AS n_grams
+               FROM grams g JOIN stats s USING (b) CROSS JOIN tot t
+               GROUP BY g.doc_id)
+    SELECT d.doc_id,
+           coalesce(p.dsir_score, 0)::BIGINT AS dsir_score,
+           coalesce(p.n_grams, 0)::BIGINT AS n_grams
+    FROM documents d LEFT JOIN perdoc p USING (doc_id)
+    """
 
 
 def _minhash_lsh_oracle(
@@ -2458,6 +2512,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS top_gram_frac
             FROM documents d LEFT JOIN s USING (doc_id)
         """,
+        "quality_dsir": _dsir_oracle(num_buckets=2048),
         "rebalance_mix": """
             WITH t(lang, w) AS (VALUES ('en', 8), ('fr', 3), ('de', 3),
                                        ('es', 3), ('zh', 3)),

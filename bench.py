@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "cdc_table_changes",
     "cdc_skipping_scan",
     "cdc_incremental_agg",
+    # round 5: DSIR-style importance scoring (hashed n-gram log-ratio /
+    # integer-exact cross-multiplied variant)
+    "quality_dsir",
 ]
 
 
