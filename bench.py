@@ -182,10 +182,14 @@ def bench_ivm_catchup(spark, n_seed: int = 200_000, n_batch: int = 20_000) -> di
     #6): a repo-level COUNT/SUM view maintained from the live change feed.
     Reports (a) a 10-batch catch-up (merge → CDF slice → fold), and (b) the
     touched-groups scaling probe — one batch confined to 1% of the repo
-    groups vs one spread over ~100% of them, same event count. Apply cost
-    must track TOUCHED groups (bucket-pruned state read, slice diff over
-    touched base buckets), not view size, so the 1% apply must come in well
-    under the 100% apply."""
+    groups vs one spread over ~100% of them, same event count. The apply
+    has two components: the CDF slice read (pruned by the BASE buckets the
+    merge touched — equal here, since both batches' (repo,path) keys cover
+    all base buckets) and the view-state read (pruned by the GROUP buckets
+    the delta touches — ~1% of repos hash to a strict subset). So the 1%
+    apply must come in under the 100% apply by the state-read share, not by
+    100x; the structural guarantee (cost ∝ touched buckets, never view
+    size) is what the probe evidences."""
     import shutil
     import tempfile
 

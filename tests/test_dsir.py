@@ -122,6 +122,39 @@ def test_select_and_resample_deterministic(spark, docs_df):
     assert s3 != s1 or True  # different seed may coincide; determinism is the contract
 
 
+def test_arrow_gram_parity(spark, docs_df):
+    """The Arrow fast path must be value-identical to the pure-Column path
+    on BOTH scorers (same discipline as test_md5_shingle_arrow_parity)."""
+    a = sorted(
+        tuple(r)
+        for r in dsir.dsir_scores_exact(
+            docs_df, "doc_id", "text", F.col("is_tgt"), B
+        ).collect()
+    )
+    c = sorted(
+        tuple(r)
+        for r in dsir.dsir_scores_exact(
+            docs_df, "doc_id", "text", F.col("is_tgt"), B, use_arrow=False
+        ).collect()
+    )
+    assert a == c  # integer scores: bit-exact across paths
+    aw = {
+        r["doc_id"]: r["weight"]
+        for r in dsir.dsir_log_weights(
+            docs_df, "doc_id", "text", F.col("is_tgt"), B
+        ).collect()
+    }
+    cw = {
+        r["doc_id"]: r["weight"]
+        for r in dsir.dsir_log_weights(
+            docs_df, "doc_id", "text", F.col("is_tgt"), B, use_arrow=False
+        ).collect()
+    }
+    assert set(aw) == set(cw)
+    for d in aw:  # float fold order may differ between paths
+        assert aw[d] == pytest.approx(cw[d], rel=1e-12, abs=1e-12)
+
+
 def test_plan_shape(spark, docs_df):
     """Pass 2's bucket join must be a BROADCAST join (the stats table is
     <= num_buckets rows) and nothing may go cartesian/nested-loop. The one
