@@ -71,8 +71,10 @@ BENCH_QUERIES = [
     "cdc_skipping_scan",
     "cdc_incremental_agg",
     # round 5: DSIR-style importance scoring (hashed n-gram log-ratio /
-    # integer-exact cross-multiplied variant)
+    # integer-exact cross-multiplied variant) and z-order-clustered
+    # multi-column data skipping
     "quality_dsir",
+    "cdc_zorder_scan",
 ]
 
 
