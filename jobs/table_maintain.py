@@ -1,0 +1,71 @@
+"""Deployable lake-maintenance job — the Iceberg ``rewrite_data_files`` +
+``expire_snapshots`` maintenance pair for a SnapshotTable, run on a
+schedule beside a streaming ingest (the reference's batch housekeeping
+analog: jobcontrol.py job-completion sweeps).
+
+Order matters and is fixed: COMPACT first (rewrite fragmented buckets into
+clustered files — linear stats_cols sort or the z-order key, whichever the
+table declares), then EXPIRE (drop manifests older than --keep-last and
+delete unreferenced data files, including the pre-compaction copies just
+superseded). Both are safe beside concurrent readers (files are immutable,
+commits are atomic pointer swaps) and beside a concurrent writer: compact
+raises ConcurrentWriteError instead of clobbering a mid-flight merge, and
+this job treats that as "skip this cycle" (exit 0, the next cycle retries).
+
+Usage:
+    cd <repo> && zip -qr /tmp/pyetl_spark.zip pyetl_spark
+    spark-submit --master <cluster|local[N]> --py-files /tmp/pyetl_spark.zip \
+        jobs/table_maintain.py <table_root> [--min-files 2] [--keep-last 2] \
+        [--no-compact] [--no-expire]
+
+Prints one summary line: buckets compacted, files before/after, manifests
+removed, data files removed, final version.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+
+from pyetl_spark.cdc.tableio import ConcurrentWriteError, SnapshotTable
+
+
+def main(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("table_root")
+    ap.add_argument("--min-files", type=int, default=2)
+    ap.add_argument("--keep-last", type=int, default=2)
+    ap.add_argument("--no-compact", action="store_true")
+    ap.add_argument("--no-expire", action="store_true")
+    args = ap.parse_args(argv)
+
+    spark = SparkSession.builder.appName("pyetl_spark_table_maintain").getOrCreate()
+    table = SnapshotTable(spark, args.table_root)
+
+    c = {"compacted_buckets": 0, "files_before": 0, "files_after": 0}
+    skipped = False
+    if not args.no_compact:
+        try:
+            c = table.compact(min_files=args.min_files)
+        except ConcurrentWriteError:
+            skipped = True  # a merge landed mid-rewrite; next cycle retries
+
+    e = {"removed_manifests": 0, "removed_files": 0}
+    if not args.no_expire:
+        e = table.expire_snapshots(keep_last=args.keep_last)
+
+    print(
+        f"compacted_buckets={c['compacted_buckets']} "
+        f"files_before={c['files_before']} files_after={c['files_after']} "
+        f"compact_skipped={str(skipped).lower()} "
+        f"removed_manifests={e['removed_manifests']} "
+        f"removed_files={e.get('removed_files', 0)} "
+        f"version={table.current_version()}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -1,0 +1,83 @@
+"""e2e for the deployable maintenance job (jobs/table_maintain.py):
+compact-then-expire leaves LWW state identical, shrinks the file count,
+and reclaims superseded data files."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyetl_spark.cdc.tableio import SnapshotTable
+
+
+def _load_job():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "table_maintain_job", os.path.join(repo, "jobs", "table_maintain.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def job():
+    return _load_job()
+
+
+def _mk_table(spark, root: str) -> SnapshotTable:
+    t = SnapshotTable.create(
+        spark, root, keys=["id"], nbuckets=2,
+        props={"stats_cols": ["v"], "max_file_rows": 8},
+    )
+    for b in range(3):  # 3 merges → fragmented buckets + 3 stale versions
+        df = (
+            spark.range(b * 20, b * 20 + 40)
+            .select(
+                F.col("id"),
+                (F.col("id") % 97).alias("v"),
+                F.lit("upsert").alias("op"),
+                (F.col("id") + b * 1000).alias("seq"),
+            )
+        )
+        t.merge(df, batch_id=f"m{b}")
+    return t
+
+
+def _data_file_count(root: str) -> int:
+    n = 0
+    for dirpath, _, files in os.walk(os.path.join(root, "data")):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def test_maintain_compacts_and_expires(spark, job, tmp_path, capsys):
+    root = str(tmp_path / "t")
+    t = _mk_table(spark, root)
+    before_state = sorted(tuple(r) for r in t.read().collect())
+    before_files = _data_file_count(root)
+
+    rc = job.main([root, "--min-files", "2", "--keep-last", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "compact_skipped=false" in out and "removed_files=" in out
+
+    t2 = SnapshotTable(spark, root)
+    assert sorted(tuple(r) for r in t2.read().collect()) == before_state
+    assert _data_file_count(root) < before_files
+    # manifest count bounded by keep-last + the compaction commit
+    vdir = os.path.join(root, "_versions")
+    assert len([f for f in os.listdir(vdir) if f.endswith(".json")]) <= 3
+
+
+def test_maintain_flags(spark, job, tmp_path, capsys):
+    root = str(tmp_path / "t2")
+    t = _mk_table(spark, root)
+    v = t.current_version()
+    rc = job.main([root, "--no-compact", "--no-expire"])
+    assert rc == 0
+    assert f"version={v}" in capsys.readouterr().out  # pure no-op
+    assert SnapshotTable(spark, root).current_version() == v
