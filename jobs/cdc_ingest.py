@@ -111,6 +111,15 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--keys", default="repo,path")
     ap.add_argument("--no-transform", action="store_true")
     ap.add_argument(
+        "--stats-cols", default="",
+        help="comma-separated columns to cluster by and record per-file "
+        "footer min/max for (enables SnapshotTable.scan data skipping)",
+    )
+    ap.add_argument(
+        "--max-file-rows", type=int, default=0,
+        help="cap rows per data file so footer min/max ranges stay narrow",
+    )
+    ap.add_argument(
         "--bench-replay", type=int, default=0, metavar="N_EVENTS",
         help="scaling-bench mode: skip the tail, run the flagship replay "
         "benchmark in THIS submitted job and print one JSON line "
@@ -127,7 +136,15 @@ def main(argv: list[str]) -> int:
     if SnapshotTable.exists(args.table_dir):
         table = SnapshotTable(spark, args.table_dir)
     else:
-        table = SnapshotTable.create(spark, args.table_dir, keys=keys, nbuckets=args.nbuckets)
+        props: dict = {}
+        if args.stats_cols:
+            props["stats_cols"] = [c.strip() for c in args.stats_cols.split(",")]
+        if args.max_file_rows:
+            props["max_file_rows"] = args.max_file_rows
+        table = SnapshotTable.create(
+            spark, args.table_dir, keys=keys, nbuckets=args.nbuckets,
+            props=props or None,
+        )
 
     transform = None if args.no_transform else compile_rules(default_rules(), RuleContext())
     ingest = StreamingIngest(
