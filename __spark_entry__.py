@@ -1870,7 +1870,11 @@ def q_cdc_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "stats_cols": ["value", "user_id"],
                 "zorder_cols": ["value", "user_id"],
                 "zorder_bounds": {"value": [0, 600], "user_id": [0, 2000]},
-                "max_file_rows": 16,
+                # sf-proportional file size: ~200 files at any scale. A
+                # fixed tiny cap (16 rows) makes sf0.1 write ~9k files and
+                # turns the query into a footer-metadata stress test rather
+                # than a skipping demo.
+                "max_file_rows": max(32, n // 200),
             },
         )
         table.merge(ev.filter(F.col("event_id") < half), "z:0", seq_col="event_id")
