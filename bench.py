@@ -245,9 +245,14 @@ def bench_ivm_catchup(spark, n_seed: int = 200_000, n_batch: int = 20_000) -> di
             return round(time.time() - t0, 3)
 
         # 1% of groups: events confined to repo indices [0, 20); 100%: the
-        # same event count spread uniformly over all 2000 repos
-        apply_1pct = _probe("p1", n_repos=N_REPOS // 100)
-        apply_100pct = _probe("p100", alpha=1.0)
+        # same event count spread uniformly over all 2000 repos. Two
+        # alternating reps per leg, best-of (shared-host noise is one-sided
+        # — same discipline as bench_scaling.py)
+        p1a = _probe("p1a", n_repos=N_REPOS // 100)
+        p100a = _probe("p100a", alpha=1.0)
+        p1b = _probe("p1b", n_repos=N_REPOS // 100)
+        p100b = _probe("p100b", alpha=1.0)
+        apply_1pct, apply_100pct = min(p1a, p1b), min(p100a, p100b)
         groups = view.state().count()
         return {
             "seed_events": n_seed,
