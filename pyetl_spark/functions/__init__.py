@@ -4,10 +4,13 @@ the reference operator inventory)."""
 
 from pyetl_spark.functions import (  # noqa: F401
     components,
+    decontam,
     dedup,
+    dsir,
     incremental,
     multimodal,
     packing,
+    quality,
     similarity,
     text,
 )
