@@ -827,6 +827,112 @@ def q_cdc_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_cdc_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read commits (Iceberg v2 row-delta analog,
+    tableio.py merge(mode="mor")): the same 3-batch events replay as
+    cdc_merge_table, but batches 2-3 APPEND their in-batch-deduped deltas
+    instead of rewriting touched buckets — commit cost ∝ batch — and the
+    read certified here performs the deferred LWW resolution (max-_seq per
+    key over appended row versions, only dirty buckets shuffled). The
+    oracle is the same SQL argmax: commit mode must never change visible
+    state."""
+    import shutil
+    import tempfile
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("op", F.lit("upsert"))
+        .select("user_id", "event_id", "event_type", "value", "op")
+    )
+    n = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    step = n // 3 + 1
+    root = tempfile.mkdtemp(prefix="q_cdc_mor_")
+    try:
+        table = SnapshotTable.create(
+            spark, os.path.join(root, "t"), keys=["user_id"], nbuckets=8
+        )
+        for b in range(3):
+            batch = ev.filter(
+                (F.col("event_id") >= b * step) & (F.col("event_id") < (b + 1) * step)
+            )
+            table.merge(
+                batch,
+                batch_id=f"q:{b}",
+                seq_col="event_id",
+                mode="cow" if b == 0 else "mor",
+            )
+        assert table.dirty_buckets(), "MOR appends must leave unresolved buckets"
+        out = (
+            table.resolved_raw()
+            .filter(~F.col("_deleted"))
+            .select(
+                "user_id",
+                F.col("_seq").alias("last_event"),
+                "event_type",
+                F.col("value").alias("last_value"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish through branch refs (tableio create_branch /
+    publish — Iceberg branch fast-forward analog): batch 0 commits to main,
+    batches 1-2 are STAGED on an audit branch (one COW, one merge-on-read
+    commit), the audit gate runs against the branch head while main
+    provably still serves only batch 0, and publish fast-forwards main to
+    the audited head — whose manifest carries the staged batch ledger, so
+    redelivery stays exactly-once after publish. Oracle: the same SQL
+    argmax over ALL events — staging must be invisible in the final
+    state."""
+    import shutil
+    import tempfile
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("op", F.lit("upsert"))
+        .select("user_id", "event_id", "event_type", "value", "op")
+    )
+    n = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    step = n // 3 + 1
+    root = tempfile.mkdtemp(prefix="q_cdc_wap_")
+    try:
+        table = SnapshotTable.create(
+            spark, os.path.join(root, "t"), keys=["user_id"], nbuckets=8
+        )
+
+        def batch(b):
+            return ev.filter(
+                (F.col("event_id") >= b * step) & (F.col("event_id") < (b + 1) * step)
+            )
+
+        table.merge(batch(0), batch_id="q:0", seq_col="event_id")
+        main_rows = table.read().count()
+        audit = table.create_branch("audit")
+        audit.merge(batch(1), batch_id="q:1", seq_col="event_id")
+        audit.merge(batch(2), batch_id="q:2", seq_col="event_id", mode="mor")
+        # audit gate at the branch head; main must be unchanged until publish
+        assert audit.read().filter(F.col("user_id").isNull()).count() == 0
+        assert table.read().count() == main_rows, "staged commits leaked to main"
+        table.publish("audit")
+        assert table.merge(batch(1), batch_id="q:1", seq_col="event_id").skipped
+        out = (
+            table.resolved_raw()
+            .filter(~F.col("_deleted"))
+            .select(
+                "user_id",
+                F.col("_seq").alias("last_event"),
+                "event_type",
+                F.col("value").alias("last_value"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """schema evolution on MERGE (north_rule: Iceberg schema-merge analog —
     union-with-nulls both directions): a column appears only in the second
@@ -2023,6 +2129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_zorder_scan": q_cdc_zorder_scan,          # new: z-order clustering
         "serve_script": q_serve_script,                # new: pooled serving seam
         "cdc_merge_table": q_cdc_merge_table,          # tableio: ledger compaction+HWM
+        "cdc_mor_merge": q_cdc_mor_merge,              # NEW r5: merge-on-read commits
+        "cdc_wap_publish": q_cdc_wap_publish,          # NEW r5: branch refs + WAP
         "cdc_table_changes": q_cdc_table_changes,      # changes(): bounded plan growth
         "cdc_skipping_scan": q_cdc_skipping_scan,      # tableio-backed
         "cdc_incremental_agg": q_cdc_incremental_agg,  # tableio-backed
@@ -2957,6 +3065,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         # final table state after 3-batch MERGE == last-writer-wins argmax
         "cdc_merge_table": """
+            SELECT user_id,
+                   max(event_id) AS last_event,
+                   max_by(event_type, event_id) AS event_type,
+                   max_by(value, event_id) AS last_value
+            FROM events GROUP BY user_id
+        """,
+        # staging on an audit branch then publishing must be invisible in the
+        # final state: same argmax over all events
+        "cdc_wap_publish": """
+            SELECT user_id,
+                   max(event_id) AS last_event,
+                   max_by(event_type, event_id) AS event_type,
+                   max_by(value, event_id) AS last_value
+            FROM events GROUP BY user_id
+        """,
+        # merge-on-read commits resolve to the SAME argmax state: the commit
+        # mode (append + read-time LWW vs bucket rewrite) is invisible to SQL
+        "cdc_mor_merge": """
             SELECT user_id,
                    max(event_id) AS last_event,
                    max_by(event_type, event_id) AS event_type,

@@ -268,6 +268,60 @@ def bench_ivm_catchup(spark, n_seed: int = 200_000, n_batch: int = 20_000) -> di
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_mor_commits(spark, n_seed: int = 300_000, n_batch: int = 2_000, n_commits: int = 8) -> dict:
+    """Merge-on-read vs copy-on-write commit latency for a streaming tail's
+    worst case: SMALL batches whose hash-bucketed keys touch every bucket of
+    a LARGE table. COW rewrites the whole touched-bucket data per commit
+    (cost ∝ table); MOR appends the in-batch-deduped delta (cost ∝ batch).
+    Also reports the MOR read tax (resolved read over the appended versions)
+    and the compaction that retires it — the full Iceberg v2 lifecycle."""
+    import shutil
+    import tempfile
+
+    from pyetl_spark.cdc import SnapshotTable, change_events
+
+    fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="bench_mor_", dir=fast)
+
+    def _ev(lo: int, hi: int):
+        return change_events(spark, hi, start=lo, n_repos=2000, paths_per_repo=500, seed=42)
+
+    try:
+        legs: dict[str, "object"] = {}
+        for mode in ("cow", "mor"):
+            t = SnapshotTable.create(
+                spark, os.path.join(root, mode), keys=["repo", "path"], nbuckets=32
+            )
+            t.merge(_ev(0, n_seed), batch_id="seed", prune=False)
+            legs[mode] = t
+        out: dict = {"seed_rows": n_seed, "batch_events": n_batch, "commits": n_commits}
+        for mode, t in legs.items():
+            lo = n_seed
+            t0 = time.time()
+            for b in range(n_commits):
+                t.merge(_ev(lo, lo + n_batch), batch_id=f"c{b}", mode=mode)
+                lo += n_batch
+            dt = time.time() - t0
+            out[f"{mode}_commits_sec"] = round(dt, 2)
+            out[f"{mode}_sec_per_commit"] = round(dt / n_commits, 3)
+        mor = legs["mor"]
+        t0 = time.time()
+        rows = mor.read().count()
+        out["mor_resolved_read_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        mor.compact(min_files=2)
+        out["mor_compact_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        assert mor.read().count() == rows
+        out["post_compact_read_sec"] = round(time.time() - t0, 2)
+        out["commit_speedup"] = round(
+            out["cow_commits_sec"] / max(out["mor_commits_sec"], 1e-9), 1
+        )
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -353,10 +407,12 @@ def main() -> None:
         cdc = worker["cdc_replay"]
         incremental = worker.get("incremental_ingest", {})
         ivm = worker.get("ivm_catchup", {})
+        mor = worker.get("mor_commits", {})
     except Exception as e:  # noqa: BLE001
         cdc = {"error": f"{type(e).__name__}: {e}"[:200], "sec": 0}
         incremental = {}
         ivm = {}
+        mor = {}
 
     # headline total stays queries + flagship replay (comparable across
     # rounds); the incremental tier is reported alongside in extras
@@ -373,6 +429,7 @@ def main() -> None:
                     "cdc_replay": cdc,
                     "incremental_ingest": incremental,
                     "ivm_catchup": ivm,
+                    "mor_commits": mor,
                     "cpus": int(cpus),
                     "calibration": {"start_sec": calib_start, "end_sec": calib_end},
                     "cold_first_run": cold,
@@ -410,6 +467,10 @@ def _replay_worker(n_events: int) -> None:
         out["ivm_catchup"] = bench_ivm_catchup(spark)
     except Exception as e:  # noqa: BLE001
         out["ivm_catchup"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    try:
+        out["mor_commits"] = bench_mor_commits(spark)
+    except Exception as e:  # noqa: BLE001
+        out["mor_commits"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     print(json.dumps(out))
 
 

@@ -120,6 +120,13 @@ def main(argv: list[str]) -> int:
         help="cap rows per data file so footer min/max ranges stay narrow",
     )
     ap.add_argument(
+        "--merge-mode", choices=["cow", "mor"], default="cow",
+        help="commit strategy (table prop, set at create): cow rewrites "
+        "touched buckets; mor appends the deduped delta (Iceberg v2 "
+        "row-delta analog — commit cost tracks batch size; pair with "
+        "periodic jobs/maintain.py compaction to retire the read tax)",
+    )
+    ap.add_argument(
         "--bench-replay", type=int, default=0, metavar="N_EVENTS",
         help="scaling-bench mode: skip the tail, run the flagship replay "
         "benchmark in THIS submitted job and print one JSON line "
@@ -141,6 +148,8 @@ def main(argv: list[str]) -> int:
             props["stats_cols"] = [c.strip() for c in args.stats_cols.split(",")]
         if args.max_file_rows:
             props["max_file_rows"] = args.max_file_rows
+        if args.merge_mode != "cow":
+            props["merge_mode"] = args.merge_mode
         table = SnapshotTable.create(
             spark, args.table_dir, keys=keys, nbuckets=args.nbuckets,
             props=props or None,

@@ -43,6 +43,16 @@ anywhere:
   (order-insensitive replay, SURVEY §2.9). Deletes persist as tombstones so
   a stale pre-delete event cannot resurrect a key; ``read()`` filters them.
 
+- **two commit strategies** (Iceberg v1/v2 analog): copy-on-write (default)
+  rewrites touched buckets so files hold one resolved row per key, and
+  **merge-on-read** (``merge(mode="mor")`` / ``merge_mode`` table prop)
+  appends the in-batch-deduped delta and defers cross-snapshot resolution
+  to readers — commit cost ∝ batch, the shape a high-frequency tail needs.
+  The explicit ``_seq`` ordering makes LWW associative, so the stored
+  multi-version rows play the role of Iceberg's equality deletes and the
+  two modes interleave freely with identical final state; ``compact()``
+  folds unresolved (``dirty``) buckets back to one row per key.
+
 Row bucketing uses ``pmod(xxhash64(key_cols), nbuckets)`` — recomputed from
 the key columns on every write, never stored, so data files stay pure.
 """
@@ -246,6 +256,32 @@ def _file_prunable(fstats: dict | None, filters: Sequence[tuple]) -> bool:
     return False
 
 
+def _evolve_schema_json(stored_json: str | None, delta_schema) -> str:
+    """Plan-time schema-merge for MOR commits: the stored union schema plus
+    any NEW fields the delta introduces (Iceberg schema-merge analog —
+    same result the COW path's ``unionByName(allowMissingColumns=True)``
+    produces, without reading the base). Same-name type conflicts raise,
+    exactly as the COW union would at analysis time."""
+    from pyspark.sql.types import StructType
+
+    if not stored_json:
+        return delta_schema.json()
+    stored = StructType.fromJson(json.loads(stored_json))
+    have = {f.name: f for f in stored.fields}
+    out = list(stored.fields)
+    for f in delta_schema.fields:
+        cur = have.get(f.name)
+        if cur is None:
+            out.append(f)
+        elif cur.dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution type conflict on {f.name!r}: "
+                f"table has {cur.dataType.simpleString()}, "
+                f"delta has {f.dataType.simpleString()}"
+            )
+    return StructType(out).json()
+
+
 @dataclass
 class MergeStats:
     batch_id: str | None
@@ -256,12 +292,14 @@ class MergeStats:
     rows_written: int
     skipped: bool = False
     wall_ms: int = 0
+    mode: str = "cow"
 
 
 class SnapshotTable:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, branch: str = "main"):
         self.spark = spark
         self.root = root
+        self.branch_name = branch
 
     # ------------------------------------------------------------- lifecycle
 
@@ -375,8 +413,14 @@ class SnapshotTable:
         finally:
             os.unlink(tmp)
 
+    def _pointer_path(self, branch: str | None = None) -> str:
+        b = self.branch_name if branch is None else branch
+        if b == "main":
+            return os.path.join(self.root, "_current")
+        return self._ref_path("branch", b)
+
     def _swap_pointer(self, version: int) -> None:
-        ptr = os.path.join(self.root, "_current")
+        ptr = self._pointer_path()
         tmp = ptr + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(version))
@@ -399,7 +443,7 @@ class SnapshotTable:
         return max([planned_against, *existing]) + 1
 
     def current_version(self) -> int:
-        with open(os.path.join(self.root, "_current")) as f:
+        with open(self._pointer_path()) as f:
             return int(f.read().strip())
 
     def manifest(self, version: int | None = None) -> dict:
@@ -440,13 +484,45 @@ class SnapshotTable:
         files = [f for _, fs in items for f in fs]
         return self._read_files(files, schema_json=m.get("schema"))
 
+    def resolved_raw(
+        self, version: int | None = None, buckets: Sequence[int] | None = None
+    ) -> DataFrame | None:
+        """One LWW-resolved row per key, envelope (``_seq``/``_deleted``)
+        retained. For a fully-compacted table this IS ``read_raw`` (data
+        files already hold one row per key); buckets carrying merge-on-read
+        appends (manifest ``dirty``) get a read-time max-``_seq`` aggregate
+        — and ONLY those buckets are shuffled, clean buckets stream through
+        untouched, so the MOR read tax is ∝ unresolved data, not table
+        size."""
+        m = self.manifest(version)
+        sel = (
+            {str(b) for b in buckets} if buckets is not None else set(m["buckets"])
+        )
+        dirty = sorted(set(m.get("dirty") or []) & sel)
+        if not dirty:
+            return self.read_raw(version, buckets=buckets)
+        clean = sorted(sel - set(dirty))
+        parts = []
+        clean_raw = self.read_raw(version, buckets=[int(b) for b in clean])
+        if clean_raw is not None:
+            parts.append(clean_raw)
+        dirty_raw = self.read_raw(version, buckets=[int(b) for b in dirty])
+        if dirty_raw is not None:
+            parts.append(lww_dedup(dirty_raw, keys=m["keys"], seq=SEQ))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def read(
         self, version: int | None = None, buckets: Sequence[int] | None = None
     ) -> DataFrame:
         """Visible table state (tombstones filtered, CDC envelope dropped).
         ``buckets`` restricts the scan to those bucket ids (see
         :meth:`bucket_ids`) — cost ∝ the slice, not the table."""
-        raw = self.read_raw(version, buckets=buckets)
+        raw = self.resolved_raw(version, buckets=buckets)
         if raw is None:
             m = self.manifest(version)
             if m["schema"]:  # stored as StructType.json() after the first merge
@@ -492,20 +568,34 @@ class SnapshotTable:
                 raise ValueError(f"scan: unsupported op {op!r} on {c!r}")
         m = self.manifest(version)
         stats = m.get("file_stats") or {}
-        items = m["buckets"].items()
+        items = list(m["buckets"].items())
         if buckets is not None:
             want = {str(b) for b in buckets}
             items = [(b, fs) for b, fs in items if b in want]
-        allf = [f for _, fs in items for f in fs]
+        # merge-on-read buckets (manifest ``dirty``) are NOT file-prunable:
+        # a superseded row version could satisfy the predicate while its
+        # max-_seq winner lives in a file the stats would prune — so dirty
+        # buckets are read whole and LWW-resolved first, and skipping
+        # applies only to resolved (clean) buckets. compact() restores full
+        # prunability; stats still cut I/O on the clean rest of the table.
+        dirty = set(m.get("dirty") or [])
+        clean_files = [f for b, fs in items if b not in dirty for f in fs]
+        dirty_files = [f for b, fs in items if b in dirty for f in fs]
         kept = [
-            f for f in allf if not _file_prunable(stats.get(_file_identity(f)), filters)
+            f
+            for f in clean_files
+            if not _file_prunable(stats.get(_file_identity(f)), filters)
         ]
         self.last_scan = {
-            "files_total": len(allf),
-            "files_read": len(kept),
-            "files_pruned": len(allf) - len(kept),
+            "files_total": len(clean_files) + len(dirty_files),
+            "files_read": len(kept) + len(dirty_files),
+            "files_pruned": len(clean_files) - len(kept),
         }
         raw = self._read_files(kept, schema_json=m.get("schema"))
+        dirty_raw = self._read_files(dirty_files, schema_json=m.get("schema"))
+        if dirty_raw is not None:
+            resolved = lww_dedup(dirty_raw, keys=m["keys"], seq=SEQ)
+            raw = resolved if raw is None else raw.unionByName(resolved)
         if raw is None:
             # nothing left to read: reuse read()'s empty-frame schema path
             out = self.read(version, buckets=[])
@@ -557,6 +647,121 @@ class SnapshotTable:
         """creator-owned table properties (empty for pre-props tables)."""
         return self.manifest().get("props", {})
 
+    def dirty_buckets(self, version: int | None = None) -> list[int]:
+        """Buckets carrying unresolved merge-on-read appends at ``version``
+        (readers LWW-resolve them; ``compact()`` clears them)."""
+        return sorted(int(b) for b in self.manifest(version).get("dirty") or [])
+
+    # --------------------------------------------------------- branches/tags
+    #
+    # Iceberg branch/tag refs recast on the pointer-file catalog: a BRANCH is
+    # an independently-advancing pointer (merges through a branch handle move
+    # only that pointer; manifests stay one immutable global parent-chain, so
+    # histories are shared and publish is a pointer swap), a TAG is an
+    # immutable named version. Together they give write-audit-publish (WAP):
+    # stage commits on a branch, audit the branch head, then publish —
+    # readers of main never see unaudited data, and a failed audit is
+    # dropped without touching main. Reference analog: the job-control
+    # staging discipline (jobcontrol.py:1-44 marker files) and `fichier_schema`
+    # versioned schema snapshots (schema_io.py).
+
+    def _ref_path(self, kind: str, name: str) -> str:
+        if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
+            raise ValueError(f"bad {kind} name {name!r}")
+        return os.path.join(self.root, "_refs", f"{kind}_{name}")
+
+    def _refs(self, kind: str) -> dict[str, int]:
+        d = os.path.join(self.root, "_refs")
+        if not os.path.isdir(d):
+            return {}
+        out = {}
+        for f in sorted(os.listdir(d)):
+            if f.startswith(f"{kind}_") and not f.endswith(".tmp"):
+                with open(os.path.join(d, f)) as fh:
+                    out[f[len(kind) + 1 :]] = int(fh.read().strip())
+        return out
+
+    def create_branch(self, name: str, at_version: int | None = None) -> "SnapshotTable":
+        """Fork an independently-advancing pointer at ``at_version``
+        (default: this handle's head) and return a handle bound to it."""
+        if name == "main":
+            raise ValueError("'main' is the table itself")
+        p = self._ref_path("branch", name)
+        if os.path.exists(p):
+            raise ValueError(f"branch {name!r} already exists")
+        v = self.current_version() if at_version is None else at_version
+        if not os.path.exists(self._manifest_path(v)):
+            raise ValueError(f"version {v} not retained (expired or never existed)")
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = f"{p}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        try:
+            os.link(tmp, p)  # O_EXCL: two concurrent creates → one winner
+        except FileExistsError:
+            raise ValueError(f"branch {name!r} already exists") from None
+        finally:
+            os.unlink(tmp)
+        return self.branch(name)
+
+    def branch(self, name: str) -> "SnapshotTable":
+        """Handle bound to an existing branch (same root, own pointer)."""
+        if name != "main" and not os.path.exists(self._ref_path("branch", name)):
+            raise ValueError(f"branch {name!r} does not exist")
+        return SnapshotTable(self.spark, self.root, branch=name)
+
+    def branches(self) -> dict[str, int]:
+        return self._refs("branch")
+
+    def drop_branch(self, name: str) -> None:
+        os.unlink(self._ref_path("branch", name))
+
+    def publish(self, name: str) -> int:
+        """WAP publish: fast-forward THIS handle's pointer to the branch
+        head and drop the branch. Refused unless this pointer's version is
+        an ancestor of the branch head (a diverged branch cannot silently
+        discard commits on this side; Iceberg fast_forward semantics) —
+        rollback this side or re-stage the branch instead. The branch
+        head's manifest carries its batch ledger with it, so events
+        committed on the branch stay exactly-once after publish."""
+        with open(self._ref_path("branch", name)) as f:
+            head = int(f.read().strip())
+        cur = self.current_version()
+        if cur != head:
+            self._lineage(cur, head)  # raises unless cur is an ancestor
+            self._swap_pointer(head)
+        self.drop_branch(name)
+        return head
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Immutable named version (Iceberg tag): survives snapshot expiry
+        and resolves for time-travel reads via :meth:`tag_version`."""
+        p = self._ref_path("tag", name)
+        v = self.current_version() if version is None else version
+        if not os.path.exists(self._manifest_path(v)):
+            raise ValueError(f"version {v} not retained (expired or never existed)")
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = f"{p}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        try:
+            os.link(tmp, p)
+        except FileExistsError:
+            raise ValueError(f"tag {name!r} already exists") from None
+        finally:
+            os.unlink(tmp)
+        return v
+
+    def tags(self) -> dict[str, int]:
+        return self._refs("tag")
+
+    def tag_version(self, name: str) -> int:
+        with open(self._ref_path("tag", name)) as f:
+            return int(f.read().strip())
+
+    def drop_tag(self, name: str) -> None:
+        os.unlink(self._ref_path("tag", name))
+
     def max_seq(self) -> int:
         """Highest applied commit sequence — the reference's ``dbmaxval``
         incremental watermark (traitement_db.py:848-885)."""
@@ -584,7 +789,10 @@ class SnapshotTable:
             for f in os.listdir(os.path.join(self.root, "_versions"))
             if f.startswith("v") and f.endswith(".json")
         )
-        keep = set(versions[-keep_last:]) | {current}
+        # named refs pin their versions: a tag or another branch's head must
+        # survive expiry no matter how old (Iceberg retention semantics)
+        refs = set(self._refs("branch").values()) | set(self._refs("tag").values())
+        keep = (set(versions[-keep_last:]) | {current} | refs) & set(versions)
 
         # liveness compares ROOT-RELATIVE identities (version dir, bucket dir,
         # filename), never raw path strings: manifests record paths as the
@@ -633,7 +841,16 @@ class SnapshotTable:
         file size; read amplification of a fragmented hot bucket is the
         scale cost this repays."""
         m = self.manifest()
-        frag = {b: fs for b, fs in m["buckets"].items() if len(fs) >= min_files}
+        dirty = set(m.get("dirty") or [])
+        # dirty (merge-on-read) buckets are always candidates: folding their
+        # appended row versions back to one resolved row per key is this
+        # method's second job (Iceberg minor-compaction analog), and a dirty
+        # bucket has >= 2 files by construction
+        frag = {
+            b: fs
+            for b, fs in m["buckets"].items()
+            if len(fs) >= min_files or b in dirty
+        }
         if not frag:
             return {"compacted_buckets": 0, "files_before": 0, "files_after": 0}
 
@@ -641,38 +858,79 @@ class SnapshotTable:
         vdir = os.path.join(self.root, "data", f"v{version:08d}")
         props = m.get("props") or {}
         stats_cols = props.get("stats_cols") or []
+        bcols = m.get("bucket_cols", m["keys"])
         new_buckets = dict(m["buckets"])
         file_stats = dict(m.get("file_stats") or {})
+
+        # ONE write job for every fragmented bucket (not a per-bucket driver
+        # loop — serial per-bucket jobs would make compaction cost
+        # O(buckets × job overhead)): rows re-derive their bucket from the
+        # key columns exactly as merge() does, dirty (merge-on-read) buckets
+        # get their row versions folded to the max-_seq winner per key, and
+        # the partitionBy write lands each bucket in its own dir.
+        parts = []
+        clean_files = [f for b, fs in frag.items() if b not in dirty for f in fs]
+        dirty_files = [f for b, fs in frag.items() if b in dirty for f in fs]
+        if clean_files:
+            parts.append(self._read_files(clean_files, schema_json=m.get("schema")))
+        if dirty_files:
+            d = self._read_files(dirty_files, schema_json=m.get("schema"))
+            parts.append(lww_dedup(d, keys=m["keys"], seq=SEQ))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df = df.withColumn("__b", _bucket_col(bcols, m["nbuckets"])).repartition(
+            len(frag), "__b"
+        )
+        # sort-rewrite (Iceberg rewrite_data_files with sort order):
+        # re-clusters each bucket — linear stats_cols or the z-order key —
+        # so scan()'s file skipping stays effective after many small
+        # merges interleave key ranges
+        cluster = _cluster_sort_cols(props, df.columns)
+        if cluster:
+            df = df.sortWithinPartitions("__b", *cluster)
+        w = df.write.partitionBy("__b").mode("overwrite")
+        if props.get("max_file_rows"):
+            w = w.option("maxRecordsPerFile", int(props["max_file_rows"]))
+        w.parquet(vdir)
+
         before = after = 0
         for b, files in frag.items():
             bdir = os.path.join(vdir, f"__b={b}")
-            df = self._read_files(files, schema_json=m.get("schema")).coalesce(1)
-            # sort-rewrite (Iceberg rewrite_data_files with sort order):
-            # re-clusters the bucket — linear stats_cols or the z-order key
-            # — so scan()'s file skipping stays effective after many small
-            # merges interleave key ranges
-            cluster = _cluster_sort_cols(props, df.columns)
-            if cluster:
-                df = df.sortWithinPartitions(*cluster)
-            w = df.write.mode("overwrite")
-            if props.get("max_file_rows"):
-                w = w.option("maxRecordsPerFile", int(props["max_file_rows"]))
-            w.parquet(bdir)
-            out = sorted(
-                os.path.join(bdir, f) for f in os.listdir(bdir) if f.endswith(".parquet")
+            out = (
+                sorted(
+                    os.path.join(bdir, f)
+                    for f in os.listdir(bdir)
+                    if f.endswith(".parquet")
+                )
+                if os.path.isdir(bdir)
+                else []
             )
-            new_buckets[b] = out
+            if out:
+                new_buckets[b] = out
+            else:  # a dirty bucket can resolve to zero rows only if it was
+                new_buckets.pop(b, None)  # empty to begin with; stay safe
             before += len(files)
             after += len(out)
         if stats_cols:
-            rewritten = [f for b in frag for f in new_buckets[b]]
+            rewritten = [f for b in frag for f in new_buckets.get(b, [])]
             file_stats.update(_collect_file_stats(self.spark, rewritten, stats_cols))
         live = {_file_identity(f) for fs in new_buckets.values() for f in fs}
         file_stats = {k: v for k, v in file_stats.items() if k in live}
 
         if self.current_version() != m["version"]:
             raise ConcurrentWriteError("table advanced during compaction; retry")
-        self._commit_manifest({**m, "version": version, "buckets": new_buckets, "file_stats": file_stats, "parent": m["version"], "committed_ts": time.time()})
+        self._commit_manifest(
+            {
+                **m,
+                "version": version,
+                "buckets": new_buckets,
+                "dirty": sorted(dirty - set(frag)),
+                "file_stats": file_stats,
+                "parent": m["version"],
+                "committed_ts": time.time(),
+            }
+        )
         self._swap_pointer(version)
         return {"compacted_buckets": len(frag), "files_before": before, "files_after": after}
 
@@ -758,7 +1016,9 @@ class SnapshotTable:
         keys = m_to["keys"]
 
         def _state(version: int, buckets: list[str]) -> tuple[DataFrame, list[str]] | None:
-            raw = self.read_raw(version, buckets=[int(b) for b in buckets])
+            # resolved_raw: one row per key even across merge-on-read
+            # appends, so the full-outer diff below stays a 1:1 key join
+            raw = self.resolved_raw(version, buckets=[int(b) for b in buckets])
             if raw is None:
                 return None
             pay = [c for c in raw.columns if c not in (*keys, SEQ, DELETED)]
@@ -864,6 +1124,7 @@ class SnapshotTable:
         seq_col: str = "seq",
         with_stats: bool = False,
         prune: bool = True,
+        mode: str | None = None,
     ) -> MergeStats:
         """MERGE the change-event delta into the table (LWW upsert).
 
@@ -886,14 +1147,40 @@ class SnapshotTable:
         where pruning buys nothing and the extra job is pure fixed cost.
         Keep the default for streaming tails, whose small batches hit few
         buckets and skip reading + rewriting the rest of the table.
+
+        ``mode`` — commit strategy (default: the ``merge_mode`` table prop,
+        else ``"cow"``):
+
+        - ``"cow"`` (copy-on-write): read + rewrite the touched buckets so
+          every data file holds exactly one resolved row per key. Cheap
+          reads, commit cost ∝ touched-bucket DATA.
+        - ``"mor"`` (merge-on-read, Iceberg v2 row-delta analog): APPEND the
+          in-batch-deduped delta as new files on the touched buckets and
+          leave the base files alone — commit cost ∝ BATCH size only, the
+          shape a high-frequency streaming tail over a 10^10-row table
+          needs (a hot bucket's full rewrite per micro-batch is exactly the
+          write amplification Iceberg v2 deletes exist to avoid). Readers
+          resolve LWW (max-``_seq`` per key) over the appended versions at
+          read time — the explicit ``_seq`` ordering plays the role of
+          Iceberg's equality-delete files, so no separate delete files are
+          needed. Buckets carrying unresolved appends are tracked in the
+          manifest (``dirty``); :meth:`compact` folds them back to one
+          resolved file (Iceberg ``rewrite_position_delete_files`` /
+          minor-compaction analog) and any later COW merge of the same
+          bucket resolves it as a side effect. Modes interleave freely —
+          the final state is mode-independent because LWW is associative.
         """
         t0 = time.time()
         m = self.manifest()
         keys, nbuckets = m["keys"], m["nbuckets"]
         bcols = m.get("bucket_cols", keys)
+        mode = mode or (m.get("props") or {}).get("merge_mode", "cow")
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"merge: unknown mode {mode!r} (cow|mor)")
+        mor = mode == "mor"
 
         if batch_id is not None and self.is_committed(batch_id, manifest=m):
-            return MergeStats(batch_id, m["version"], 0, 0, 0, 0, skipped=True)
+            return MergeStats(batch_id, m["version"], 0, 0, 0, 0, skipped=True, mode=mode)
 
         normalized = (
             delta.withColumn(DELETED, F.col(op_col) == "delete")
@@ -915,17 +1202,28 @@ class SnapshotTable:
             obs = Observation()
             normalized = normalized.observe(obs, F.count(F.lit(1)).alias("events_in"))
 
-        current = self.read_raw(buckets=touched)
-        if current is not None:
-            current = current.withColumn("__b", _bucket_col(bcols, nbuckets))
-            # 2. schema evolution: union-with-nulls both directions
-            union = current.unionByName(normalized, allowMissingColumns=True)
+        if mor:
+            # merge-on-read: never read the base — resolve ONLY the
+            # in-batch duplicates; cross-snapshot winners are resolved by
+            # readers (resolved_raw) / compact(). Schema evolution is a
+            # plan-time field union against the stored schema (old files
+            # surface nulls for new columns via the by-name parquet read,
+            # new files surface nulls for columns they don't carry).
+            merged = lww_dedup(normalized, keys=keys, seq=SEQ)
+            schema_json = _evolve_schema_json(m.get("schema"), merged.drop("__b").schema)
         else:
-            union = normalized
+            current = self.read_raw(buckets=touched)
+            if current is not None:
+                current = current.withColumn("__b", _bucket_col(bcols, nbuckets))
+                # 2. schema evolution: union-with-nulls both directions
+                union = current.unionByName(normalized, allowMissingColumns=True)
+            else:
+                union = normalized
 
-        # 3. single LWW aggregate resolves in-batch duplicates AND
-        #    cross-snapshot winners (tombstones retained)
-        merged = lww_dedup(union, keys=keys, seq=SEQ)
+            # 3. single LWW aggregate resolves in-batch duplicates AND
+            #    cross-snapshot winners (tombstones retained)
+            merged = lww_dedup(union, keys=keys, seq=SEQ)
+            schema_json = merged.drop("__b").schema.json()
 
         # 5. write only the touched buckets to the new version dir. When the
         #    table declares stats_cols, cluster rows by them within each
@@ -948,21 +1246,38 @@ class SnapshotTable:
             writer = writer.option("maxRecordsPerFile", int(props["max_file_rows"]))
         writer.parquet(vdir)
 
-        # 6. new manifest: new files for touched buckets, parent's for the rest
+        # 6. new manifest: COW swaps the touched buckets' file lists for the
+        #    just-written files; MOR appends them to the parent's list and
+        #    marks the bucket dirty (readers must LWW-resolve it). A COW
+        #    rewrite resolves whatever it touches, so it clears the flag.
         new_buckets = dict(m["buckets"])
+        dirty = set(m.get("dirty") or [])
+        written_files: list[str] = []
         written = 0
         for b in touched:
             bdir = os.path.join(vdir, f"__b={b}")
-            if os.path.isdir(bdir):
-                files = sorted(
+            files = (
+                sorted(
                     os.path.join(bdir, f)
                     for f in os.listdir(bdir)
                     if f.endswith(".parquet")
                 )
-                new_buckets[str(b)] = files
-                written += len(files)
-            else:
-                new_buckets.pop(str(b), None)
+                if os.path.isdir(bdir)
+                else []
+            )
+            written_files.extend(files)
+            written += len(files)
+            if mor and files:
+                prior = new_buckets.get(str(b), [])
+                new_buckets[str(b)] = prior + files
+                if prior:
+                    dirty.add(str(b))
+            elif not mor:
+                if files:
+                    new_buckets[str(b)] = files
+                else:
+                    new_buckets.pop(str(b), None)
+                dirty.discard(str(b))
 
         if obs is not None:  # prune=False: events_in observed during the write
             events_in = int(obs.get["events_in"])
@@ -974,12 +1289,10 @@ class SnapshotTable:
         # (keyed by root-relative identity, like expiry)
         file_stats = dict(m.get("file_stats") or {})
         if stats_cols:
-            new_files = [f for b in touched for f in new_buckets.get(str(b), [])]
-            file_stats.update(_collect_file_stats(self.spark, new_files, stats_cols))
+            file_stats.update(_collect_file_stats(self.spark, written_files, stats_cols))
         live = {_file_identity(f) for fs in new_buckets.values() for f in fs}
         file_stats = {k: v for k, v in file_stats.items() if k in live}
 
-        schema_json = merged.drop("__b").schema.json()
         committed = dict(m["committed_batches"])
         hwm = dict(m.get("batch_hwm") or {})
         if batch_id is not None:
@@ -1018,6 +1331,7 @@ class SnapshotTable:
             "version": version,
             "schema": schema_json,
             "buckets": new_buckets,
+            "dirty": sorted(dirty),
             "file_stats": file_stats,
             "committed_batches": committed,
             "batch_hwm": hwm,
@@ -1043,4 +1357,5 @@ class SnapshotTable:
             buckets_touched=len(touched),
             rows_written=written,
             wall_ms=int((time.time() - t0) * 1000),
+            mode=mode,
         )

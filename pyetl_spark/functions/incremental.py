@@ -115,9 +115,9 @@ def _candidate_pairs(
     m = table.manifest()
     if m["buckets"]:
         if m.get("bucket_cols") == bucket_key:
-            probe = table.read_raw(buckets=table.bucket_ids(keys))
+            probe = table.resolved_raw(buckets=table.bucket_ids(keys))
         else:  # legacy / foreign bucketing: pruning would drop collisions
-            probe = table.read_raw()
+            probe = table.resolved_raw()
         if probe is not None:
             history = (
                 probe.filter(~F.col("_deleted"))

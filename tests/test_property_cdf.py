@@ -1,7 +1,8 @@
 """Property test for the change-data-feed (VERDICT r04 #5).
 
 Randomized op sequences — merge (upsert/delete mixes, stale and in-batch
-duplicate seqs), compact, rollback, expire — are driven against a
+duplicate seqs, random copy-on-write vs merge-on-read commit modes),
+compact, rollback, expire — are driven against a
 :class:`SnapshotTable` and, in lockstep, against a sequential dict oracle
 that models LWW state per version plus the parent lineage. After each
 sequence, for every retained adjacent ``(parent, v]`` pair on the current
@@ -103,7 +104,12 @@ def _run_sequence(spark, root: str, seed: int) -> None:
             events.append((k, f"v{seq}", "upsert", seq))
         df = spark.createDataFrame(events, ["k", "val", "op", "seq"])
         merge_counter[0] += 1
-        stats = t.merge(df, f"s{seed}-m{merge_counter[0]}")
+        # commit strategy is part of the adversarial surface: merge-on-read
+        # appends (read-time LWW resolution) interleave with copy-on-write
+        # rewrites; the oracle is mode-oblivious because the visible state
+        # and the feed must be too
+        mode = rng.choice(["cow", "mor", "mor"])
+        stats = t.merge(df, f"s{seed}-m{merge_counter[0]}", mode=mode)
         assert not stats.skipped, f"seed={seed} fresh batch id wrongly skipped"
         states[stats.version] = _oracle_merge(states[current], events)
         parents[stats.version] = current
