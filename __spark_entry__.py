@@ -1994,6 +1994,52 @@ def q_cdc_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_cdc_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-sidecar file skipping + batched point lookup
+    (tableio._write_file_blooms / scan op "in" — the Iceberg puffin-blob
+    analog): replay events as 2 CDC batches into a table with per-file
+    blooms on a derived high-cardinality string key (uname), then scan an
+    in-list of every third user's uname in ONE call. The result must equal
+    the plain filtered LWW state — blooms may only cut which files are
+    opened (a false positive reads a file for nothing; a false NEGATIVE
+    would drop rows and break the hash, which is exactly what this
+    contract guards). Pruning effectiveness (point lookup reads ~1 file,
+    absent value reads 0) is asserted in tests/test_bloom.py."""
+    import shutil
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.format_string("u%07d", F.col("user_id")).alias("uname"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    hi = ev.agg(F.max("event_id"), F.max("user_id")).collect()[0]
+    n, max_uid = hi[0] + 1, hi[1]
+    half = n // 2
+    probes = [f"u{i:07d}" for i in range(0, max_uid + 1, 3)]
+    root = tempfile.mkdtemp(prefix="q_cdc_bloom_")
+    try:
+        table = SnapshotTable.create(
+            spark,
+            os.path.join(root, "t"),
+            keys=["user_id"],
+            nbuckets=4,
+            props={"bloom_cols": ["uname"], "max_file_rows": max(16, n // 200)},
+        )
+        table.merge(ev.filter(F.col("event_id") < half), "bl:0", seq_col="event_id")
+        table.merge(ev.filter(F.col("event_id") >= half), "bl:1", seq_col="event_id")
+        out = table.scan([("uname", "in", probes)]).select(
+            "user_id", "uname", "event_type", "value"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance (cdc/ivm.py IncrementalAgg over the
     change feed): replay events as 3 CDC batches into a base table (click
@@ -2127,6 +2173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 5, or implementation changed in round 5
         "quality_dsir": q_quality_dsir,                # new: DSIR importance scores
         "cdc_zorder_scan": q_cdc_zorder_scan,          # new: z-order clustering
+        "cdc_bloom_scan": q_cdc_bloom_scan,            # NEW r5: bloom sidecars + in-list scan
         "serve_script": q_serve_script,                # new: pooled serving seam
         "cdc_merge_table": q_cdc_merge_table,          # tableio: ledger compaction+HWM
         "cdc_mor_merge": q_cdc_mor_merge,              # NEW r5: merge-on-read commits
@@ -2178,14 +2225,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_denorm": q_join_denorm,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
-        "compare_cdc": q_compare_cdc,
         # ---- position 51+ : outside the driver's 50-row certification
         # window. Every entry below was certified green in ROUND 4's driver
-        # window (CORRECTNESS_r04) — except changed_lag, green in ROUND 3
-        # and pushed one past the cut by the round-5 additions (two rounds
-        # stale, the allowed bound) — and the local oracle suite still
-        # checks every one of them each run. The round-5 front additions
-        # are quality_dsir and cdc_zorder_scan (positions 1-2).
+        # window (CORRECTNESS_r04) — except compare_cdc and changed_lag,
+        # green in ROUND 3 and pushed one past the cut by the round-5
+        # additions (two rounds stale, the allowed bound) — and the local
+        # oracle suite still checks every one of them each run. The round-5
+        # front additions are quality_dsir, cdc_zorder_scan, and
+        # cdc_bloom_scan (positions 1-3).
+        "compare_cdc": q_compare_cdc,
         "changed_lag": q_changed_lag,
         "text_pii_redact": q_text_pii_redact,
         "text_repetition": q_text_repetition,
@@ -3143,6 +3191,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
             HAVING NOT max_by(event_type = 'error', event_id)
                AND max_by(value, event_id) >= 70.0
+        """,
+        # bloom scan: the in-list of every-third unames == user_id % 3 = 0
+        # over the LWW final state (error events became deletes)
+        "cdc_bloom_scan": """
+            SELECT user_id,
+                   'u' || lpad(CAST(user_id AS VARCHAR), 7, '0') AS uname,
+                   max_by(event_type, event_id) AS event_type,
+                   max_by(value, event_id) AS value
+            FROM events
+            WHERE user_id % 3 = 0
+            GROUP BY user_id
+            HAVING NOT max_by(event_type = 'error', event_id)
         """,
         "cdc_table_changes": """
             WITH s AS (SELECT (max(event_id) + 1) // 3 + 1 AS step FROM events),

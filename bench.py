@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     # multi-column data skipping
     "quality_dsir",
     "cdc_zorder_scan",
+    # round 5: bloom-sidecar file skipping, batched point lookup (in-list)
+    "cdc_bloom_scan",
 ]
 
 

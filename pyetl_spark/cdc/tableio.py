@@ -243,6 +243,8 @@ def _file_prunable(fstats: dict | None, filters: Sequence[tuple]) -> bool:
         try:
             if op == "=" and (v < mn or v > mx):
                 return True
+            if op == "in" and all(x < mn or x > mx for x in v):
+                return True
             if op == "<" and not mn < v:
                 return True
             if op == "<=" and not mn <= v:
@@ -254,6 +256,157 @@ def _file_prunable(fstats: dict | None, filters: Sequence[tuple]) -> bool:
         except TypeError:  # literal/stat type mismatch: keep the file
             continue
     return False
+
+
+BLOOM_SUFFIX = ".bloom"
+
+
+def _bloom_hash_pair(value) -> tuple[int, int]:
+    """Two independent 64-bit hashes of the value's canonical ``str()``
+    utf-8 encoding (one blake2b call, split) — the Kirsch–Mitzenmacher
+    double-hash base. Build-time (executor, over parquet column values) and
+    probe-time (driver, over the filter literal) MUST agree for equal
+    values, which ``str()`` guarantees for the supported str/int columns;
+    bit position ``i`` is ``(h1 + i*h2) mod m`` for any sidecar's ``m``."""
+    import hashlib
+
+    d = hashlib.blake2b(str(value).encode("utf-8"), digest_size=16).digest()
+    return int.from_bytes(d[:8], "little"), int.from_bytes(d[8:], "little") | 1
+
+
+def _bloom_might_contain(bits: bytes, m_bits: int, k: int, pair: tuple[int, int]) -> bool:
+    h1, h2 = pair
+    return all(
+        bits[p >> 3] & (1 << (p & 7))
+        for p in ((h1 + i * h2) % m_bits for i in range(k))
+    )
+
+
+def _write_file_blooms(
+    spark: SparkSession, files: Sequence[str], cols: Sequence[str], m_bits: int, k: int
+) -> int:
+    """Per-data-file bloom-filter sidecars (``<file>.bloom`` JSON), built
+    EXECUTOR-side as one parallel job over the just-written files — the
+    Iceberg puffin-blob analog. Blooms give point-lookup file skipping on
+    high-cardinality UNSORTED columns where min/max ranges span everything
+    (a hash-bucketed key column is the canonical case); min/max handles the
+    range predicates, blooms handle equality. Sidecars are immutable like
+    the data files they describe, live NEXT to them (never in the manifest
+    — a per-commit-rewritten manifest carrying per-file bitsets would grow
+    with file count, the exact scale-killer the bounded ledger removed),
+    and are garbage-collected with their data file by ``expire_snapshots``.
+    Only string/integer columns build a bloom (canonical-encoding safety);
+    other types record ``None`` (never pruned). A column absent from the
+    file's schema records ``"absent"`` (all rows null there — equality can
+    never match, so the file is safely prunable). Sizing: ``m_bits`` bits
+    per column per file (``bloom_bits`` table prop, default 2^17 = 16 KiB)
+    ≈ 1% false-positive at ~13k distinct values per file with k=7; deploys
+    size it to ``10 × expected keys-per-file``."""
+    files = [f for f in files if f]
+    if not files or not cols:
+        return 0
+    cols = list(cols)
+    sc = spark.sparkContext
+    nslices = max(1, min(len(files), sc.defaultParallelism))
+
+    def _one(path: str) -> int:
+        import base64
+        import json as _json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(path)
+        names = set(pf.schema_arrow.names)
+        present = [c for c in cols if c in names]
+        tbl = pq.read_table(path, columns=present) if present else None
+        out: dict = {"m": m_bits, "k": k, "cols": {}}
+        for c in cols:
+            if c not in names:
+                out["cols"][c] = "absent"
+                continue
+            t = tbl.column(c).type
+            if not (
+                pa.types.is_string(t)
+                or pa.types.is_large_string(t)
+                or pa.types.is_integer(t)
+            ):
+                out["cols"][c] = None
+                continue
+            bits = bytearray(m_bits // 8)
+            for v in tbl.column(c).to_pylist():
+                if v is None:
+                    continue
+                h1, h2 = _bloom_hash_pair(v)
+                for i in range(k):
+                    p = (h1 + i * h2) % m_bits
+                    bits[p >> 3] |= 1 << (p & 7)
+            out["cols"][c] = base64.b64encode(bytes(bits)).decode("ascii")
+        tmp = f"{path}{BLOOM_SUFFIX}.tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(out, fh)
+        os.replace(tmp, path + BLOOM_SUFFIX)
+        return 1
+
+    return sum(sc.parallelize(files, nslices).map(_one).collect())
+
+
+def _bloom_keep_file(path: str, probes: Sequence[tuple]) -> bool:
+    """True iff the file's bloom sidecar CANNOT rule out every required
+    equality. ``probes`` is ``[(col, [hash_pair, ...]), ...]`` — one pair
+    per ``=`` literal, several per ``in`` list (the file survives if ANY
+    list member might be present). Missing sidecar/column bloom → keep
+    (pruning is an optimization, never a correctness lever)."""
+    import base64
+    import json as _json
+
+    sp = path + BLOOM_SUFFIX
+    try:
+        with open(sp) as fh:
+            data = _json.load(fh)
+    except (OSError, ValueError):
+        return True
+    m_bits, k = int(data["m"]), int(data["k"])
+    for c, pairs in probes:
+        ent = data.get("cols", {}).get(c)
+        if ent == "absent":
+            return False  # column never written in this file: all null
+        if not isinstance(ent, str):
+            continue
+        bits = base64.b64decode(ent)
+        if not any(_bloom_might_contain(bits, m_bits, k, pr) for pr in pairs):
+            return False
+    return True
+
+
+def _bloom_prune(
+    spark: SparkSession, files: Sequence[str], filters: Sequence[tuple], bloom_cols: set
+) -> list[str]:
+    """Files from ``files`` that survive bloom pruning for the equality /
+    in-list filters on ``bloom_cols``. Probe hashes are computed ONCE per
+    literal on the driver; the per-file sidecar membership checks run as a
+    parallel job when the candidate list is wide (driver loop for narrow
+    ones — planning latency, not a data scan, either way)."""
+    probes = []
+    for c, op, v in filters:
+        if c not in bloom_cols:
+            continue
+        if op == "=":
+            probes.append((c, [_bloom_hash_pair(v)]))
+        elif op == "in":
+            probes.append((c, [_bloom_hash_pair(x) for x in v]))
+    if not probes or not files:
+        return list(files)
+    files = list(files)
+    if len(files) <= 64:
+        return [f for f in files if _bloom_keep_file(f, probes)]
+    sc = spark.sparkContext
+    nslices = max(1, min(len(files), sc.defaultParallelism))
+    return (
+        sc.parallelize(files, nslices)
+        .filter(lambda f: _bloom_keep_file(f, probes))
+        .collect()
+    )
 
 
 def _evolve_schema_json(stored_json: str | None, delta_schema) -> str:
@@ -544,8 +697,11 @@ class SnapshotTable:
     ) -> DataFrame:
         """Data-skipping read (Iceberg metrics-based file pruning analog):
         visible table state matching ALL ``filters`` — conjunctive
-        ``(col, op, literal)`` with ``op ∈ {=, <, <=, >, >=}`` — reading
-        only the data files whose footer min/max ranges can satisfy them.
+        ``(col, op, literal)`` with ``op ∈ {=, <, <=, >, >=, in}`` (``in``
+        takes a list literal: a batched point lookup) — reading only the
+        data files whose footer min/max ranges — and, for tables created
+        with ``props={"bloom_cols": [...]}``, whose per-file bloom sidecars
+        (see :func:`_write_file_blooms`) — can satisfy them.
 
         Files carry stats when the table was created with
         ``props={"stats_cols": [...]}``: every MERGE/compact then sorts
@@ -564,7 +720,7 @@ class SnapshotTable:
 
         ops = {"=": _op.eq, "<": _op.lt, "<=": _op.le, ">": _op.gt, ">=": _op.ge}
         for c, op, _ in filters:
-            if op not in ops:
+            if op not in ops and op != "in":
                 raise ValueError(f"scan: unsupported op {op!r} on {c!r}")
         m = self.manifest(version)
         stats = m.get("file_stats") or {}
@@ -586,10 +742,18 @@ class SnapshotTable:
             for f in clean_files
             if not _file_prunable(stats.get(_file_identity(f)), filters)
         ]
+        # second pruning pass: per-file bloom sidecars rule out equality /
+        # in-list probes that min/max ranges can't (high-cardinality
+        # unsorted columns); applies only to files that survived min/max
+        bloom_cols = {c for c in (m.get("props") or {}).get("bloom_cols") or []}
+        n_minmax_kept = len(kept)
+        if bloom_cols:
+            kept = _bloom_prune(self.spark, kept, filters, bloom_cols)
         self.last_scan = {
             "files_total": len(clean_files) + len(dirty_files),
             "files_read": len(kept) + len(dirty_files),
             "files_pruned": len(clean_files) - len(kept),
+            "files_bloom_pruned": n_minmax_kept - len(kept),
         }
         raw = self._read_files(kept, schema_json=m.get("schema"))
         dirty_raw = self._read_files(dirty_files, schema_json=m.get("schema"))
@@ -602,10 +766,12 @@ class SnapshotTable:
         else:
             out = raw.filter(~F.col(DELETED)).drop(SEQ, DELETED)
         for c, op, v in filters:
-            if c in out.columns:
-                out = out.filter(ops[op](F.col(c), F.lit(v)))
-            else:  # pruned-away evolved column: no row can match
+            if c not in out.columns:  # pruned-away evolved column: no match
                 out = out.filter(F.lit(False))
+            elif op == "in":
+                out = out.filter(F.col(c).isin(list(v)))
+            else:
+                out = out.filter(ops[op](F.col(c), F.lit(v)))
         return out
 
     def bucket_ids(self, df: DataFrame) -> list[int]:
@@ -819,6 +985,9 @@ class SnapshotTable:
                     full = os.path.join(full_b, f)
                     if f.endswith(".parquet") and _file_id(full) not in referenced:
                         os.remove(full)
+                        # bloom sidecars are GC'd with their data file
+                        if os.path.exists(full + BLOOM_SUFFIX):
+                            os.remove(full + BLOOM_SUFFIX)
                         removed_files += 1
 
         removed_manifests = 0
@@ -892,6 +1061,8 @@ class SnapshotTable:
         w = df.write.partitionBy("__b").mode("overwrite")
         if props.get("max_file_rows"):
             w = w.option("maxRecordsPerFile", int(props["max_file_rows"]))
+        for c in props.get("bloom_cols") or []:
+            w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
         w.parquet(vdir)
 
         before = after = 0
@@ -912,11 +1083,20 @@ class SnapshotTable:
                 new_buckets.pop(b, None)  # empty to begin with; stay safe
             before += len(files)
             after += len(out)
+        rewritten = [f for b in frag for f in new_buckets.get(b, [])]
         if stats_cols:
-            rewritten = [f for b in frag for f in new_buckets.get(b, [])]
             file_stats.update(_collect_file_stats(self.spark, rewritten, stats_cols))
         live = {_file_identity(f) for fs in new_buckets.values() for f in fs}
         file_stats = {k: v for k, v in file_stats.items() if k in live}
+        bloom_cols = [c for c in props.get("bloom_cols") or []]
+        if bloom_cols:
+            _write_file_blooms(
+                self.spark,
+                rewritten,
+                bloom_cols,
+                int(props.get("bloom_bits", 1 << 17)),
+                int(props.get("bloom_hashes", 7)),
+            )
 
         if self.current_version() != m["version"]:
             raise ConcurrentWriteError("table advanced during compaction; retry")
@@ -1244,6 +1424,10 @@ class SnapshotTable:
         writer = to_write.write.partitionBy("__b").mode("overwrite")
         if props.get("max_file_rows"):
             writer = writer.option("maxRecordsPerFile", int(props["max_file_rows"]))
+        for c in props.get("bloom_cols") or []:
+            # parquet-native row-group blooms too: Spark's vectorized reader
+            # uses them for within-file row-group skipping on point lookups
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
         writer.parquet(vdir)
 
         # 6. new manifest: COW swaps the touched buckets' file lists for the
@@ -1292,6 +1476,15 @@ class SnapshotTable:
             file_stats.update(_collect_file_stats(self.spark, written_files, stats_cols))
         live = {_file_identity(f) for fs in new_buckets.values() for f in fs}
         file_stats = {k: v for k, v in file_stats.items() if k in live}
+        bloom_cols = [c for c in props.get("bloom_cols") or []]
+        if bloom_cols:
+            _write_file_blooms(
+                self.spark,
+                written_files,
+                bloom_cols,
+                int(props.get("bloom_bits", 1 << 17)),
+                int(props.get("bloom_hashes", 7)),
+            )
 
         committed = dict(m["committed_batches"])
         hwm = dict(m.get("batch_hwm") or {})
