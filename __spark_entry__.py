@@ -1994,6 +1994,45 @@ def q_cdc_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_cdc_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-spec evolution (SnapshotTable.rescale — Iceberg partition-
+    spec-evolution analog): replay events batch 1 into a 4-bucket table,
+    rescale to 16 buckets (metadata-only; the old map becomes `legacy`),
+    merge batch 2 THROUGH the migration window (its keys' legacy buckets
+    fold in on touch, mid-window reads stay exact), then compact to finish
+    the migration and read the final state. Must equal the plain LWW replay
+    — a wrong legacy row-filter, a dropped un-migrated bucket, or a key
+    duplicated across specs all change the result. Window-edge behavior
+    (MOR fallback, time travel, feed across the boundary, expiry) is
+    covered in tests/test_rescale.py."""
+    import shutil
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    n = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    half = n // 2
+    root = tempfile.mkdtemp(prefix="q_cdc_rescale_")
+    try:
+        table = SnapshotTable.create(
+            spark, os.path.join(root, "t"), keys=["user_id"], nbuckets=4
+        )
+        table.merge(ev.filter(F.col("event_id") < half), "rs:0", seq_col="event_id")
+        table.rescale(16)
+        table.merge(ev.filter(F.col("event_id") >= half), "rs:1", seq_col="event_id")
+        table.compact(min_files=1)
+        out = table.read().select("user_id", "event_type", "value")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_cdc_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-sidecar file skipping + batched point lookup
     (tableio._write_file_blooms / scan op "in" — the Iceberg puffin-blob
@@ -2174,6 +2213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_dsir": q_quality_dsir,                # new: DSIR importance scores
         "cdc_zorder_scan": q_cdc_zorder_scan,          # new: z-order clustering
         "cdc_bloom_scan": q_cdc_bloom_scan,            # NEW r5: bloom sidecars + in-list scan
+        "cdc_rescale": q_cdc_rescale,                  # NEW r5: bucket-spec evolution
         "serve_script": q_serve_script,                # new: pooled serving seam
         "cdc_merge_table": q_cdc_merge_table,          # tableio: ledger compaction+HWM
         "cdc_mor_merge": q_cdc_mor_merge,              # NEW r5: merge-on-read commits
@@ -2224,15 +2264,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "objgroup": q_objgroup,
         "join_denorm": q_join_denorm,
         "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
         # ---- position 51+ : outside the driver's 50-row certification
         # window. Every entry below was certified green in ROUND 4's driver
-        # window (CORRECTNESS_r04) — except compare_cdc and changed_lag,
-        # green in ROUND 3 and pushed one past the cut by the round-5
-        # additions (two rounds stale, the allowed bound) — and the local
-        # oracle suite still checks every one of them each run. The round-5
-        # front additions are quality_dsir, cdc_zorder_scan, and
-        # cdc_bloom_scan (positions 1-3).
+        # window (CORRECTNESS_r04) — except anti_join, compare_cdc and
+        # changed_lag, green in ROUND 3 and pushed one past the cut by the
+        # round-5 additions (two rounds stale, the allowed bound) — and the
+        # local oracle suite still checks every one of them each run. The
+        # round-5 front additions are quality_dsir, cdc_zorder_scan,
+        # cdc_bloom_scan, and cdc_rescale (positions 1-4).
+        "anti_join": q_anti_join,
         "compare_cdc": q_compare_cdc,
         "changed_lag": q_changed_lag,
         "text_pii_redact": q_text_pii_redact,
@@ -3191,6 +3231,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
             HAVING NOT max_by(event_type = 'error', event_id)
                AND max_by(value, event_id) >= 70.0
+        """,
+        # rescale: the final state is spec-independent — plain LWW replay
+        "cdc_rescale": """
+            SELECT user_id,
+                   max_by(event_type, event_id) AS event_type,
+                   max_by(value, event_id) AS value
+            FROM events
+            GROUP BY user_id
+            HAVING NOT max_by(event_type = 'error', event_id)
         """,
         # bloom scan: the in-list of every-third unames == user_id % 3 = 0
         # over the LWW final state (error events became deletes)

@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "cdc_zorder_scan",
     # round 5: bloom-sidecar file skipping, batched point lookup (in-list)
     "cdc_bloom_scan",
+    # round 5: bucket-spec evolution — merge through the migration window
+    "cdc_rescale",
 ]
 
 

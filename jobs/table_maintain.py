@@ -12,11 +12,17 @@ commits are atomic pointer swaps) and beside a concurrent writer: compact
 raises ConcurrentWriteError instead of clobbering a mid-flight merge, and
 this job treats that as "skip this cycle" (exit 0, the next cycle retries).
 
+``--rescale N`` changes the table's bucket count first (metadata-only
+commit; see SnapshotTable.rescale — Iceberg partition-spec evolution): the
+compact that follows in the same run migrates every un-migrated legacy
+bucket to the new spec, so one maintenance cycle = a complete, atomic-per-
+commit re-bucketing that never blocked the concurrent ingest.
+
 Usage:
     cd <repo> && zip -qr /tmp/pyetl_spark.zip pyetl_spark
     spark-submit --master <cluster|local[N]> --py-files /tmp/pyetl_spark.zip \
         jobs/table_maintain.py <table_root> [--min-files 2] [--keep-last 2] \
-        [--no-compact] [--no-expire]
+        [--rescale N] [--no-compact] [--no-expire]
 
 Prints one summary line: buckets compacted, files before/after, manifests
 removed, data files removed, final version.
@@ -37,6 +43,7 @@ def main(argv: list[str]) -> int:
     ap.add_argument("table_root")
     ap.add_argument("--min-files", type=int, default=2)
     ap.add_argument("--keep-last", type=int, default=2)
+    ap.add_argument("--rescale", type=int, default=None, metavar="N")
     ap.add_argument("--no-compact", action="store_true")
     ap.add_argument("--no-expire", action="store_true")
     args = ap.parse_args(argv)
@@ -46,6 +53,11 @@ def main(argv: list[str]) -> int:
 
     c = {"compacted_buckets": 0, "files_before": 0, "files_after": 0}
     skipped = False
+    if args.rescale is not None:
+        try:
+            table.rescale(args.rescale)  # lazy: compact below finishes it
+        except ConcurrentWriteError:
+            skipped = True
     if not args.no_compact:
         try:
             c = table.compact(min_files=args.min_files)

@@ -446,6 +446,7 @@ class MergeStats:
     skipped: bool = False
     wall_ms: int = 0
     mode: str = "cow"
+    buckets_migrated: int = 0  # legacy-spec buckets folded in (rescale window)
 
 
 class SnapshotTable:
@@ -627,15 +628,42 @@ class SnapshotTable:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*files)
 
-    def read_raw(self, version: int | None = None, buckets: Sequence[int] | None = None) -> DataFrame | None:
-        """All stored rows (incl. tombstones, ``_seq``/``_deleted``)."""
+    def read_raw(
+        self,
+        version: int | None = None,
+        buckets: Sequence[int] | None = None,
+        include_legacy: bool = True,
+    ) -> DataFrame | None:
+        """All stored rows (incl. tombstones, ``_seq``/``_deleted``).
+
+        During a rescale window (manifest ``legacy`` non-empty) rows not yet
+        migrated to the current bucket spec live in legacy-spec files; they
+        are included (and, for a bucket-pruned read, row-filtered by their
+        RECOMPUTED current-spec bucket id, so the slice stays exact — the
+        transient cost is reading the un-migrated files, which every merge
+        and the next ``compact()`` shrink). ``include_legacy=False`` is for
+        ``merge()``, which reads whole legacy buckets separately to migrate
+        them."""
         m = self.manifest(version)
         items = m["buckets"].items()
         if buckets is not None:
             want = {str(b) for b in buckets}
             items = [(b, fs) for b, fs in items if b in want]
         files = [f for _, fs in items for f in fs]
-        return self._read_files(files, schema_json=m.get("schema"))
+        cur = self._read_files(files, schema_json=m.get("schema"))
+        legacy = m.get("legacy") or [] if include_legacy else []
+        lfiles = [f for sp in legacy for fs in sp["buckets"].values() for f in fs]
+        if not lfiles:
+            return cur
+        lg = self._read_files(lfiles, schema_json=m.get("schema"))
+        if buckets is not None and lg is not None:
+            bcols = m.get("bucket_cols", m["keys"])
+            lg = lg.filter(
+                _bucket_col(bcols, m["nbuckets"]).isin([int(b) for b in buckets])
+            )
+        if cur is None:
+            return lg
+        return cur if lg is None else cur.unionByName(lg)
 
     def resolved_raw(
         self, version: int | None = None, buckets: Sequence[int] | None = None
@@ -648,9 +676,14 @@ class SnapshotTable:
         untouched, so the MOR read tax is ∝ unresolved data, not table
         size."""
         m = self.manifest(version)
-        sel = (
-            {str(b) for b in buckets} if buckets is not None else set(m["buckets"])
-        )
+        if buckets is not None:
+            sel = {str(b) for b in buckets}
+        else:
+            sel = set(m["buckets"])
+            if m.get("legacy"):
+                # rescale window: un-migrated rows can recompute into
+                # current-spec ids with no current files yet — cover them
+                sel |= {str(b) for b in range(m["nbuckets"])}
         dirty = sorted(set(m.get("dirty") or []) & sel)
         if not dirty:
             return self.read_raw(version, buckets=buckets)
@@ -737,25 +770,52 @@ class SnapshotTable:
         dirty = set(m.get("dirty") or [])
         clean_files = [f for b, fs in items if b not in dirty for f in fs]
         dirty_files = [f for b, fs in items if b in dirty for f in fs]
+        # rescale window: un-migrated legacy-spec files are clean
+        # (single-version rows) and identity-keyed like any other file, so
+        # min/max and bloom pruning apply to them unchanged; they are read
+        # separately only so a bucket-pruned scan can row-filter them by
+        # the recomputed current-spec bucket id
+        legacy_files = [
+            f
+            for sp in m.get("legacy") or []
+            for fs in sp["buckets"].values()
+            for f in fs
+        ]
         kept = [
             f
             for f in clean_files
+            if not _file_prunable(stats.get(_file_identity(f)), filters)
+        ]
+        legacy_kept = [
+            f
+            for f in legacy_files
             if not _file_prunable(stats.get(_file_identity(f)), filters)
         ]
         # second pruning pass: per-file bloom sidecars rule out equality /
         # in-list probes that min/max ranges can't (high-cardinality
         # unsorted columns); applies only to files that survived min/max
         bloom_cols = {c for c in (m.get("props") or {}).get("bloom_cols") or []}
-        n_minmax_kept = len(kept)
+        n_minmax_kept = len(kept) + len(legacy_kept)
         if bloom_cols:
             kept = _bloom_prune(self.spark, kept, filters, bloom_cols)
+            legacy_kept = _bloom_prune(self.spark, legacy_kept, filters, bloom_cols)
+        n_clean = len(clean_files) + len(legacy_files)
+        n_kept = len(kept) + len(legacy_kept)
         self.last_scan = {
-            "files_total": len(clean_files) + len(dirty_files),
-            "files_read": len(kept) + len(dirty_files),
-            "files_pruned": len(clean_files) - len(kept),
-            "files_bloom_pruned": n_minmax_kept - len(kept),
+            "files_total": n_clean + len(dirty_files),
+            "files_read": n_kept + len(dirty_files),
+            "files_pruned": n_clean - n_kept,
+            "files_bloom_pruned": n_minmax_kept - n_kept,
         }
         raw = self._read_files(kept, schema_json=m.get("schema"))
+        legacy_raw = self._read_files(legacy_kept, schema_json=m.get("schema"))
+        if legacy_raw is not None:
+            if buckets is not None:
+                bcols = m.get("bucket_cols", m["keys"])
+                legacy_raw = legacy_raw.filter(
+                    _bucket_col(bcols, m["nbuckets"]).isin([int(b) for b in buckets])
+                )
+            raw = legacy_raw if raw is None else raw.unionByName(legacy_raw)
         dirty_raw = self._read_files(dirty_files, schema_json=m.get("schema"))
         if dirty_raw is not None:
             resolved = lww_dedup(dirty_raw, keys=m["keys"], seq=SEQ)
@@ -971,8 +1031,12 @@ class SnapshotTable:
 
         referenced: set[tuple[str, str, str]] = set()
         for v in keep:
-            for files in self.manifest(v)["buckets"].values():
+            mv = self.manifest(v)
+            for files in mv["buckets"].values():
                 referenced.update(_file_id(f) for f in files)
+            for sp in mv.get("legacy") or []:  # un-migrated rescale files
+                for files in sp["buckets"].values():
+                    referenced.update(_file_id(f) for f in files)
 
         removed_files = 0
         data_root = os.path.join(self.root, "data")
@@ -1020,11 +1084,27 @@ class SnapshotTable:
             for b, fs in m["buckets"].items()
             if len(fs) >= min_files or b in dirty
         }
-        if not frag:
+        # third job: finish any in-progress rescale — remaining legacy-spec
+        # buckets are read and rewritten under the current spec (their rows
+        # fan out to the current buckets they hash into), closing the window
+        legacy = m.get("legacy") or []
+        legacy_files = [
+            f for sp in legacy for fs in sp["buckets"].values() for f in fs
+        ]
+        if not frag and not legacy_files:
             return {"compacted_buckets": 0, "files_before": 0, "files_after": 0}
 
         version = self._next_version(m["version"])
-        vdir = os.path.join(self.root, "data", f"v{version:08d}")
+        # staging dir is unique PER ATTEMPT (not just per version): two
+        # writers racing to the same next version must never share a write
+        # directory — mode("overwrite") would clobber the other attempt's
+        # in-flight files BEFORE _commit_manifest arbitrates the winner.
+        # The manifest references absolute file paths, so the suffix is
+        # invisible downstream; the loser's files stay unreferenced and are
+        # swept by expire_snapshots.
+        vdir = os.path.join(
+            self.root, "data", f"v{version:08d}-{uuid.uuid4().hex[:8]}"
+        )
         props = m.get("props") or {}
         stats_cols = props.get("stats_cols") or []
         bcols = m.get("bucket_cols", m["keys"])
@@ -1039,6 +1119,7 @@ class SnapshotTable:
         # the partitionBy write lands each bucket in its own dir.
         parts = []
         clean_files = [f for b, fs in frag.items() if b not in dirty for f in fs]
+        clean_files += legacy_files  # legacy rows are single-version (clean)
         dirty_files = [f for b, fs in frag.items() if b in dirty for f in fs]
         if clean_files:
             parts.append(self._read_files(clean_files, schema_json=m.get("schema")))
@@ -1048,8 +1129,9 @@ class SnapshotTable:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
+        nparts = len(frag) + sum(len(sp["buckets"]) for sp in legacy)
         df = df.withColumn("__b", _bucket_col(bcols, m["nbuckets"])).repartition(
-            len(frag), "__b"
+            max(nparts, 1), "__b"
         )
         # sort-rewrite (Iceberg rewrite_data_files with sort order):
         # re-clusters each bucket — linear stats_cols or the z-order key —
@@ -1083,7 +1165,28 @@ class SnapshotTable:
                 new_buckets.pop(b, None)  # empty to begin with; stay safe
             before += len(files)
             after += len(out)
-        rewritten = [f for b in frag for f in new_buckets.get(b, [])]
+        fanout_files: list[str] = []
+        if legacy_files:
+            # legacy fan-out: rows migrated into buckets outside frag land
+            # in extra written dirs — append to those buckets' file lists
+            # (their keys exist in no other file)
+            for d in sorted(os.listdir(vdir)) if os.path.isdir(vdir) else []:
+                if not d.startswith("__b=") or d.split("=", 1)[1] in frag:
+                    continue
+                bdir = os.path.join(vdir, d)
+                out = sorted(
+                    os.path.join(bdir, f)
+                    for f in os.listdir(bdir)
+                    if f.endswith(".parquet")
+                )
+                if out:
+                    b = d.split("=", 1)[1]
+                    new_buckets[b] = new_buckets.get(b, []) + out
+                    fanout_files.extend(out)
+                    after += len(out)
+            before += len(legacy_files)
+            legacy = []
+        rewritten = [f for b in frag for f in new_buckets.get(b, [])] + fanout_files
         if stats_cols:
             file_stats.update(_collect_file_stats(self.spark, rewritten, stats_cols))
         live = {_file_identity(f) for fs in new_buckets.values() for f in fs}
@@ -1106,6 +1209,7 @@ class SnapshotTable:
                 "version": version,
                 "buckets": new_buckets,
                 "dirty": sorted(dirty - set(frag)),
+                "legacy": legacy,
                 "file_stats": file_stats,
                 "parent": m["version"],
                 "committed_ts": time.time(),
@@ -1113,6 +1217,84 @@ class SnapshotTable:
         )
         self._swap_pointer(version)
         return {"compacted_buckets": len(frag), "files_before": before, "files_after": after}
+
+    def merge_retry(
+        self, delta: DataFrame, batch_id: str | None = None, retries: int = 5, **kw
+    ) -> MergeStats:
+        """Optimistic-concurrency commit loop (the Iceberg
+        ``commit.retry.num-retries`` analog): re-plan the merge against the
+        fresh snapshot whenever another writer's commit wins the pointer
+        swap. Each attempt is a FULL re-plan — the losing attempt's data
+        files are unreferenced by any manifest, so a retry can never
+        double-apply (and the batch ledger makes the whole loop idempotent
+        even across process crashes: if the batch actually committed before
+        the crash, the rerun is a no-op). Exponential backoff, capped at
+        1s, keeps N writers from livelocking on a hot table."""
+        last: ConcurrentWriteError | None = None
+        for attempt in range(retries + 1):
+            try:
+                return self.merge(delta, batch_id=batch_id, **kw)
+            except ConcurrentWriteError as e:
+                last = e
+                time.sleep(min(0.05 * (2**attempt), 1.0))
+        raise last
+
+    def rescale(self, nbuckets: int, migrate: str = "lazy") -> int:
+        """Bucket-spec evolution (Iceberg partition-spec-evolution analog):
+        change the table's bucket count WITHOUT an upfront full rewrite.
+        The day-1 bucket count is the one layout decision a 10^10-row
+        stream outgrows (too few buckets → giant merge units; too many →
+        small-file pressure), and a full-table rewrite to fix it is exactly
+        the cost a lake format exists to avoid.
+
+        The commit is METADATA-ONLY: the current bucket map moves to the
+        manifest's ``legacy`` list (tagged with its spec's nbuckets) and an
+        empty map opens under the new spec. From then on:
+
+        - ``merge()`` migrates legacy buckets ON TOUCH: a batch whose keys
+          hash (under the OLD spec) into un-migrated buckets folds those
+          whole buckets through its LWW and rewrites their rows under the
+          new spec — so migration cost rides the merges that need it, hot
+          buckets migrate first, and the window shrinks monotonically.
+        - reads (``read``/``scan``/``changes``) remain exact throughout:
+          un-migrated files are included, row-filtered by their recomputed
+          current-spec bucket id when the read is bucket-pruned.
+        - ``compact()`` (or ``migrate="now"``) finishes the job, rewriting
+          whatever legacy buckets remain.
+
+        MOR buckets are folded first (their multi-version rows must resolve
+        within one spec), and a merge that touches un-migrated buckets runs
+        as COW for that batch. Returns the rescale commit's version."""
+        if migrate not in ("lazy", "now"):
+            raise ValueError(f"rescale: unknown migrate mode {migrate!r}")
+        if nbuckets < 1:
+            raise ValueError("rescale: nbuckets must be >= 1")
+        if self.manifest().get("dirty"):
+            self.compact(min_files=1 << 30)  # fold MOR appends only
+        m = self.manifest()
+        if nbuckets == m["nbuckets"] and not m.get("legacy"):
+            return m["version"]
+        legacy = list(m.get("legacy") or [])
+        if m["buckets"]:
+            legacy.append({"nbuckets": m["nbuckets"], "buckets": m["buckets"]})
+        version = self._next_version(m["version"])
+        manifest = {
+            **m,
+            "version": version,
+            "nbuckets": nbuckets,
+            "buckets": {},
+            "dirty": [],
+            "legacy": legacy,
+            "parent": m["version"],
+            "committed_ts": time.time(),
+        }
+        if self.current_version() != m["version"]:
+            raise ConcurrentWriteError("table advanced during rescale; retry")
+        self._commit_manifest(manifest)
+        self._swap_pointer(version)
+        if migrate == "now":
+            self.compact(min_files=1 << 30)  # migrates all legacy buckets
+        return version
 
     def rollback(self, version: int) -> None:
         """Iceberg ``rollback_to_snapshot`` analog: point the table back at a
@@ -1210,6 +1392,12 @@ class SnapshotTable:
         prev_m = self.manifest(from_version)
         for v in lineage[1:]:
             m = self.manifest(v)
+            if m["nbuckets"] != prev_m["nbuckets"]:
+                # rescale commit: metadata-only by construction (the bucket
+                # map moves to `legacy`, no row changes) — and its bucket
+                # ids are in a different spec, so a map diff is meaningless
+                prev_m = m
+                continue
             changed = sorted(
                 b
                 for b in set(prev_m["buckets"]) | set(m["buckets"])
@@ -1382,6 +1570,37 @@ class SnapshotTable:
             obs = Observation()
             normalized = normalized.observe(obs, F.count(F.lit(1)).alias("events_in"))
 
+        # rescale window (manifest ``legacy``): delta keys may have their
+        # stored row in an un-migrated legacy-spec bucket. Those buckets are
+        # migrated ON TOUCH — read whole, folded through the LWW, and
+        # rewritten under the current spec (their rows fan out to whatever
+        # current buckets they hash into) — so the migration cost rides the
+        # merges that need it and the window shrinks monotonically.
+        legacy = [dict(sp) for sp in m.get("legacy") or []]
+        legacy_touched: dict[int, list[str]] = {}
+        if legacy:
+            if prune:
+                for i, sp in enumerate(legacy):
+                    lcol = _bucket_col(bcols, sp["nbuckets"]).alias("__lb")
+                    ids = {
+                        str(r["__lb"])
+                        for r in normalized.select(lcol).distinct().collect()
+                    }
+                    hit = sorted(ids & set(sp["buckets"]))
+                    if hit:
+                        legacy_touched[i] = hit
+            else:
+                legacy_touched = {
+                    i: sorted(sp["buckets"]) for i, sp in enumerate(legacy) if sp["buckets"]
+                }
+            if legacy_touched and mor:
+                # a MOR append can't supersede a row it doesn't co-bucket
+                # with: batches touching un-migrated buckets run as COW
+                # (documented migration-window cost; once migrated, MOR
+                # resumes append-only)
+                mor = False
+                mode = "cow"
+
         if mor:
             # merge-on-read: never read the base — resolve ONLY the
             # in-batch duplicates; cross-snapshot winners are resolved by
@@ -1392,7 +1611,21 @@ class SnapshotTable:
             merged = lww_dedup(normalized, keys=keys, seq=SEQ)
             schema_json = _evolve_schema_json(m.get("schema"), merged.drop("__b").schema)
         else:
-            current = self.read_raw(buckets=touched)
+            current = self.read_raw(buckets=touched, include_legacy=False)
+            migrating = [
+                f
+                for i, bids in legacy_touched.items()
+                for b in bids
+                for f in legacy[i]["buckets"][b]
+            ]
+            if migrating:
+                lg = self._read_files(migrating, schema_json=m.get("schema"))
+                if lg is not None:
+                    current = (
+                        lg
+                        if current is None
+                        else current.unionByName(lg, allowMissingColumns=True)
+                    )
             if current is not None:
                 current = current.withColumn("__b", _bucket_col(bcols, nbuckets))
                 # 2. schema evolution: union-with-nulls both directions
@@ -1412,7 +1645,16 @@ class SnapshotTable:
         #    inserted) and cap file size so footer min/max ranges stay
         #    narrow — that's what makes scan()'s file skipping effective.
         version = self._next_version(m["version"])
-        vdir = os.path.join(self.root, "data", f"v{version:08d}")
+        # staging dir is unique PER ATTEMPT (not just per version): two
+        # writers racing to the same next version must never share a write
+        # directory — mode("overwrite") would clobber the other attempt's
+        # in-flight files BEFORE _commit_manifest arbitrates the winner.
+        # The manifest references absolute file paths, so the suffix is
+        # invisible downstream; the loser's files stay unreferenced and are
+        # swept by expire_snapshots.
+        vdir = os.path.join(
+            self.root, "data", f"v{version:08d}-{uuid.uuid4().hex[:8]}"
+        )
         props = m.get("props") or {}
         stats_cols = [c for c in props.get("stats_cols") or []]
         to_write = merged.withColumn("__b", _bucket_col(bcols, nbuckets)).repartition(
@@ -1463,6 +1705,35 @@ class SnapshotTable:
                     new_buckets.pop(str(b), None)
                 dirty.discard(str(b))
 
+        if legacy_touched:
+            touched_set = {str(b) for b in touched}
+            extra = [
+                d.split("=", 1)[1]
+                for d in (os.listdir(vdir) if os.path.isdir(vdir) else [])
+                if d.startswith("__b=") and d.split("=", 1)[1] not in touched_set
+            ]
+            for b in sorted(extra, key=int):
+                bdir = os.path.join(vdir, f"__b={b}")
+                files = sorted(
+                    os.path.join(bdir, f)
+                    for f in os.listdir(bdir)
+                    if f.endswith(".parquet")
+                )
+                written_files.extend(files)
+                written += len(files)
+                if files:
+                    # migration fan-out: rows from migrated legacy buckets,
+                    # whose keys exist in no other file — append, not replace
+                    new_buckets[b] = new_buckets.get(b, []) + files
+            # migrated legacy buckets drop out of the rescale window
+            new_legacy = []
+            for i, sp in enumerate(legacy):
+                hit = set(legacy_touched.get(i, []))
+                rest = {b: fs for b, fs in sp["buckets"].items() if b not in hit}
+                if rest:
+                    new_legacy.append({"nbuckets": sp["nbuckets"], "buckets": rest})
+            legacy = new_legacy
+
         if obs is not None:  # prune=False: events_in observed during the write
             events_in = int(obs.get["events_in"])
 
@@ -1474,7 +1745,12 @@ class SnapshotTable:
         file_stats = dict(m.get("file_stats") or {})
         if stats_cols:
             file_stats.update(_collect_file_stats(self.spark, written_files, stats_cols))
-        live = {_file_identity(f) for fs in new_buckets.values() for f in fs}
+        live = {_file_identity(f) for fs in new_buckets.values() for f in fs} | {
+            _file_identity(f)
+            for sp in legacy
+            for fs in sp["buckets"].values()
+            for f in fs
+        }
         file_stats = {k: v for k, v in file_stats.items() if k in live}
         bloom_cols = [c for c in props.get("bloom_cols") or []]
         if bloom_cols:
@@ -1525,6 +1801,7 @@ class SnapshotTable:
             "schema": schema_json,
             "buckets": new_buckets,
             "dirty": sorted(dirty),
+            "legacy": legacy,
             "file_stats": file_stats,
             "committed_batches": committed,
             "batch_hwm": hwm,
@@ -1551,4 +1828,5 @@ class SnapshotTable:
             rows_written=written,
             wall_ms=int((time.time() - t0) * 1000),
             mode=mode,
+            buckets_migrated=sum(len(v) for v in legacy_touched.values()),
         )

@@ -81,3 +81,19 @@ def test_maintain_flags(spark, job, tmp_path, capsys):
     assert rc == 0
     assert f"version={v}" in capsys.readouterr().out  # pure no-op
     assert SnapshotTable(spark, root).current_version() == v
+
+
+def test_maintain_rescale_rebuckets_in_one_cycle(spark, job, tmp_path, capsys):
+    root = str(tmp_path / "t3")
+    t = _mk_table(spark, root)
+    before_state = sorted(tuple(r) for r in t.read().collect())
+
+    rc = job.main([root, "--rescale", "8", "--min-files", "1", "--keep-last", "1"])
+    assert rc == 0
+    assert "compact_skipped=false" in capsys.readouterr().out
+
+    t2 = SnapshotTable(spark, root)
+    m = t2.manifest()
+    assert m["nbuckets"] == 8 and m["legacy"] == []
+    assert set(int(b) for b in m["buckets"]) <= set(range(8))
+    assert sorted(tuple(r) for r in t2.read().collect()) == before_state
