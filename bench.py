@@ -326,6 +326,72 @@ def bench_mor_commits(spark, n_seed: int = 300_000, n_batch: int = 2_000, n_comm
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_bloom_lookup(spark, n_events: int = 500_000) -> dict:
+    """Bloom-sidecar point lookup vs full filtered read on the same table:
+    the key-value-shaped probe a 10^10-row CDC table serves constantly
+    ("what is the current content of repo X path Y"). min/max stats can't
+    prune a high-cardinality unsorted id, so the full read opens every
+    file; blooms open ~1. Reports both latencies and the files_read /
+    files_total evidence. Alternating best-of-2 per leg (one-sided
+    shared-host noise discipline, as bench_scaling.py)."""
+    import shutil
+    import tempfile
+
+    from pyetl_spark.cdc import SnapshotTable, change_events
+
+    fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="bench_bloom_", dir=fast)
+    try:
+        ev = change_events(
+            spark, n_events, n_repos=2000, paths_per_repo=500, seed=42
+        ).withColumn("uid", F.concat_ws("/", "repo", "path"))
+        table = SnapshotTable.create(
+            spark,
+            os.path.join(root, "t"),
+            keys=["repo", "path"],
+            nbuckets=32,
+            props={"bloom_cols": ["uid"], "max_file_rows": max(2000, n_events // 200)},
+        )
+        table.merge(ev, batch_id="b0", prune=False)
+        # 8 probe keys SPREAD across the table (hash-sampled, not limit()'s
+        # first-file prefix) so the lookup exercises several buckets' blooms
+        probes = [
+            r["uid"]
+            for r in table.read()
+            .select("uid")
+            .filter(F.pmod(F.xxhash64("uid"), F.lit(10007)) == 0)
+            .limit(8)
+            .collect()
+        ]
+
+        def _scan() -> float:
+            t0 = time.time()
+            n = table.scan([("uid", "in", probes)]).count()
+            assert n == len(probes)
+            return round(time.time() - t0, 3)
+
+        def _full() -> float:
+            t0 = time.time()
+            n = table.read().filter(F.col("uid").isin(probes)).count()
+            assert n == len(probes)
+            return round(time.time() - t0, 3)
+
+        _scan(), _full()  # codegen warmup for both plan shapes
+        s1, f1, s2, f2 = _scan(), _full(), _scan(), _full()
+        scan_sec, full_sec = min(s1, s2), min(f1, f2)
+        return {
+            "rows": n_events,
+            "probes": len(probes),
+            "files_total": table.last_scan["files_total"],
+            "files_read": table.last_scan["files_read"],
+            "bloom_scan_sec": scan_sec,
+            "full_filter_sec": full_sec,
+            "speedup": round(full_sec / max(scan_sec, 1e-9), 1),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -412,11 +478,13 @@ def main() -> None:
         incremental = worker.get("incremental_ingest", {})
         ivm = worker.get("ivm_catchup", {})
         mor = worker.get("mor_commits", {})
+        bloom = worker.get("bloom_lookup", {})
     except Exception as e:  # noqa: BLE001
         cdc = {"error": f"{type(e).__name__}: {e}"[:200], "sec": 0}
         incremental = {}
         ivm = {}
         mor = {}
+        bloom = {}
 
     # headline total stays queries + flagship replay (comparable across
     # rounds); the incremental tier is reported alongside in extras
@@ -434,6 +502,7 @@ def main() -> None:
                     "incremental_ingest": incremental,
                     "ivm_catchup": ivm,
                     "mor_commits": mor,
+                    "bloom_lookup": bloom,
                     "cpus": int(cpus),
                     "calibration": {"start_sec": calib_start, "end_sec": calib_end},
                     "cold_first_run": cold,
@@ -475,6 +544,10 @@ def _replay_worker(n_events: int) -> None:
         out["mor_commits"] = bench_mor_commits(spark)
     except Exception as e:  # noqa: BLE001
         out["mor_commits"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    try:
+        out["bloom_lookup"] = bench_bloom_lookup(spark)
+    except Exception as e:  # noqa: BLE001
+        out["bloom_lookup"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     print(json.dumps(out))
 
 
