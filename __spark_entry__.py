@@ -2033,6 +2033,47 @@ def q_cdc_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_cdc_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level predicate delete (SnapshotTable.delete_where — the
+    Iceberg/Delta DELETE FROM ... WHERE / GDPR-erasure analog): replay
+    events as 2 CDC batches (error events become deletes), then
+    delete_where(value < 30) and read the final state. The tombstone delta
+    is planned through the data-skipping scan and sequenced one past
+    max_seq, so it must erase exactly the rows whose FINAL value matched —
+    deleting by a stale pre-image, or letting a stale event resurrect an
+    erased key, changes the hash. Tombstone-vs-late-event edges are in
+    tests/test_delete_where.py."""
+    import shutil
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    n = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    half = n // 2
+    root = tempfile.mkdtemp(prefix="q_cdc_delw_")
+    try:
+        table = SnapshotTable.create(
+            spark,
+            os.path.join(root, "t"),
+            keys=["user_id"],
+            nbuckets=4,
+            props={"stats_cols": ["value"], "max_file_rows": max(16, n // 200)},
+        )
+        table.merge(ev.filter(F.col("event_id") < half), "dw:0", seq_col="event_id")
+        table.merge(ev.filter(F.col("event_id") >= half), "dw:1", seq_col="event_id")
+        table.delete_where([("value", "<", 30.0)], batch_id="dw:2")
+        out = table.read().select("user_id", "event_type", "value")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_cdc_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-sidecar file skipping + batched point lookup
     (tableio._write_file_blooms / scan op "in" — the Iceberg puffin-blob
@@ -2214,6 +2255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_zorder_scan": q_cdc_zorder_scan,          # new: z-order clustering
         "cdc_bloom_scan": q_cdc_bloom_scan,            # NEW r5: bloom sidecars + in-list scan
         "cdc_rescale": q_cdc_rescale,                  # NEW r5: bucket-spec evolution
+        "cdc_delete_where": q_cdc_delete_where,        # NEW r5: predicate delete
         "serve_script": q_serve_script,                # new: pooled serving seam
         "cdc_merge_table": q_cdc_merge_table,          # tableio: ledger compaction+HWM
         "cdc_mor_merge": q_cdc_mor_merge,              # NEW r5: merge-on-read commits
@@ -2263,15 +2305,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_rows": q_merge_rows,
         "objgroup": q_objgroup,
         "join_denorm": q_join_denorm,
-        "semi_join": q_semi_join,
         # ---- position 51+ : outside the driver's 50-row certification
         # window. Every entry below was certified green in ROUND 4's driver
-        # window (CORRECTNESS_r04) — except anti_join, compare_cdc and
-        # changed_lag, green in ROUND 3 and pushed one past the cut by the
-        # round-5 additions (two rounds stale, the allowed bound) — and the
-        # local oracle suite still checks every one of them each run. The
-        # round-5 front additions are quality_dsir, cdc_zorder_scan,
-        # cdc_bloom_scan, and cdc_rescale (positions 1-4).
+        # window (CORRECTNESS_r04) — except semi_join, anti_join,
+        # compare_cdc and changed_lag, green in ROUND 3 and pushed one past
+        # the cut by the round-5 additions (two rounds stale, the allowed
+        # bound) — and the local oracle suite still checks every one of
+        # them each run. The round-5 front additions are quality_dsir,
+        # cdc_zorder_scan, cdc_bloom_scan, cdc_rescale, and
+        # cdc_delete_where (positions 1-5).
+        "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "compare_cdc": q_compare_cdc,
         "changed_lag": q_changed_lag,
@@ -3231,6 +3274,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
             HAVING NOT max_by(event_type = 'error', event_id)
                AND max_by(value, event_id) >= 70.0
+        """,
+        # predicate delete: rows whose FINAL LWW value matched are erased
+        "cdc_delete_where": """
+            SELECT user_id,
+                   max_by(event_type, event_id) AS event_type,
+                   max_by(value, event_id) AS value
+            FROM events
+            GROUP BY user_id
+            HAVING NOT max_by(event_type = 'error', event_id)
+               AND NOT max_by(value, event_id) < 30.0
         """,
         # rescale: the final state is spec-independent — plain LWW replay
         "cdc_rescale": """

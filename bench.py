@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "cdc_bloom_scan",
     # round 5: bucket-spec evolution — merge through the migration window
     "cdc_rescale",
+    # round 5: row-level predicate delete (skipping-scan planned tombstones)
+    "cdc_delete_where",
 ]
 
 

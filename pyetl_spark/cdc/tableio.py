@@ -997,6 +997,33 @@ class SnapshotTable:
         row = raw.agg(F.max(SEQ).alias("m")).first()
         return row["m"] if row["m"] is not None else -1
 
+    def delete_where(
+        self, filters: Sequence[tuple], batch_id: str | None = None
+    ) -> MergeStats:
+        """Row-level DELETE by predicate — the Iceberg/Delta ``DELETE FROM t
+        WHERE ...`` analog, and the GDPR-erasure / retention-sweep primitive
+        a 10^10-row lake needs as a first-class op. ``filters`` is the same
+        conjunctive ``(col, op, literal)`` grammar as :meth:`scan`, so
+        file-level min/max + bloom pruning bound the read to ~the matching
+        files.
+
+        Plans as: data-skipping scan for the matching VISIBLE rows → project
+        the key columns → tombstone delta at ``max_seq()+1`` (one past every
+        stored row, so the delete wins LWW over anything already applied;
+        late stale events still lose to the tombstone) → the normal MERGE —
+        bucket-pruned, exactly-once under ``batch_id``, ``changes()`` emits
+        the ``delete`` rows, time travel still sees the pre-delete versions
+        until :meth:`expire_snapshots` retires them (complete the erasure
+        with ``expire_snapshots`` + ``compact`` — tombstoned content leaves
+        the live files at the delete, and history at expiry)."""
+        m = self.manifest()
+        matches = self.scan(filters).select(*m["keys"])
+        seq = self.max_seq() + 1
+        delta = matches.withColumn("op", F.lit("delete")).withColumn(
+            "seq", F.lit(seq).cast("long")
+        )
+        return self.merge(delta, batch_id=batch_id)
+
     # ------------------------------------------------------------ maintenance
 
     def expire_snapshots(self, keep_last: int = 2) -> dict:
@@ -1636,7 +1663,12 @@ class SnapshotTable:
             # 3. single LWW aggregate resolves in-batch duplicates AND
             #    cross-snapshot winners (tombstones retained)
             merged = lww_dedup(union, keys=keys, seq=SEQ)
-            schema_json = merged.drop("__b").schema.json()
+            # evolve, never replace: a delta that touches zero buckets (or
+            # carries fewer columns than untouched buckets store) must not
+            # narrow the table schema — schema changes are widening-only
+            schema_json = _evolve_schema_json(
+                m.get("schema"), merged.drop("__b").schema
+            )
 
         # 5. write only the touched buckets to the new version dir. When the
         #    table declares stats_cols, cluster rows by them within each
