@@ -2303,17 +2303,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_front": q_script_front,
         "kafka_roundtrip": q_kafka_roundtrip,
         "merge_rows": q_merge_rows,
+        # ---- position 51+ : outside the driver's 50-row certification
+        # window (the marker sits at the EXACT cut — verified by index, a
+        # prior revision had drifted two entries high). Every entry below
+        # was certified green in ROUND 4's driver window (CORRECTNESS_r04)
+        # — except objgroup, join_denorm, semi_join, anti_join, compare_cdc
+        # and changed_lag, green in ROUND 3 and pushed past the cut by the
+        # round-5 front additions (two rounds stale, the allowed bound) —
+        # and the local oracle suite still checks every one of them each
+        # run. The round-5 front additions are quality_dsir,
+        # cdc_zorder_scan, cdc_bloom_scan, cdc_rescale, cdc_delete_where,
+        # serve_script, cdc_mor_merge, and cdc_wap_publish.
         "objgroup": q_objgroup,
         "join_denorm": q_join_denorm,
-        # ---- position 51+ : outside the driver's 50-row certification
-        # window. Every entry below was certified green in ROUND 4's driver
-        # window (CORRECTNESS_r04) — except semi_join, anti_join,
-        # compare_cdc and changed_lag, green in ROUND 3 and pushed one past
-        # the cut by the round-5 additions (two rounds stale, the allowed
-        # bound) — and the local oracle suite still checks every one of
-        # them each run. The round-5 front additions are quality_dsir,
-        # cdc_zorder_scan, cdc_bloom_scan, cdc_rescale, and
-        # cdc_delete_where (positions 1-5).
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "compare_cdc": q_compare_cdc,
