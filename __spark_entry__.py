@@ -1721,6 +1721,69 @@ def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_cdc_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata/inspection tables (SnapshotTable.history_df / snapshots_df /
+    files_df — the Iceberg `table$history` / `$snapshots` / `$files` analog,
+    cdc/tableio.py): replay the events table as 3 ordered CDC batches with
+    per-file footer stats enabled, then answer per-version state questions
+    FROM THE METADATA ONLY — record counts from per-file footer row counts,
+    value min/max from the per-file column metrics, the operation from the
+    commit summary. No data file is read; a metadata table that lies about
+    any file's count/range or mislabels a commit fails the row. Oracle
+    recomputes each version's LWW state directly from the event prefixes.
+    (Upsert-only stream: physical rows == live rows, so footer sums are the
+    state count; `total_records` counts LWW tombstones too by design.)"""
+    import shutil
+    import tempfile
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("op", F.lit("upsert"))
+        .select("user_id", "event_id", "event_type", "value", "op")
+    )
+    n = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    step = n // 3 + 1
+    root = tempfile.mkdtemp(prefix="q_cdc_meta_")
+    try:
+        table = SnapshotTable.create(
+            spark,
+            os.path.join(root, "t"),
+            keys=["user_id"],
+            nbuckets=8,
+            props={"stats_cols": ["value"]},
+        )
+        versions = []
+        for b in range(3):
+            batch = ev.filter(
+                (F.col("event_id") >= b * step) & (F.col("event_id") < (b + 1) * step)
+            )
+            stats = table.merge(batch, batch_id=f"q:{b}", seq_col="event_id")
+            versions.append(stats.version)
+        hist = {
+            r["version"]: r["operation"]
+            for r in table.history_df().collect()
+        }
+        out = None
+        for ord_, v in enumerate(versions):
+            vmin = F.get_json_object("column_stats", "$.value[0]").cast("double")
+            vmax = F.get_json_object("column_stats", "$.value[1]").cast("double")
+            state = table.files_df(version=v).agg(
+                F.sum("record_count").alias("records"),
+                F.round(F.min(vmin), 4).alias("val_min"),
+                F.round(F.max(vmax), 4).alias("val_max"),
+            ).select(
+                F.lit(ord_).alias("version_ord"),
+                F.lit(hist[v]).alias("operation"),
+                "records",
+                "val_min",
+                "val_max",
+            )
+            out = state if out is None else out.unionByName(state)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image resize across BOTH stdlib image codecs (resize_images,
     decode_stub=False): BMP and PNG payloads are decoded, nearest-neighbor
@@ -2256,6 +2319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_bloom_scan": q_cdc_bloom_scan,            # NEW r5: bloom sidecars + in-list scan
         "cdc_rescale": q_cdc_rescale,                  # NEW r5: bucket-spec evolution
         "cdc_delete_where": q_cdc_delete_where,        # NEW r5: predicate delete
+        "cdc_metadata": q_cdc_metadata,                # NEW r5: metadata tables
         "serve_script": q_serve_script,                # new: pooled serving seam
         "cdc_merge_table": q_cdc_merge_table,          # tableio: ledger compaction+HWM
         "cdc_mor_merge": q_cdc_mor_merge,              # NEW r5: merge-on-read commits
@@ -2302,18 +2366,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sortir_fanout": q_sortir_fanout,
         "script_front": q_script_front,
         "kafka_roundtrip": q_kafka_roundtrip,
-        "merge_rows": q_merge_rows,
         # ---- position 51+ : outside the driver's 50-row certification
         # window (the marker sits at the EXACT cut — verified by index, a
         # prior revision had drifted two entries high). Every entry below
         # was certified green in ROUND 4's driver window (CORRECTNESS_r04)
-        # — except objgroup, join_denorm, semi_join, anti_join, compare_cdc
-        # and changed_lag, green in ROUND 3 and pushed past the cut by the
-        # round-5 front additions (two rounds stale, the allowed bound) —
-        # and the local oracle suite still checks every one of them each
-        # run. The round-5 front additions are quality_dsir,
+        # — except objgroup, join_denorm, semi_join, anti_join, compare_cdc,
+        # changed_lag and merge_rows, green in ROUND 3 and pushed past the
+        # cut by the round-5 front additions (two rounds stale, the allowed
+        # bound) — and the local oracle suite still checks every one of
+        # them each run. The round-5 front additions are quality_dsir,
         # cdc_zorder_scan, cdc_bloom_scan, cdc_rescale, cdc_delete_where,
-        # serve_script, cdc_mor_merge, and cdc_wap_publish.
+        # cdc_metadata, serve_script, cdc_mor_merge, and cdc_wap_publish.
+        "merge_rows": q_merge_rows,
         "objgroup": q_objgroup,
         "join_denorm": q_join_denorm,
         "semi_join": q_semi_join,
@@ -3347,6 +3411,20 @@ def oracle_sql() -> dict[str, str]:
                   AND (a_del IS NULL OR a_del OR a_seq <> b_seq)
             )
             SELECT * FROM pre UNION ALL SELECT * FROM post
+        """,
+        # metadata-only per-version answers (footer row counts + column
+        # metrics + commit summary) vs LWW state recomputed from prefixes
+        "cdc_metadata": """
+            WITH s AS (SELECT (max(event_id) + 1) // 3 + 1 AS step FROM events),
+            state AS (
+                SELECT v.b, e.user_id, max_by(e.value, e.event_id) AS lv
+                FROM (VALUES (0), (1), (2)) v(b)
+                JOIN events e ON e.event_id < (v.b + 1) * (SELECT step FROM s)
+                GROUP BY v.b, e.user_id
+            )
+            SELECT b AS version_ord, 'merge' AS operation, count(*) AS records,
+                   round(min(lv), 4) AS val_min, round(max(lv), 4) AS val_max
+            FROM state GROUP BY b
         """,
         "cdc_time_travel": """
             WITH s AS (SELECT (max(event_id) + 1) // 3 + 1 AS step FROM events),

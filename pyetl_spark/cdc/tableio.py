@@ -203,7 +203,13 @@ def _footer_minmax(path: str, cols: Sequence[str]) -> dict:
                 acc[name] = [min(acc[name][0], mn), max(acc[name][1], mx)]
             else:
                 acc[name] = [mn, mx]
-    return {c: (acc.get(c) if c in seen else "absent") for c in want}
+    out = {c: (acc.get(c) if c in seen else "absent") for c in want}
+    # per-file row count rides along for free (same footer read) — the
+    # metadata tables (files_df/snapshots_df) expose it as record_count,
+    # like Iceberg's per-data-file record_count metric. The dunder key can
+    # never collide with a data column probed by _file_prunable.
+    out["__rows"] = md.num_rows
+    return out
 
 
 def _collect_file_stats(spark: SparkSession, files: Sequence[str], cols: Sequence[str]) -> dict:
@@ -510,6 +516,7 @@ class SnapshotTable:
             "batch_hwm": {},
             "parent": None,
             "created_ts": time.time(),
+            "summary": {"operation": "create"},
         }
         t._write_manifest(manifest)
         t._swap_pointer(0)
@@ -878,6 +885,150 @@ class SnapshotTable:
         (readers LWW-resolve them; ``compact()`` clears them)."""
         return sorted(int(b) for b in self.manifest(version).get("dirty") or [])
 
+    # -------------------------------------------------------- metadata tables
+    #
+    # Iceberg metadata-table analogs (`table$history` / `$snapshots` /
+    # `$files` / `$refs`): the table's own commit history, per-snapshot
+    # summaries, and per-data-file layout exposed AS DataFrames, so lake
+    # observability is queryable with the same engine as the data. All four
+    # are built from the retained manifests — driver-side JSON metadata,
+    # O(versions + files) tiny rows, never a data-file read. Reference
+    # analog: pyetl's compteur/statistics reporting surface
+    # (moteur/compteurs.py) recast as lake-level inspection.
+
+    def _retained_versions(self) -> list[int]:
+        return sorted(
+            int(f[1:-5])
+            for f in os.listdir(os.path.join(self.root, "_versions"))
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def _current_ancestors(self) -> set[int]:
+        """Versions on the current pointer's parent chain (a rollback can
+        leave retained versions OFF the chain — Iceberg history keeps an
+        ``is_current_ancestor`` flag for exactly this)."""
+        anc: set[int] = set()
+        v: int | None = self.current_version()
+        while v is not None and os.path.exists(self._manifest_path(v)):
+            anc.add(v)
+            v = self.manifest(v).get("parent")
+        return anc
+
+    def history_df(self) -> DataFrame:
+        """One row per retained version: the commit log (`table$history`)."""
+        anc = self._current_ancestors()
+        cur = self.current_version()
+        rows = []
+        for v in self._retained_versions():
+            m = self.manifest(v)
+            s = m.get("summary") or {}
+            rows.append(
+                (
+                    v,
+                    m.get("parent"),
+                    float(m.get("committed_ts") or m.get("created_ts") or 0.0),
+                    s.get("operation"),
+                    s.get("batch_id"),
+                    v in anc,
+                    v == cur,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version INT, parent INT, committed_ts DOUBLE, operation STRING, "
+            "batch_id STRING, is_current_ancestor BOOLEAN, is_current BOOLEAN",
+        )
+
+    def _live_files(self, m: dict) -> list[tuple[str, int, str, int]]:
+        """(path, bucket, spec, spec_nbuckets) for every file ``m`` references."""
+        out = [
+            (f, int(b), "current", int(m["nbuckets"]))
+            for b, fs in m["buckets"].items()
+            for f in fs
+        ]
+        for sp in m.get("legacy") or []:
+            out += [
+                (f, int(b), "legacy", int(sp["nbuckets"]))
+                for b, fs in sp["buckets"].items()
+                for f in fs
+            ]
+        return out
+
+    def snapshots_df(self) -> DataFrame:
+        """One row per retained version with its summary + aggregate file
+        metrics (`table$snapshots`). ``total_records`` is the sum of per-file
+        footer row counts and is NULL when any live file predates stats
+        tracking (``stats_cols`` / ``track_counts`` props)."""
+        rows = []
+        for v in self._retained_versions():
+            m = self.manifest(v)
+            s = m.get("summary") or {}
+            stats = m.get("file_stats") or {}
+            files = self._live_files(m)
+            counts = [
+                (stats.get(_file_identity(f)) or {}).get("__rows") for f, *_ in files
+            ]
+            total = sum(counts) if counts and all(c is not None for c in counts) else (
+                0 if not files else None
+            )
+            rows.append(
+                (
+                    v,
+                    s.get("operation"),
+                    float(m.get("committed_ts") or m.get("created_ts") or 0.0),
+                    s.get("batch_id"),
+                    s.get("mode"),
+                    len(files),
+                    total,
+                    s.get("rows_written"),
+                    s.get("events_in"),
+                    s.get("buckets_touched"),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version INT, operation STRING, committed_ts DOUBLE, batch_id STRING, "
+            "mode STRING, data_files INT, total_records LONG, rows_written LONG, "
+            "events_in LONG, buckets_touched INT",
+        )
+
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """One row per live data file at ``version`` (`table$files`):
+        bucket, spec, record count, and the footer min/max metrics as a
+        JSON column (NULL where stats were never collected)."""
+        m = self.manifest(version)
+        stats = m.get("file_stats") or {}
+        dirty = {str(b) for b in m.get("dirty") or []}
+        rows = []
+        for f, b, spec, spec_n in self._live_files(m):
+            fs = stats.get(_file_identity(f))
+            rc = (fs or {}).get("__rows")
+            cs = {c: s for c, s in (fs or {}).items() if c != "__rows"}
+            rows.append(
+                (
+                    f,
+                    b,
+                    spec,
+                    spec_n,
+                    str(b) in dirty and spec == "current",
+                    rc,
+                    json.dumps(cs, sort_keys=True) if fs else None,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "file_path STRING, bucket INT, spec STRING, spec_nbuckets INT, "
+            "is_dirty BOOLEAN, record_count LONG, column_stats STRING",
+        )
+
+    def refs_df(self) -> DataFrame:
+        """Named refs (`table$refs`): every branch and tag with its pinned
+        version; ``main`` is the root pointer itself."""
+        rows = [("main", "branch", SnapshotTable(self.spark, self.root).current_version())]
+        rows += [(n, "branch", v) for n, v in self._refs("branch").items()]
+        rows += [(n, "tag", v) for n, v in self._refs("tag").items()]
+        return self.spark.createDataFrame(rows, "name STRING, kind STRING, version INT")
+
     # --------------------------------------------------------- branches/tags
     #
     # Iceberg branch/tag refs recast on the pointer-file catalog: a BRANCH is
@@ -1022,7 +1173,7 @@ class SnapshotTable:
         delta = matches.withColumn("op", F.lit("delete")).withColumn(
             "seq", F.lit(seq).cast("long")
         )
-        return self.merge(delta, batch_id=batch_id)
+        return self.merge(delta, batch_id=batch_id, operation="delete")
 
     # ------------------------------------------------------------ maintenance
 
@@ -1214,7 +1365,7 @@ class SnapshotTable:
             before += len(legacy_files)
             legacy = []
         rewritten = [f for b in frag for f in new_buckets.get(b, [])] + fanout_files
-        if stats_cols:
+        if stats_cols or props.get("track_counts"):
             file_stats.update(_collect_file_stats(self.spark, rewritten, stats_cols))
         live = {_file_identity(f) for fs in new_buckets.values() for f in fs}
         file_stats = {k: v for k, v in file_stats.items() if k in live}
@@ -1240,6 +1391,12 @@ class SnapshotTable:
                 "file_stats": file_stats,
                 "parent": m["version"],
                 "committed_ts": time.time(),
+                "summary": {
+                    "operation": "compact",
+                    "compacted_buckets": len(frag),
+                    "files_before": before,
+                    "files_after": after,
+                },
             }
         )
         self._swap_pointer(version)
@@ -1314,6 +1471,11 @@ class SnapshotTable:
             "legacy": legacy,
             "parent": m["version"],
             "committed_ts": time.time(),
+            "summary": {
+                "operation": "rescale",
+                "nbuckets": nbuckets,
+                "legacy_specs": len(legacy),
+            },
         }
         if self.current_version() != m["version"]:
             raise ConcurrentWriteError("table advanced during rescale; retry")
@@ -1520,6 +1682,7 @@ class SnapshotTable:
         with_stats: bool = False,
         prune: bool = True,
         mode: str | None = None,
+        operation: str = "merge",
     ) -> MergeStats:
         """MERGE the change-event delta into the table (LWW upsert).
 
@@ -1775,7 +1938,7 @@ class SnapshotTable:
         # parent-manifest stats forward, dereferenced files drop out
         # (keyed by root-relative identity, like expiry)
         file_stats = dict(m.get("file_stats") or {})
-        if stats_cols:
+        if stats_cols or props.get("track_counts"):
             file_stats.update(_collect_file_stats(self.spark, written_files, stats_cols))
         live = {_file_identity(f) for fs in new_buckets.values() for f in fs} | {
             _file_identity(f)
@@ -1839,6 +2002,16 @@ class SnapshotTable:
             "batch_hwm": hwm,
             "parent": m["version"],
             "committed_ts": time.time(),
+            # per-commit summary (Iceberg snapshot-summary analog) — what the
+            # metadata tables (history_df/snapshots_df) surface per version
+            "summary": {
+                "operation": operation,
+                "mode": mode,
+                "batch_id": batch_id,
+                "events_in": events_in,
+                "rows_written": written,
+                "buckets_touched": len(touched),
+            },
         }
         # optimistic concurrency: the snapshot this merge was planned against
         # must still be current at commit time (single-writer contract; on a
