@@ -48,6 +48,7 @@ from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -176,122 +177,133 @@ class TableChangesStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         sv, ev = int(start["version"]), int(end["version"])
         self._last_end = ev
-        if ev <= sv:
-            return [ChangesPartition(-1, [], [], [])]
         pinned = {f.name for f in self.schema.fields} - {
             "_change_type",
             "_commit_version",
         }
-        parts: list[InputPartition] = []
-        prev_m = _load_manifest(self.root, sv)
-        for v in _lineage(self.root, sv, ev)[1:]:
-            m = _load_manifest(self.root, v)
-            if m.get("schema"):
-                commit_cols = {
-                    f["name"] for f in json.loads(m["schema"])["fields"]
-                } - {SEQ, DELETED}
-                new_cols = commit_cols - pinned
-                if new_cols:
-                    raise ValueError(
-                        f"table_changes: commit v{v} added column(s) "
-                        f"{sorted(new_cols)} after the stream pinned its "
-                        "schema — restart the stream to pick them up"
-                    )
-            if m["nbuckets"] != prev_m["nbuckets"]:
-                prev_m = m  # rescale commit: metadata-only, no row changes
-                continue
-            keys = m["keys"]
-            # rescale-migration windows: bucket identity is spec-relative
-            # and Spark's xxhash64 can't be recomputed off-JVM, but the
-            # key-level diff doesn't need it — widen each changed bucket's
-            # read set with the side's un-migrated legacy files. A legacy
-            # row whose key belongs elsewhere appears on one/both sides
-            # with an unchanged (_seq, _deleted) pair and diffs to nothing;
-            # a row migrating INTO a changed bucket is present where it
-            # must be. Exact, at the price of re-reading the legacy set
-            # per changed bucket while a migration window is open.
-            a_legacy = [
-                f
-                for sp in prev_m.get("legacy") or []
-                for fs in sp["buckets"].values()
-                for f in fs
-            ]
-            b_legacy = [
-                f
-                for sp in m.get("legacy") or []
-                for fs in sp["buckets"].values()
-                for f in fs
-            ]
-            for b in sorted(set(prev_m["buckets"]) | set(m["buckets"])):
-                a_f = prev_m["buckets"].get(b) or []
-                b_f = m["buckets"].get(b) or []
-                if a_f != b_f and b_f:
-                    parts.append(
-                        ChangesPartition(v, a_f + a_legacy, b_f + b_legacy, list(keys))
-                    )
-            prev_m = m
-        # Spark requires >= 1 partition per micro-batch; an all-metadata
-        # range (compaction/expiry only) yields one empty unit
-        return parts or [ChangesPartition(-1, [], [], [])]
+        return _plan_partitions(self.root, sv, ev, pinned)
 
     # ------------------------------------------------------------- read
 
     def read(self, partition: ChangesPartition) -> Iterator:
         """Executor-side bucket diff — LWW resolve each side, full-outer
         key join, classify per changes()' semantics; Arrow batches out."""
-        import pandas as pd
-        import pyarrow as pa
+        return _read_partition(partition, self.arrow_schema)
 
-        p = partition
-        if p.commit_version < 0 or not p.b_files:
-            return
-        keys = list(p.keys)
-        out_cols = [f.name for f in self.arrow_schema][:-2]  # minus CDF cols
-        payload = [c for c in out_cols if c not in keys]
 
-        a = _resolved_pdf(p.a_files, keys, out_cols)
-        b = _resolved_pdf(p.b_files, keys, out_cols)
+def _plan_partitions(root: str, sv: int, ev: int, pinned: set) -> list[InputPartition]:
+    """Driver-side planning shared by the stream and batch readers: one
+    partition per (commit on the (sv, ev] lineage, changed bucket)."""
+    if ev <= sv:
+        return [ChangesPartition(-1, [], [], [])]
+    parts: list[InputPartition] = []
+    prev_m = _load_manifest(root, sv)
+    for v in _lineage(root, sv, ev)[1:]:
+        m = _load_manifest(root, v)
+        if m.get("schema"):
+            commit_cols = {
+                f["name"] for f in json.loads(m["schema"])["fields"]
+            } - {SEQ, DELETED}
+            new_cols = commit_cols - pinned
+            if new_cols:
+                raise ValueError(
+                    f"table_changes: commit v{v} added column(s) "
+                    f"{sorted(new_cols)} after the stream pinned its "
+                    "schema — restart the stream to pick them up"
+                )
+        if m["nbuckets"] != prev_m["nbuckets"]:
+            prev_m = m  # rescale commit: metadata-only, no row changes
+            continue
+        keys = m["keys"]
+        # rescale-migration windows: bucket identity is spec-relative
+        # and Spark's xxhash64 can't be recomputed off-JVM, but the
+        # key-level diff doesn't need it — widen each changed bucket's
+        # read set with the side's un-migrated legacy files. A legacy
+        # row whose key belongs elsewhere appears on one/both sides
+        # with an unchanged (_seq, _deleted) pair and diffs to nothing;
+        # a row migrating INTO a changed bucket is present where it
+        # must be. Exact, at the price of re-reading the legacy set
+        # per changed bucket while a migration window is open.
+        a_legacy = [
+            f
+            for sp in prev_m.get("legacy") or []
+            for fs in sp["buckets"].values()
+            for f in fs
+        ]
+        b_legacy = [
+            f
+            for sp in m.get("legacy") or []
+            for fs in sp["buckets"].values()
+            for f in fs
+        ]
+        for b in sorted(set(prev_m["buckets"]) | set(m["buckets"])):
+            a_f = prev_m["buckets"].get(b) or []
+            b_f = m["buckets"].get(b) or []
+            if a_f != b_f and b_f:
+                parts.append(
+                    ChangesPartition(v, a_f + a_legacy, b_f + b_legacy, list(keys))
+                )
+        prev_m = m
+    # Spark requires >= 1 partition; an all-metadata range (compaction /
+    # expiry only) yields one empty unit
+    return parts or [ChangesPartition(-1, [], [], [])]
 
-        def _emit(side: pd.DataFrame, suffix: str, mask, ctype) -> pd.DataFrame:
-            cols = {k: side[k] for k in keys}
-            cols |= {c: side[f"{c}{suffix}"] for c in payload}
-            d = pd.DataFrame(cols)[mask.fillna(False).astype(bool)]
-            d["_change_type"] = ctype
-            return d
 
-        if a is None:
-            live = ~b[DELETED].fillna(False).astype(bool)
-            out = pd.DataFrame({c: b[c] for c in out_cols})[live]
-            out["_change_type"] = "insert"
-        else:
-            j = a.merge(b, on=keys, how="outer", suffixes=("__a", "__b"))
-            a_seq, b_seq = j[f"{SEQ}__a"], j[f"{SEQ}__b"]
-            a_live = j[f"{DELETED}__a"].eq(False).fillna(False)
-            b_live = j[f"{DELETED}__b"].eq(False).fillna(False)
-            a_dead = j[f"{DELETED}__a"].eq(True).fillna(False)
-            b_dead = j[f"{DELETED}__b"].eq(True).fillna(False)
-            updated = a_live & b_live & (a_seq != b_seq).fillna(False)
-            out = pd.concat(
-                [
-                    _emit(j, "__a", a_live & b_dead, "delete"),
-                    _emit(j, "__a", updated, "update_preimage"),
-                    _emit(j, "__b", b_live & ~a_live & ~a_dead, "insert"),
-                    # a tombstone overwritten by a live row is an insert
-                    _emit(j, "__b", b_live & a_dead, "insert"),
-                    _emit(j, "__b", updated, "update_postimage"),
-                ],
-                ignore_index=True,
-            )
-        if len(out) == 0:
-            return
-        out["_commit_version"] = p.commit_version
-        tab = pa.Table.from_pandas(
-            out[[f.name for f in self.arrow_schema]],
-            schema=self.arrow_schema,
-            preserve_index=False,
-            safe=False,
+def _read_partition(partition: ChangesPartition, arrow_schema) -> Iterator:
+    """Executor-side bucket diff shared by the stream and batch readers."""
+    import pandas as pd
+    import pyarrow as pa
+
+    p = partition
+    if p.commit_version < 0 or not p.b_files:
+        return
+    keys = list(p.keys)
+    out_cols = [f.name for f in arrow_schema][:-2]  # minus CDF cols
+    payload = [c for c in out_cols if c not in keys]
+
+    a = _resolved_pdf(p.a_files, keys, out_cols)
+    b = _resolved_pdf(p.b_files, keys, out_cols)
+
+    def _emit(side: pd.DataFrame, suffix: str, mask, ctype) -> pd.DataFrame:
+        cols = {k: side[k] for k in keys}
+        cols |= {c: side[f"{c}{suffix}"] for c in payload}
+        d = pd.DataFrame(cols)[mask.fillna(False).astype(bool)]
+        d["_change_type"] = ctype
+        return d
+
+    if a is None:
+        live = ~b[DELETED].fillna(False).astype(bool)
+        out = pd.DataFrame({c: b[c] for c in out_cols})[live]
+        out["_change_type"] = "insert"
+    else:
+        j = a.merge(b, on=keys, how="outer", suffixes=("__a", "__b"))
+        a_seq, b_seq = j[f"{SEQ}__a"], j[f"{SEQ}__b"]
+        a_live = j[f"{DELETED}__a"].eq(False).fillna(False)
+        b_live = j[f"{DELETED}__b"].eq(False).fillna(False)
+        a_dead = j[f"{DELETED}__a"].eq(True).fillna(False)
+        b_dead = j[f"{DELETED}__b"].eq(True).fillna(False)
+        updated = a_live & b_live & (a_seq != b_seq).fillna(False)
+        out = pd.concat(
+            [
+                _emit(j, "__a", a_live & b_dead, "delete"),
+                _emit(j, "__a", updated, "update_preimage"),
+                _emit(j, "__b", b_live & ~a_live & ~a_dead, "insert"),
+                # a tombstone overwritten by a live row is an insert
+                _emit(j, "__b", b_live & a_dead, "insert"),
+                _emit(j, "__b", updated, "update_postimage"),
+            ],
+            ignore_index=True,
         )
-        yield from tab.to_batches()
+    if len(out) == 0:
+        return
+    out["_commit_version"] = p.commit_version
+    tab = pa.Table.from_pandas(
+        out[[f.name for f in arrow_schema]],
+        schema=arrow_schema,
+        preserve_index=False,
+        safe=False,
+    )
+    yield from tab.to_batches()
 
 
 def _resolved_pdf(files, keys, out_cols):
@@ -317,14 +329,47 @@ def _resolved_pdf(files, keys, out_cols):
     return df.reset_index(drop=True)
 
 
+class TableChangesBatchReader(DataSourceReader):
+    """``spark.read.format("table_changes")`` — the Delta batch
+    ``readChangeFeed`` analog: the feed for commits ``(startingVersion,
+    endingVersion]`` as a plain DataFrame, same planning and executor
+    diff as the streaming reader."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.root = options.get("path") or options.get("tableroot")
+        if not self.root:
+            raise ValueError("table_changes: option 'path' (table root) is required")
+        self.start = int(options.get("startingversion", 0))
+        endo = options.get("endingversion")
+        self.end = int(endo) if endo is not None else _current_version(self.root)
+        self.schema = schema
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self.arrow_schema = to_arrow_schema(schema)
+
+    def partitions(self) -> Sequence[InputPartition]:
+        pinned = {f.name for f in self.schema.fields} - {
+            "_change_type",
+            "_commit_version",
+        }
+        return _plan_partitions(self.root, self.start, self.end, pinned)
+
+    def read(self, partition: ChangesPartition) -> Iterator:
+        return _read_partition(partition, self.arrow_schema)
+
+
 class TableChangesDataSource(DataSource):
-    """``spark.readStream.format("table_changes")`` — options:
+    """``spark.readStream.format("table_changes")`` (streaming tail) and
+    ``spark.read.format("table_changes")`` (batch range read) — options:
 
     - ``path`` (required): SnapshotTable root
-    - ``startingVersion``: int, or ``current`` (default — only commits
-      made after the stream starts; ``0`` replays the whole retained
-      history, initial state arriving as inserts)
-    - ``maxCommitsPerBatch``: micro-batch admission cap (default 64)
+    - ``startingVersion``: int, or ``current`` (stream default — only
+      commits made after the stream starts; ``0`` — the batch default —
+      replays the whole retained history, initial state as inserts)
+    - ``endingVersion`` (batch only): inclusive range end (default: the
+      table's current version)
+    - ``maxCommitsPerBatch`` (stream only): micro-batch admission cap
+      (default 64)
     """
 
     @classmethod
@@ -340,6 +385,9 @@ class TableChangesDataSource(DataSource):
     def streamReader(self, schema: StructType) -> TableChangesStreamReader:
         return TableChangesStreamReader(schema, dict(self.options))
 
+    def reader(self, schema: StructType) -> TableChangesBatchReader:
+        return TableChangesBatchReader(schema, dict(self.options))
+
 
 def register(spark) -> None:
     """Idempotently register the source with a session."""
@@ -350,6 +398,15 @@ def read_stream_changes(spark, root: str, **options):
     """Convenience: register + open the stream over ``root``."""
     register(spark)
     reader = spark.readStream.format("table_changes").option("path", root)
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.load()
+
+
+def read_changes(spark, root: str, **options):
+    """Convenience: register + batch-read the feed over ``root``."""
+    register(spark)
+    reader = spark.read.format("table_changes").option("path", root)
     for k, v in options.items():
         reader = reader.option(k, str(v))
     return reader.load()

@@ -181,6 +181,27 @@ def test_stream_parity_through_rescale_and_schema_widening_guard(spark, tmp_path
     assert _rowset(got2) == _rowset(t.changes(0))
 
 
+def test_batch_format_read_matches_changes(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge(_delta(spark, [(i, float(i), "a", "upsert", i) for i in range(10)]), "w:1")
+    t.merge(_delta(spark, [(1, 9.0, "b", "upsert", 50), (2, 0.0, None, "delete", 51)]), "w:2")
+    t.merge(_delta(spark, [(3, 7.0, "c", "upsert", 60)]), "w:3")
+    # full history (batch default startingVersion=0, endingVersion=current)
+    got = cdf_source.read_changes(spark, t.root)
+    assert got.columns == t.changes(0).columns
+    assert _rowset(got) == _rowset(t.changes(0))
+    # bounded range (1, 2]: exactly commit 2's emission
+    got12 = cdf_source.read_changes(spark, t.root, startingVersion=1, endingVersion=2)
+    assert _rowset(got12) == _rowset(t.changes(1, 2))
+    # the source is a real relation: filters/aggregates compose on top
+    n_del = (
+        cdf_source.read_changes(spark, t.root)
+        .filter(F.col("_change_type") == "delete")
+        .count()
+    )
+    assert n_del == 1
+
+
 def test_stream_delete_only_and_empty_ranges(spark, tmp_path):
     t = _mk(spark, tmp_path)
     t.merge(_delta(spark, [(1, 1.0, "a", "upsert", 1), (2, 2.0, "b", "upsert", 2)]), "w:1")
