@@ -33,7 +33,14 @@ Production seams, handled like Delta handles them:
   diff to nothing, at the price of re-reading the legacy set while the
   window is open.
 - **Rate limiting**: ``maxCommitsPerBatch`` caps how many commits a
-  micro-batch admits (the Delta ``maxFilesPerTrigger`` analog).
+  micro-batch admits (the Delta ``maxFilesPerTrigger`` analog). Scope:
+  it governs steady-state ProcessingTime tails (batch 2 onward — the
+  first ``latestOffset`` after a [re]start has no prior end to cap
+  from, and a capped first offset under Spark's availableNow fallback
+  for Python sources, which plans ONE batch for the whole available
+  range, would strand the remainder). Data can never be lost to the
+  cap: an uncapped first batch reads to the current version, and a
+  capped tail keeps polling.
 
 Reference parity: pyetl's incremental DB tail — dbmaxval watermark reads
 (moteur/fonctions/traitement_bdd.py) — recast as an offset-tracked

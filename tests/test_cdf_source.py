@@ -127,7 +127,10 @@ def test_stream_rate_limit_still_complete(spark, tmp_path):
         maxCommitsPerBatch=1,
     )
     assert _rowset(got) == _rowset(t.changes(0))
-    # 4 single-commit micro-batches, not one big one
+    # every commit's emission arrived, each tagged with its own version.
+    # (Under availableNow, Spark's Python-source fallback plans ONE batch
+    # for the whole range — the cap governs ProcessingTime tails, and can
+    # never lose data either way; see the cdf_source docstring.)
     assert got.select("_commit_version").distinct().count() == 4
 
 
