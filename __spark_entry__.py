@@ -15,13 +15,22 @@ from __future__ import annotations
 
 import os
 import sys
-import tempfile
 from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+def _mkdtemp(prefix: str) -> str:
+    """Scratch root for the lifecycle queries' throwaway tables: prefer
+    /dev/shm (tmpfs — sentry-internal under gVisor) over /tmp, whose
+    host-backed gofer channel serializes small-file I/O and taxes every
+    COW commit these queries time. Identical semantics either way."""
+    import tempfile as _tf
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return _tf.mkdtemp(prefix=prefix, dir=base)
 
 from pyetl_spark.rules import Rule, RuleContext, apply_rules
 from pyetl_spark.rules.predicates import compile_predicate
@@ -74,7 +83,7 @@ def entry(spark: SparkSession) -> DataFrame:
     sha256(content) invariant column (input_hint)."""
     transform = apply_rules_factory()
     events = change_events(spark, 5000, n_repos=50, paths_per_repo=20, seed=42)
-    root = tempfile.mkdtemp(prefix="pyetl_spark_entry_")
+    root = _mkdtemp(prefix="pyetl_spark_entry_")
     table = SnapshotTable.create(spark, os.path.join(root, "code"), keys=["repo", "path"], nbuckets=8)
     for b in (1, 0, 2):  # deliberately out of order
         batch = events.filter((F.col("seq") >= b * 1700) & (F.col("seq") < (b + 1) * 1700))
@@ -656,7 +665,7 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
     )
-    root = tempfile.mkdtemp(prefix="q_csv_rt_")
+    root = _mkdtemp(prefix="q_csv_rt_")
     try:
         p = os.path.join(root, "li.csv")
         sio.write_any(li, p, fmt="csv")
@@ -681,7 +690,7 @@ def q_xlsx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyetl_spark.sources import io as sio
 
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type", "p_size")
-    root = tempfile.mkdtemp(prefix="q_xlsx_rt_")
+    root = _mkdtemp(prefix="q_xlsx_rt_")
     try:
         p = os.path.join(root, "part.xlsx")
         sio.write_any(part, p, fmt="xlsx")
@@ -704,7 +713,7 @@ def q_sortir_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus"
     )
-    root = tempfile.mkdtemp(prefix="q_sortir_")
+    root = _mkdtemp(prefix="q_sortir_")
     try:
         p = os.path.join(root, "fanout.parquet")
         sio.write_any(orders, p, fmt="parquet", partition_by=["o_orderstatus"])
@@ -725,7 +734,7 @@ def q_dbf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyetl_spark.sources import io as sio
 
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type", "p_size")
-    root = tempfile.mkdtemp(prefix="q_dbf_rt_")
+    root = _mkdtemp(prefix="q_dbf_rt_")
     try:
         p = os.path.join(root, "part.dbf")
         sio.write_any(part, p, fmt="dbf")
@@ -796,7 +805,7 @@ def q_cdc_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = ev.agg(F.max("event_id")).collect()[0][0] + 1
     step = n // 3 + 1
-    root = tempfile.mkdtemp(prefix="q_cdc_merge_")
+    root = _mkdtemp(prefix="q_cdc_merge_")
     try:
         table = SnapshotTable.create(
             spark, os.path.join(root, "t"), keys=["user_id"], nbuckets=8
@@ -846,7 +855,7 @@ def q_cdc_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = ev.agg(F.max("event_id")).collect()[0][0] + 1
     step = n // 3 + 1
-    root = tempfile.mkdtemp(prefix="q_cdc_mor_")
+    root = _mkdtemp(prefix="q_cdc_mor_")
     try:
         table = SnapshotTable.create(
             spark, os.path.join(root, "t"), keys=["user_id"], nbuckets=8
@@ -897,7 +906,7 @@ def q_cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = ev.agg(F.max("event_id")).collect()[0][0] + 1
     step = n // 3 + 1
-    root = tempfile.mkdtemp(prefix="q_cdc_wap_")
+    root = _mkdtemp(prefix="q_cdc_wap_")
     try:
         table = SnapshotTable.create(
             spark, os.path.join(root, "t"), keys=["user_id"], nbuckets=8
@@ -949,7 +958,7 @@ def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = ev.agg(F.max("event_id")).collect()[0][0] + 1
     half = n // 2
-    root = tempfile.mkdtemp(prefix="q_cdc_schemaevo_")
+    root = _mkdtemp(prefix="q_cdc_schemaevo_")
     try:
         table = SnapshotTable.create(
             spark, os.path.join(root, "t"), keys=["user_id"], nbuckets=8
@@ -1267,7 +1276,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     step = n // 3 + 1
-    root = tempfile.mkdtemp(prefix="q_incdedup_")
+    root = _mkdtemp(prefix="q_incdedup_")
     try:
         inc = IncrementalDedup(spark, root, nbuckets=8)
         out = None
@@ -1297,7 +1306,7 @@ def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     step = n // 3 + 1
-    root = tempfile.mkdtemp(prefix="q_inclsh_")
+    root = _mkdtemp(prefix="q_inclsh_")
     try:
         inc = IncrementalLsh(
             spark, root, n_hashes=32, bands=16, k_shingle=3, nbuckets=8,
@@ -1329,7 +1338,7 @@ def q_sim_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _t(spark, sf_dir, "embeddings")
     n = vecs.agg(F.max("vec_id")).collect()[0][0] + 1
     step = n // 3 + 1
-    root = tempfile.mkdtemp(prefix="q_incann_")
+    root = _mkdtemp(prefix="q_incann_")
     try:
         inc = IncrementalAnn(spark, root, dim=_RHP_DIM, bands=2, bits=8, nbuckets=8, seed=42)
         out = None
@@ -1433,7 +1442,7 @@ def q_cdc_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = ev.agg(F.max("seq")).collect()[0][0] + 1
     step = n // 3 + 1
-    root = tempfile.mkdtemp(prefix="q_stateful_")
+    root = _mkdtemp(prefix="q_stateful_")
     try:
         for b in range(3):
             ev.filter((F.col("seq") >= b * step) & (F.col("seq") < (b + 1) * step)).coalesce(
@@ -1546,7 +1555,7 @@ def q_fixedwidth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value"
         )
     )
-    root = tempfile.mkdtemp(prefix="q_fixed_")
+    root = _mkdtemp(prefix="q_fixed_")
     try:
         path = os.path.join(root, "nation_fixed.text")
         lines.write.mode("overwrite").text(path)
@@ -1577,7 +1586,7 @@ def q_zip_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyetl_spark.sources.io import read_any, write_any
 
     src = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
-    root = tempfile.mkdtemp(prefix="q_zip_")
+    root = _mkdtemp(prefix="q_zip_")
     try:
         csv_dir = os.path.join(root, "region_csv.csv")
         write_any(src, csv_dir)
@@ -1609,7 +1618,7 @@ def q_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
     schema = "o_orderkey long, o_custkey long, o_orderstatus string"
-    root = tempfile.mkdtemp(prefix="q_formats_")
+    root = _mkdtemp(prefix="q_formats_")
     try:
         out = None
         for ext in ("jsonl", "xml", "orc"):
@@ -1639,7 +1648,7 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyetl_spark.sources import jdbc
 
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
-    root = tempfile.mkdtemp(prefix="q_jdbc_")
+    root = _mkdtemp(prefix="q_jdbc_")
     try:
         spark._jvm.java.lang.System.setProperty("derby.system.home", root)  # noqa: SLF001
         url = f"jdbc:derby:{root}/db;create=true"
@@ -1691,7 +1700,7 @@ def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = ev.agg(F.max("event_id")).collect()[0][0] + 1
     step = n // 3 + 1
-    root = tempfile.mkdtemp(prefix="q_cdc_tt_")
+    root = _mkdtemp(prefix="q_cdc_tt_")
     try:
         table = SnapshotTable.create(
             spark, os.path.join(root, "t"), keys=["user_id"], nbuckets=8
@@ -1743,7 +1752,7 @@ def q_cdc_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = ev.agg(F.max("event_id")).collect()[0][0] + 1
     step = n // 3 + 1
-    root = tempfile.mkdtemp(prefix="q_cdc_meta_")
+    root = _mkdtemp(prefix="q_cdc_meta_")
     try:
         table = SnapshotTable.create(
             spark,
@@ -1933,7 +1942,7 @@ def q_cdc_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = ev.agg(F.max("event_id")).collect()[0][0] + 1
     step = n // 3 + 1
-    root = tempfile.mkdtemp(prefix="q_cdc_cf_")
+    root = _mkdtemp(prefix="q_cdc_cf_")
     try:
         table = SnapshotTable.create(
             spark, os.path.join(root, "t"), keys=["user_id"], nbuckets=8
@@ -1987,7 +1996,7 @@ def q_cdc_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = ev.agg(F.max("event_id")).collect()[0][0] + 1
     step = n // 3 + 1
-    root = tempfile.mkdtemp(prefix="q_cdc_sf_")
+    root = _mkdtemp(prefix="q_cdc_sf_")
     try:
         table = SnapshotTable.create(
             spark, os.path.join(root, "t"), keys=["user_id"], nbuckets=8
@@ -2050,7 +2059,7 @@ def q_cdc_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = ev.agg(F.max("event_id")).collect()[0][0] + 1
     half = n // 2
-    root = tempfile.mkdtemp(prefix="q_cdc_skip_")
+    root = _mkdtemp(prefix="q_cdc_skip_")
     try:
         table = SnapshotTable.create(
             spark,
@@ -2094,7 +2103,7 @@ def q_cdc_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = ev.agg(F.max("event_id")).collect()[0][0] + 1
     half = n // 2
-    root = tempfile.mkdtemp(prefix="q_cdc_zorder_")
+    root = _mkdtemp(prefix="q_cdc_zorder_")
     try:
         table = SnapshotTable.create(
             spark,
@@ -2147,7 +2156,7 @@ def q_cdc_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = ev.agg(F.max("event_id")).collect()[0][0] + 1
     half = n // 2
-    root = tempfile.mkdtemp(prefix="q_cdc_rescale_")
+    root = _mkdtemp(prefix="q_cdc_rescale_")
     try:
         table = SnapshotTable.create(
             spark, os.path.join(root, "t"), keys=["user_id"], nbuckets=4
@@ -2185,7 +2194,7 @@ def q_cdc_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = ev.agg(F.max("event_id")).collect()[0][0] + 1
     half = n // 2
-    root = tempfile.mkdtemp(prefix="q_cdc_delw_")
+    root = _mkdtemp(prefix="q_cdc_delw_")
     try:
         table = SnapshotTable.create(
             spark,
@@ -2230,7 +2239,7 @@ def q_cdc_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, max_uid = hi[0] + 1, hi[1]
     half = n // 2
     probes = [f"u{i:07d}" for i in range(0, max_uid + 1, 3)]
-    root = tempfile.mkdtemp(prefix="q_cdc_bloom_")
+    root = _mkdtemp(prefix="q_cdc_bloom_")
     try:
         table = SnapshotTable.create(
             spark,
@@ -2271,7 +2280,7 @@ def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = ev.agg(F.max("event_id")).collect()[0][0] + 1
     step = n // 3 + 1
-    root = tempfile.mkdtemp(prefix="q_cdc_ivm_")
+    root = _mkdtemp(prefix="q_cdc_ivm_")
     try:
         base = SnapshotTable.create(
             spark, os.path.join(root, "t"), keys=["user_id"], nbuckets=8
