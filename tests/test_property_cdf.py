@@ -31,9 +31,15 @@ from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyetl_spark.cdc import cdf_source  # noqa: E402
 from pyetl_spark.cdc.tableio import SnapshotTable  # noqa: E402
 
 N_SEQUENCES = int(os.environ.get("PYETL_CDF_SEQUENCES", "48"))
+# the table_changes source (streaming + batch share one planner and one
+# executor-side diff) gets its own adversarial pass: fewer seeds, same
+# oracle — cdf_source must agree with the dict oracle wherever changes()
+# does, including MOR dirty buckets, rollback-forked lineages and expiry
+N_SOURCE_SEQUENCES = int(os.environ.get("PYETL_CDF_SOURCE_SEQUENCES", "12"))
 KEYS = list(range(6))
 
 
@@ -73,7 +79,7 @@ def _expected_diff(parent: dict, child: dict, version: int) -> set:
     return rows
 
 
-def _run_sequence(spark, root: str, seed: int) -> None:
+def _run_sequence(spark, root: str, seed: int, use_format_reader: bool = False) -> None:
     rng = random.Random(seed)
     t = SnapshotTable.create(
         spark, os.path.join(root, f"t{seed}"), keys=["k"], nbuckets=rng.choice([1, 2, 4])
@@ -162,9 +168,16 @@ def _run_sequence(spark, root: str, seed: int) -> None:
     # ---- verify: the feed equals the oracle diff on every retained edge
 
     def feed(va: int, vb: int) -> set:
+        df = (
+            cdf_source.read_changes(
+                spark, t.root, startingVersion=va, endingVersion=vb
+            )
+            if use_format_reader
+            else t.changes(va, vb)
+        )
         return {
             (r["k"], r["val"], r["_change_type"], r["_commit_version"])
-            for r in t.changes(va, vb).collect()
+            for r in df.collect()
         }
 
     checked = 0
@@ -212,3 +225,14 @@ def test_cdf_random_sequences_match_dict_oracle(spark, tmp_path):
         ]
         for f in futures:
             f.result()  # re-raise the first failing sequence's assertion
+
+
+def test_table_changes_source_matches_dict_oracle(spark, tmp_path):
+    root = str(tmp_path)
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        futures = [
+            ex.submit(_run_sequence, spark, root, 1000 + seed, True)
+            for seed in range(N_SOURCE_SEQUENCES)
+        ]
+        for f in futures:
+            f.result()
