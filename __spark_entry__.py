@@ -2009,18 +2009,32 @@ def q_cdc_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             versions.append(
                 table.merge(batch, batch_id=f"q:{b}", seq_col="event_id").version
             )
-        qname = f"feed_{_uuid.uuid4().hex[:8]}"
-        stream = cdf_source.read_stream_changes(
-            spark, table.root, startingVersion=0
-        )
-        q = (
-            stream.writeStream.format("memory")
-            .queryName(qname)
-            .option("checkpointLocation", os.path.join(root, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+        # one retry: spawning the Python data-source worker occasionally
+        # fails transiently in this sandbox ("Python worker failed to
+        # connect back" under load); a fresh checkpoint dir makes the
+        # second attempt a clean re-read of the same immutable commits
+        last_err: Exception | None = None
+        qname = ""
+        for attempt in range(2):
+            qname = f"feed_{_uuid.uuid4().hex[:8]}"
+            stream = cdf_source.read_stream_changes(
+                spark, table.root, startingVersion=0
+            )
+            q = (
+                stream.writeStream.format("memory")
+                .queryName(qname)
+                .option("checkpointLocation", os.path.join(root, f"ckpt{attempt}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination(300)
+                last_err = None
+                break
+            except Exception as e:  # noqa: BLE001 — transient worker spawn
+                last_err = e
+        if last_err is not None:
+            raise last_err
         ord_col = F.lit(None).cast("int")
         for i, v in enumerate(versions, start=1):
             ord_col = F.when(F.col("_commit_version") == v, F.lit(i)).otherwise(ord_col)
