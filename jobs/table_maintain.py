@@ -46,6 +46,12 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--rescale", type=int, default=None, metavar="N")
     ap.add_argument("--no-compact", action="store_true")
     ap.add_argument("--no-expire", action="store_true")
+    ap.add_argument(
+        "--verify",
+        action="store_true",
+        help="run the metadata fsck (SnapshotTable.verify) after "
+        "maintenance; exit 1 on issues",
+    )
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName("pyetl_spark_table_maintain").getOrCreate()
@@ -68,15 +74,27 @@ def main(argv: list[str]) -> int:
     if not args.no_expire:
         e = table.expire_snapshots(keep_last=args.keep_last)
 
+    fsck = ""
+    rc = 0
+    if args.verify:
+        rep = table.verify(all_versions=True)
+        fsck = (
+            f" fsck_ok={str(rep['ok']).lower()}"
+            f" fsck_issues={len(rep['issues'])}"
+            f" orphan_files={rep['orphan_files']}"
+        )
+        for issue in rep["issues"]:
+            print(f"fsck: {issue}", file=sys.stderr)
+        rc = 0 if rep["ok"] else 1
     print(
         f"compacted_buckets={c['compacted_buckets']} "
         f"files_before={c['files_before']} files_after={c['files_after']} "
         f"compact_skipped={str(skipped).lower()} "
         f"removed_manifests={e['removed_manifests']} "
         f"removed_files={e.get('removed_files', 0)} "
-        f"version={table.current_version()}"
+        f"version={table.current_version()}" + fsck
     )
-    return 0
+    return rc
 
 
 if __name__ == "__main__":

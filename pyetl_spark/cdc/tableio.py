@@ -1177,6 +1177,106 @@ class SnapshotTable:
 
     # ------------------------------------------------------------ maintenance
 
+    def verify(self, all_versions: bool = False) -> dict:
+        """Metadata fsck — check the table's invariants without reading a
+        data row, and report what a maintenance pass should clean. The ops
+        complement of the metadata tables (reference analog: pyetl's
+        jobcontrol completion-marker audits, jobcontrol.py).
+
+        Checks per verified manifest (the current one; every retained one
+        with ``all_versions=True``): schema JSON parses; every referenced
+        data file exists on disk; ``file_stats`` keys all map to live
+        files; ``dirty`` names current-spec buckets; ledger entries and
+        high-water marks don't exceed the manifest's version. Table-wide:
+        the pointer (and every named ref) targets a retained manifest, and
+        data files no retained manifest references are counted as orphans
+        (losers of commit races / interrupted writers — reclaimable by
+        :meth:`expire_snapshots`, never a correctness problem).
+
+        Returns ``{"ok": bool, "issues": [str, ...], "orphan_files": int,
+        "checked_versions": [...]}`` — ``ok`` means zero issues; orphans
+        are reported but are not an issue."""
+        issues: list[str] = []
+        retained = set(self._retained_versions())
+
+        cur = self.current_version()
+        if cur not in retained:
+            issues.append(f"pointer targets v{cur}, which is not retained")
+        for kind in ("branch", "tag"):
+            for name, v in self._refs(kind).items():
+                if v not in retained:
+                    issues.append(f"{kind} {name!r} pins v{v}, not retained")
+
+        check = sorted(retained) if all_versions else [cur]
+        referenced: set[tuple[str, str, str]] = set()
+        for v in sorted(retained):
+            mv = self.manifest(v)
+            for fs in mv["buckets"].values():
+                referenced.update(_file_identity(f) for f in fs)
+            for sp in mv.get("legacy") or []:
+                for fs in sp["buckets"].values():
+                    referenced.update(_file_identity(f) for f in fs)
+
+        for v in check:
+            if v not in retained:
+                continue
+            m = self.manifest(v)
+            if m.get("schema"):
+                try:
+                    from pyspark.sql.types import StructType
+
+                    StructType.fromJson(json.loads(m["schema"]))
+                except Exception as e:  # noqa: BLE001
+                    issues.append(f"v{v}: schema JSON unparseable ({e})")
+            live = set()
+            for b, fs in m["buckets"].items():
+                if not str(b).lstrip("-").isdigit() or not (
+                    0 <= int(b) < m["nbuckets"]
+                ):
+                    issues.append(f"v{v}: bucket key {b!r} outside spec")
+                for f in fs:
+                    live.add(_file_identity(f))
+                    if not os.path.exists(f):
+                        issues.append(f"v{v}: missing data file {f}")
+            for sp in m.get("legacy") or []:
+                for fs in sp["buckets"].values():
+                    for f in fs:
+                        live.add(_file_identity(f))
+                        if not os.path.exists(f):
+                            issues.append(f"v{v}: missing legacy file {f}")
+            for fid in m.get("file_stats") or {}:
+                if fid not in live:
+                    issues.append(f"v{v}: file_stats entry for dead file {fid}")
+            for b in m.get("dirty") or []:
+                if str(b) not in m["buckets"]:
+                    issues.append(f"v{v}: dirty bucket {b} has no files")
+            for bid, bv in (m.get("committed_batches") or {}).items():
+                if bv > m["version"]:
+                    issues.append(f"v{v}: ledger {bid!r} claims future v{bv}")
+
+        orphans = 0
+        data_root = os.path.join(self.root, "data")
+        if os.path.isdir(data_root):
+            for vdir in os.listdir(data_root):
+                vfull = os.path.join(data_root, vdir)
+                if not os.path.isdir(vfull):
+                    continue
+                for bdir in os.listdir(vfull):
+                    bfull = os.path.join(vfull, bdir)
+                    if not os.path.isdir(bfull):
+                        continue
+                    for f in os.listdir(bfull):
+                        if f.endswith(".parquet") and _file_identity(
+                            os.path.join(bfull, f)
+                        ) not in referenced:
+                            orphans += 1
+        return {
+            "ok": not issues,
+            "issues": issues,
+            "orphan_files": orphans,
+            "checked_versions": [v for v in check if v in retained],
+        }
+
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Iceberg ``expireSnapshots`` analog: drop manifests older than the
         last ``keep_last`` versions and delete data files no kept manifest
