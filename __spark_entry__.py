@@ -2226,6 +2226,55 @@ def q_cdc_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_cdc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General conditional MERGE (SnapshotTable.merge_into — the
+    Delta/Iceberg MERGE INTO analog; pyetl's update-vs-insert load modes,
+    reference traitement_db.py update/insert command split): build the base
+    state from the first half of events (plain upserts), aggregate the
+    second half to one row per user, then apply business-rule clauses —
+    matched & source says error → DELETE; matched otherwise → UPDATE value
+    to t.value + s.value and take the source's event_type; not matched &
+    non-error → INSERT. The final state must equal the SQL full-outer-join
+    rewrite of those clauses; clause-order and no-op edges are in
+    tests/test_merge_into.py."""
+    import shutil
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", F.lit("upsert").alias("op")
+    )
+    n = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    half = n // 2
+    src = (
+        ev.filter(F.col("event_id") >= half)
+        .groupBy("user_id")
+        .agg(
+            F.max_by("event_type", "event_id").alias("event_type"),
+            F.max_by("value", "event_id").alias("value"),
+        )
+    )
+    root = _mkdtemp(prefix="q_cdc_mi_")
+    try:
+        table = SnapshotTable.create(
+            spark, os.path.join(root, "t"), keys=["user_id"], nbuckets=4
+        )
+        table.merge(ev.filter(F.col("event_id") < half), "mi:0", seq_col="event_id")
+        table.merge_into(
+            src,
+            when_matched_update={
+                "value": "t.value + s.value",
+                "event_type": "s.event_type",
+            },
+            when_matched_delete="s.event_type = 'error'",
+            when_not_matched_insert="*",
+            not_matched_condition="s.event_type <> 'error'",
+            batch_id="mi:1",
+        )
+        out = table.read().select("user_id", "event_type", "value")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_cdc_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-sidecar file skipping + batched point lookup
     (tableio._write_file_blooms / scan op "in" — the Iceberg puffin-blob
@@ -2408,6 +2457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_bloom_scan": q_cdc_bloom_scan,            # NEW r5: bloom sidecars + in-list scan
         "cdc_rescale": q_cdc_rescale,                  # NEW r5: bucket-spec evolution
         "cdc_delete_where": q_cdc_delete_where,        # NEW r5: predicate delete
+        "cdc_merge_into": q_cdc_merge_into,            # NEW r5: conditional MERGE INTO
         "cdc_metadata": q_cdc_metadata,                # NEW r5: metadata tables
         "serve_script": q_serve_script,                # new: pooled serving seam
         "cdc_merge_table": q_cdc_merge_table,          # tableio: ledger compaction+HWM
@@ -2454,19 +2504,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xlsx_roundtrip": q_xlsx_roundtrip,
         "dbf_roundtrip": q_dbf_roundtrip,
         "sortir_fanout": q_sortir_fanout,
-        "script_front": q_script_front,
         # ---- position 51+ : outside the driver's 50-row certification
         # window (the marker sits at the EXACT cut — verified by index, a
         # prior revision had drifted two entries high). Every entry below
         # was certified green in ROUND 4's driver window (CORRECTNESS_r04)
-        # — except objgroup, join_denorm, semi_join, anti_join, compare_cdc,
-        # changed_lag, merge_rows and kafka_roundtrip, green in ROUND 3 and
-        # pushed past the cut by the round-5 front additions (two rounds
-        # stale, the allowed bound) — and the local oracle suite still
-        # checks every one of them each run. The round-5 front additions
-        # are quality_dsir, cdc_zorder_scan, cdc_bloom_scan, cdc_rescale,
-        # cdc_delete_where, cdc_metadata, cdc_stream_feed, serve_script,
+        # — except script_front, objgroup, join_denorm, semi_join,
+        # anti_join, compare_cdc, changed_lag, merge_rows and
+        # kafka_roundtrip, green in ROUND 3 and pushed past the cut by the
+        # round-5 front additions (two rounds stale, the allowed bound) —
+        # and the local oracle suite still checks every one of them each
+        # run. The round-5 front additions are quality_dsir,
+        # cdc_zorder_scan, cdc_bloom_scan, cdc_rescale, cdc_delete_where,
+        # cdc_merge_into, cdc_metadata, cdc_stream_feed, serve_script,
         # cdc_mor_merge, and cdc_wap_publish.
+        "script_front": q_script_front,
         "kafka_roundtrip": q_kafka_roundtrip,
         "merge_rows": q_merge_rows,
         "objgroup": q_objgroup,
@@ -3441,6 +3492,37 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
             HAVING NOT max_by(event_type = 'error', event_id)
                AND NOT max_by(value, event_id) < 30.0
+        """,
+        # conditional MERGE INTO: base = LWW over the first half of events;
+        # source = per-user argmax over the second half; matched & error →
+        # DELETE, matched else → value := t.value + s.value with the
+        # source's type, unmatched & non-error → INSERT
+        "cdc_merge_into": """
+            WITH h AS (SELECT (max(event_id) + 1) // 2 AS half FROM events),
+            base AS (
+                SELECT user_id,
+                       max_by(event_type, event_id) AS event_type,
+                       max_by(value, event_id) AS value
+                FROM events WHERE event_id < (SELECT half FROM h)
+                GROUP BY user_id
+            ),
+            src AS (
+                SELECT user_id,
+                       max_by(event_type, event_id) AS event_type,
+                       max_by(value, event_id) AS value
+                FROM events WHERE event_id >= (SELECT half FROM h)
+                GROUP BY user_id
+            )
+            SELECT coalesce(b.user_id, s.user_id) AS user_id,
+                   CASE WHEN s.user_id IS NULL THEN b.event_type
+                        ELSE s.event_type END AS event_type,
+                   CASE WHEN s.user_id IS NULL THEN b.value
+                        WHEN b.user_id IS NULL THEN s.value
+                        ELSE b.value + s.value END AS value
+            FROM base b FULL JOIN src s ON b.user_id = s.user_id
+            WHERE NOT (b.user_id IS NOT NULL AND s.user_id IS NOT NULL
+                       AND s.event_type = 'error')
+              AND NOT (b.user_id IS NULL AND s.event_type = 'error')
         """,
         # rescale: the final state is spec-independent — plain LWW replay
         "cdc_rescale": """

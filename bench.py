@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "cdc_rescale",
     # round 5: row-level predicate delete (skipping-scan planned tombstones)
     "cdc_delete_where",
+    # round 5: general conditional MERGE INTO (clause layer over merge())
+    "cdc_merge_into",
     # round 5: metadata tables (per-version answers from manifests only)
     # and the Structured-Streaming change-feed source (Python Data Source
     # API) — the latter times a full stream lifecycle per run
