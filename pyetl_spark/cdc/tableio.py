@@ -480,11 +480,14 @@ class SnapshotTable:
         the bucket_cols prefix (e.g. a band-key registry probing its batch's
         buckets) get exact bucket-pruned reads via :meth:`bucket_ids`.
 
-        ``props``: immutable creator-owned table properties (Iceberg table
-        properties analog) carried in every manifest — e.g. the banding
-        parameters a near-dup registry was created with, so a reopen can
-        refuse incompatible parameters instead of silently probing with
-        band keys the stored history never used."""
+        ``props``: creator-owned table properties (Iceberg table properties
+        analog) carried in every manifest — e.g. the banding parameters a
+        near-dup registry was created with, so a reopen can refuse
+        incompatible parameters instead of silently probing with band keys
+        the stored history never used. Engine-interpreted LAYOUT props
+        (stats/zorder/bloom/file-size/merge-mode — see
+        ``_ALTERABLE_PROPS``) can later evolve via :meth:`alter_props`;
+        everything else is immutable unless forced."""
         if bucket_cols is not None and not set(bucket_cols) <= set(keys):
             raise ValueError(f"bucket_cols {bucket_cols} must be a subset of keys {keys}")
         zcols = (props or {}).get("zorder_cols") or []
@@ -1325,6 +1328,109 @@ class SnapshotTable:
         return self.merge(delta, batch_id=batch_id, operation="merge_into")
 
     # ------------------------------------------------------------ maintenance
+
+    # layout/behaviour props the ENGINE interprets — alterable after create
+    # (Iceberg ALTER TABLE ... SET TBLPROPERTIES / sort-order evolution
+    # analog). Creator-domain props (e.g. a dedup registry's banding
+    # parameters, which reopening code validates against) stay immutable
+    # unless the caller forces it.
+    _ALTERABLE_PROPS = frozenset(
+        {
+            "stats_cols",
+            "zorder_cols",
+            "zorder_bounds",
+            "bloom_cols",
+            "bloom_bits",
+            "bloom_hashes",
+            "max_file_rows",
+            "merge_mode",
+            "ledger_keep",
+            "track_counts",
+        }
+    )
+
+    def alter_props(
+        self,
+        set_props: dict | None = None,
+        unset: Sequence[str] = (),
+        force: bool = False,
+    ) -> int:
+        """Evolve the table's layout/behaviour properties — the Iceberg
+        ``ALTER TABLE ... SET TBLPROPERTIES`` / sort-order-evolution analog.
+        A METADATA-ONLY commit (no data read or written): the new props
+        steer every FUTURE write — the next merge/compact clusters by the
+        new ``stats_cols``/``zorder_cols``, writes bloom sidecars for the
+        new ``bloom_cols``, caps files at the new ``max_file_rows``,
+        commits in the new ``merge_mode`` — while existing files are left
+        exactly as written (safe because pruning is keep-on-missing: a file
+        without footer stats or a bloom sidecar for the probed column is
+        always read, so reads stay exact through the transition and
+        ``compact()`` finishes the re-layout when asked). Past versions
+        keep their own manifests' props, so time travel replays history
+        under the props it was written with, and the change feed emits
+        nothing for the alter commit (no bucket changed — same contract as
+        a rescale's spec commit).
+
+        Only engine-interpreted props (``_ALTERABLE_PROPS``) may change;
+        creator-domain props (e.g. an LSH registry's banding parameters,
+        whose immutability is what lets a reopen refuse incompatible
+        probes) are refused unless ``force=True``. The zorder invariants
+        from :meth:`create` are re-validated on the RESULT. Returns the new
+        version."""
+        m = self.manifest()
+        set_props = dict(set_props or {})
+        touched = set(set_props) | set(unset)
+        if not touched:
+            raise ValueError("alter_props: nothing to set or unset")
+        if not force:
+            outside = sorted(touched - self._ALTERABLE_PROPS)
+            if outside:
+                raise ValueError(
+                    f"alter_props: {outside} are creator-owned (not engine "
+                    "layout props); pass force=True to override at your own "
+                    "risk"
+                )
+        props = dict(m.get("props") or {})
+        props.update(set_props)
+        for k in unset:
+            props.pop(k, None)
+        zcols = props.get("zorder_cols") or []
+        if zcols:
+            zb = props.get("zorder_bounds") or {}
+            missing = [c for c in zcols if c not in zb or len(zb[c]) != 2]
+            if missing:
+                raise ValueError(
+                    f"zorder_cols need [lo, hi] zorder_bounds; missing/invalid: {missing}"
+                )
+            unstatted = [c for c in zcols if c not in (props.get("stats_cols") or [])]
+            if unstatted:
+                raise ValueError(
+                    "zorder_cols must also be in stats_cols (skipping needs "
+                    f"the footer metrics): {unstatted}"
+                )
+        if props.get("merge_mode") not in (None, "cow", "mor"):
+            raise ValueError(f"merge_mode must be cow|mor, got {props['merge_mode']!r}")
+        version = self._next_version(m["version"])
+        manifest = {
+            **m,
+            "version": version,
+            "props": props,
+            "parent": m["version"],
+            "committed_ts": time.time(),
+            "summary": {
+                "operation": "alter",
+                "set": sorted(set_props),
+                "unset": sorted(unset),
+            },
+        }
+        if self.current_version() != m["version"]:
+            raise ConcurrentWriteError(
+                f"table advanced to v{self.current_version()} while altering "
+                f"against v{m['version']}; retry"
+            )
+        self._commit_manifest(manifest)
+        self._swap_pointer(version)
+        return version
 
     def verify(self, all_versions: bool = False) -> dict:
         """Metadata fsck — check the table's invariants without reading a
