@@ -18,11 +18,17 @@ compact that follows in the same run migrates every un-migrated legacy
 bucket to the new spec, so one maintenance cycle = a complete, atomic-per-
 commit re-bucketing that never blocked the concurrent ingest.
 
+``--alter '{"stats_cols": ["x"], ...}'`` evolves the engine layout props
+first (metadata-only; see SnapshotTable.alter_props — Iceberg ALTER TABLE
+SET TBLPROPERTIES / sort-order evolution): the compact that follows in the
+same run re-lays existing files out under the new clustering/blooms, so
+one maintenance cycle = a complete re-layout under the new sort order.
+
 Usage:
     cd <repo> && zip -qr /tmp/pyetl_spark.zip pyetl_spark
     spark-submit --master <cluster|local[N]> --py-files /tmp/pyetl_spark.zip \
         jobs/table_maintain.py <table_root> [--min-files 2] [--keep-last 2] \
-        [--rescale N] [--no-compact] [--no-expire]
+        [--rescale N] [--alter JSON] [--no-compact] [--no-expire]
 
 Prints one summary line: buckets compacted, files before/after, manifests
 removed, data files removed, final version.
@@ -44,6 +50,13 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--min-files", type=int, default=2)
     ap.add_argument("--keep-last", type=int, default=2)
     ap.add_argument("--rescale", type=int, default=None, metavar="N")
+    ap.add_argument(
+        "--alter",
+        default=None,
+        metavar="JSON",
+        help="JSON object of engine layout props to set before compacting "
+        "(SnapshotTable.alter_props); keys prefixed '-' are unset",
+    )
     ap.add_argument("--no-compact", action="store_true")
     ap.add_argument("--no-expire", action="store_true")
     ap.add_argument(
@@ -59,6 +72,16 @@ def main(argv: list[str]) -> int:
 
     c = {"compacted_buckets": 0, "files_before": 0, "files_after": 0}
     skipped = False
+    if args.alter is not None:
+        import json
+
+        spec = json.loads(args.alter)
+        unset = [k[1:] for k in spec if k.startswith("-")]
+        sets = {k: v for k, v in spec.items() if not k.startswith("-")}
+        try:
+            table.alter_props(sets, unset=unset)  # compact below re-lays out
+        except ConcurrentWriteError:
+            skipped = True
     if args.rescale is not None:
         try:
             table.rescale(args.rescale)  # lazy: compact below finishes it

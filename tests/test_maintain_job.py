@@ -97,3 +97,34 @@ def test_maintain_rescale_rebuckets_in_one_cycle(spark, job, tmp_path, capsys):
     assert m["nbuckets"] == 8 and m["legacy"] == []
     assert set(int(b) for b in m["buckets"]) <= set(range(8))
     assert sorted(tuple(r) for r in t2.read().collect()) == before_state
+
+
+def test_maintain_alter_relayout_in_one_cycle(spark, job, tmp_path, capsys):
+    """--alter evolves layout props, the same run's compact re-lays files
+    out under them: a stats-less table gains clustering + skipping in one
+    maintenance cycle; creator-owned keys are refused (job errors out)."""
+    root = str(tmp_path / "t4")
+    t = SnapshotTable.create(spark, root, keys=["id"], nbuckets=2)
+    df = spark.range(0, 64).select(
+        F.col("id"), (F.col("id") % 97).alias("v"),
+        F.lit("upsert").alias("op"), F.col("id").alias("seq"),
+    )
+    t.merge(df, batch_id="m0")
+    before_state = sorted(tuple(r) for r in t.read().collect())
+
+    rc = job.main([
+        root, "--alter", '{"stats_cols": ["v"], "max_file_rows": 8}',
+        "--min-files", "1", "--keep-last", "1",
+    ])
+    assert rc == 0
+    assert "compact_skipped=false" in capsys.readouterr().out
+
+    t2 = SnapshotTable(spark, root)
+    assert t2.props()["stats_cols"] == ["v"]
+    assert t2.manifest()["file_stats"]  # compact recorded footer metrics
+    t2.scan([("v", ">=", 90)]).collect()
+    assert t2.last_scan["files_read"] < t2.last_scan["files_total"]
+    assert sorted(tuple(r) for r in t2.read().collect()) == before_state
+
+    with pytest.raises(ValueError, match="creator-owned"):
+        job.main([root, "--alter", '{"bands": 9}', "--no-compact", "--no-expire"])
