@@ -1262,6 +1262,13 @@ class SnapshotTable:
         if env is None:
             next_seq = 0
             state = self.read(buckets=touched)  # empty frame, stored schema
+            # a never-merged (or rolled-back-to-create) table stores no
+            # schema, so the empty frame is keys-only — pad the source's
+            # payload columns in as typed nulls so clause expressions over
+            # t.<col> still analyze (they never fire: nothing can match)
+            for f in source.schema.fields:
+                if f.name not in state.columns:
+                    state = state.withColumn(f.name, F.lit(None).cast(f.dataType))
         else:
             row = env.agg(F.max(SEQ).alias("m")).first()
             next_seq = (row["m"] if row["m"] is not None else -1) + 1

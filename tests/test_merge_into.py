@@ -202,3 +202,20 @@ def test_mor_mode_merge_into(spark, tmp_path):
     assert _state(t) == {1: 10, 2: 2, 3: 3}
     t.compact()
     assert _state(t) == {1: 10, 2: 2, 3: 3}
+
+
+def test_merge_into_after_rollback_to_empty(spark, tmp_path):
+    """Found by the CDF property test: after rollback to the create version
+    the table stores no schema, and clause expressions over t.<col> must
+    still analyze (as typed nulls) — every source row is unmatched."""
+    t = _mk(spark, tmp_path)
+    t.merge(_delta(spark, [(1, 1, "upsert", 1)]), "b0")
+    t.rollback(0)
+    t.merge_into(
+        _src(spark, [(1, 10), (2, -5)]),
+        when_matched_update={"x": "t.x + s.x"},
+        when_matched_delete="s.x < 0",
+        when_not_matched_insert="*",
+        not_matched_condition="s.x > 0",
+    )
+    assert _state(t) == {1: 10}

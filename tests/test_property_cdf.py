@@ -2,7 +2,10 @@
 
 Randomized op sequences — merge (upsert/delete mixes, stale and in-batch
 duplicate seqs, random copy-on-write vs merge-on-read commit modes),
-compact, rollback, expire — are driven against a
+merge_into (random conditional update/delete/insert clauses, oracle
+mirroring the engine's bucket-pruned next-seq rule), alter_props
+(metadata-only layout commits, feed-silent), compact, rollback, expire —
+are driven against a
 :class:`SnapshotTable` and, in lockstep, against a sequential dict oracle
 that models LWW state per version plus the parent lineage. After each
 sequence, for every retained adjacent ``(parent, v]`` pair on the current
@@ -81,9 +84,20 @@ def _expected_diff(parent: dict, child: dict, version: int) -> set:
 
 def _run_sequence(spark, root: str, seed: int, use_format_reader: bool = False) -> None:
     rng = random.Random(seed)
+    nb = rng.choice([1, 2, 4])
     t = SnapshotTable.create(
-        spark, os.path.join(root, f"t{seed}"), keys=["k"], nbuckets=rng.choice([1, 2, 4])
+        spark, os.path.join(root, f"t{seed}"), keys=["k"], nbuckets=nb
     )
+    # key → bucket map (engine hash), so the oracle can mirror merge_into's
+    # bucket-pruned next-seq computation exactly
+    from pyspark.sql import functions as F
+
+    bmap = {
+        r["k"]: r["b"]
+        for r in spark.createDataFrame([(k,) for k in KEYS], "k long")
+        .select("k", F.pmod(F.xxhash64("k"), F.lit(nb)).cast("int").alias("b"))
+        .collect()
+    }
     states: dict[int, dict] = {0: {}}
     parents: dict[int, int] = {}
     current = 0
@@ -121,6 +135,69 @@ def _run_sequence(spark, root: str, seed: int, use_format_reader: bool = False) 
         parents[stats.version] = current
         current = stats.version
 
+    def do_merge_into() -> None:
+        """Random conditional MERGE INTO (NEW r5): matched & act='d' →
+        DELETE, matched else → UPDATE val := s.val, unmatched & act≠'d' →
+        INSERT. The oracle mirrors the engine's sequencing rule — emitted
+        rows get one past the TOUCHED buckets' max stored seq (sound
+        because a key's rows only live in its own bucket)."""
+        nonlocal current
+        picks: dict = {}
+        for _ in range(rng.randint(1, 3)):
+            k = rng.choice(KEYS)
+            seqv = seq_counter[0]
+            seq_counter[0] += 2
+            picks[k] = (f"v{seqv}", "d" if rng.random() < 0.3 else "u")
+        src = spark.createDataFrame(
+            [(k, v, a) for k, (v, a) in picks.items()], ["k", "val", "act"]
+        )
+        merge_counter[0] += 1
+        stats = t.merge_into(
+            src,
+            when_matched_update={"val": "s.val"},
+            when_matched_delete="s.act = 'd'",
+            when_not_matched_insert={"val": "s.val"},
+            not_matched_condition="s.act <> 'd'",
+            batch_id=f"s{seed}-mi{merge_counter[0]}",
+        )
+        assert not stats.skipped, f"seed={seed} fresh merge_into wrongly skipped"
+        touched = {bmap[k] for k in picks}
+        tmax = max(
+            (s for k, (_, s, _dead) in states[current].items() if bmap[k] in touched),
+            default=-1,
+        )
+        nseq = tmax + 1
+        new = dict(states[current])
+        for k, (val, act) in picks.items():
+            cur = new.get(k)
+            visible = cur is not None and not cur[2]
+            if visible and act == "d":
+                new[k] = (cur[0], nseq, True)  # tombstone keeps t's payload
+            elif visible:
+                new[k] = (val, nseq, False)  # update
+            elif act != "d":
+                new[k] = (val, nseq, False)  # insert
+            # absent/tombstoned & act='d': no clause applies, no row
+        states[stats.version] = new
+        parents[stats.version] = current
+        current = stats.version
+
+    def do_alter() -> None:
+        """Metadata-only layout-prop commit (NEW r5): state identical, the
+        feed must be silent across the edge."""
+        nonlocal current
+        spec = rng.choice(
+            [
+                {"max_file_rows": rng.choice([4, 8, 16])},
+                {"merge_mode": rng.choice(["cow", "mor"])},
+                {"stats_cols": ["val"]},
+            ]
+        )
+        v = t.alter_props(spec)
+        states[v] = states[current]
+        parents[v] = current
+        current = v
+
     def do_compact() -> None:
         nonlocal current
         out = t.compact(min_files=1)
@@ -147,12 +224,16 @@ def _run_sequence(spark, root: str, seed: int, use_format_reader: bool = False) 
     do_merge()  # every sequence has at least one commit
     for _ in range(rng.randint(3, 5)):
         r = rng.random()
-        if r < 0.65:
+        if r < 0.5:
             do_merge()
-        elif r < 0.78:
+        elif r < 0.64:
+            do_merge_into()
+        elif r < 0.76:
             do_compact()
-        elif r < 0.9:
+        elif r < 0.86:
             do_rollback()
+        elif r < 0.93:
+            do_alter()
         else:
             t.expire_snapshots(keep_last=rng.randint(1, 3))
 
@@ -204,11 +285,13 @@ def _run_sequence(spark, root: str, seed: int, use_format_reader: bool = False) 
         checked += 1
     assert checked > 0, f"seed={seed} produced no verifiable edge"
 
-    # final table read state == oracle live state
+    # final table read state == oracle live state. A sequence can end on a
+    # rollback to the create version followed only by metadata commits —
+    # the table is then schema-less (keys-only read) and must be empty.
     read = t.read()
     got = (
         {(r["k"], r["val"]) for r in read.select("k", "val").collect()}
-        if read is not None
+        if read is not None and "val" in read.columns
         else set()
     )
     assert got == {(k, v) for k, (v, _) in _live(states[current]).items()}, (
