@@ -1785,6 +1785,25 @@ class SnapshotTable:
                 time.sleep(min(0.05 * (2**attempt), 1.0))
         raise last
 
+    def merge_into_retry(
+        self, source: DataFrame, retries: int = 5, **kw
+    ) -> MergeStats:
+        """:meth:`merge_retry`'s optimistic-concurrency loop for the clause
+        layer. Each attempt re-runs :meth:`merge_into` WHOLE — re-reading
+        the fresh snapshot and re-planning the join — because retrying only
+        the inner merge would commit a delta computed against a stale state
+        (the classic lost-update anomaly: an UPDATE based on a pre-image
+        another writer already replaced). The batch ledger keeps the loop
+        idempotent across crashes exactly as for :meth:`merge_retry`."""
+        last: ConcurrentWriteError | None = None
+        for attempt in range(retries + 1):
+            try:
+                return self.merge_into(source, **kw)
+            except ConcurrentWriteError as e:
+                last = e
+                time.sleep(min(0.05 * (2**attempt), 1.0))
+        raise last
+
     def rescale(self, nbuckets: int, migrate: str = "lazy") -> int:
         """Bucket-spec evolution (Iceberg partition-spec-evolution analog):
         change the table's bucket count WITHOUT an upfront full rewrite.

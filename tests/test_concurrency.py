@@ -128,3 +128,52 @@ def test_writer_vs_compactor_race(spark, tmp_path):
     got = {r["k"]: r["x"] for r in t.read().collect()}
     want = {i: i for i in range(32)} | {i: 1002 for i in range(0, 32, 5)}
     assert got == want
+
+
+def test_merge_into_racing_cdc_writer_no_lost_updates(spark, tmp_path):
+    """A clause-layer writer (read-modify-write: x := x + 1 per key) racing
+    a plain CDC event writer must never commit against a stale pre-image:
+    merge_into_retry re-plans the JOIN on every conflict. The increment
+    count must land exactly."""
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), keys=["k"], nbuckets=4)
+    t.merge(_delta(spark, [(k, 0, "upsert", 0) for k in range(8)]), "seed")
+    n_rounds = 6
+    errors: list[Exception] = []
+
+    def incrementer():
+        try:
+            src = spark.createDataFrame([(k,) for k in range(8)], ["k"])
+            for b in range(n_rounds):
+                t.merge_into_retry(
+                    src,
+                    when_matched_update={"x": "t.x + 1"},
+                    when_not_matched_insert=None,
+                    batch_id=f"inc:{b + 1}",
+                )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def cdc_writer():
+        try:
+            for b in range(n_rounds):
+                # touches DIFFERENT keys, but the same buckets/pointer
+                rows = [(100 + b, b, "upsert", 1_000_000 + b)]
+                t.merge_retry(_delta(spark, rows), batch_id=f"cdc:{b + 1}")
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=incrementer),
+        threading.Thread(target=cdc_writer),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+
+    got = {r["k"]: r["x"] for r in t.read().collect()}
+    for k in range(8):
+        assert got[k] == n_rounds, (k, got[k])  # every increment landed
+    for b in range(n_rounds):
+        assert got[100 + b] == b  # the CDC writer's rows all present
