@@ -1214,8 +1214,13 @@ class SnapshotTable:
         Plan shape (what survives 100×): the source's bucket ids are one
         ≤nbuckets-row collect; ONLY those buckets' resolved state is read
         back (rescale-window legacy rows included row-filtered, MOR dirty
-        buckets LWW-resolved) and LEFT-joined under AQE — a small source
-        broadcasts, a large one shuffles both sides on the keys. Emitted
+        buckets LWW-resolved) and LEFT-joined under AQE. The preserved
+        (source) side of an outer join can never be the broadcast build
+        side, but bucket pruning makes the STATE slice ∝ the source's
+        bucket coverage — a small source therefore yields a broadcast of
+        the pruned state (verified plan: BroadcastHashJoin LeftOuter
+        BuildRight) and a large source shuffles both sides on the keys,
+        the right shape either way. Emitted
         rows are sequenced one past the touched buckets' max ``_seq`` (a
         key's rows can only live in its own bucket, so the bucket-pruned
         max is sufficient — no full-table pass) and fed through the normal
