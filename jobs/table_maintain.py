@@ -11,6 +11,9 @@ superseded). Both are safe beside concurrent readers (files are immutable,
 commits are atomic pointer swaps) and beside a concurrent writer: compact
 raises ConcurrentWriteError instead of clobbering a mid-flight merge, and
 this job treats that as "skip this cycle" (exit 0, the next cycle retries).
+Expiry passes ``--orphan-grace`` (default 600 s) through to
+``expire_snapshots(orphan_grace_s=...)`` so a writer's staged pre-commit
+files — on disk before its manifest commit — are never swept mid-write.
 
 ``--rescale N`` changes the table's bucket count first (metadata-only
 commit; see SnapshotTable.rescale — Iceberg partition-spec evolution): the
@@ -28,7 +31,8 @@ Usage:
     cd <repo> && zip -qr /tmp/pyetl_spark.zip pyetl_spark
     spark-submit --master <cluster|local[N]> --py-files /tmp/pyetl_spark.zip \
         jobs/table_maintain.py <table_root> [--min-files 2] [--keep-last 2] \
-        [--rescale N] [--alter JSON] [--no-compact] [--no-expire]
+        [--rescale N] [--alter JSON] [--no-compact] [--no-expire] \
+        [--orphan-grace 600]
 
 Prints one summary line: buckets compacted, files before/after, manifests
 removed, data files removed, final version.
@@ -59,6 +63,16 @@ def main(argv: list[str]) -> int:
     )
     ap.add_argument("--no-compact", action="store_true")
     ap.add_argument("--no-expire", action="store_true")
+    ap.add_argument(
+        "--orphan-grace",
+        type=float,
+        default=600.0,
+        metavar="SECONDS",
+        help="never-referenced files younger than this survive expiry — "
+        "they may be a live writer's staged pre-commit files (Iceberg "
+        "removeOrphanFiles older_than analog); committed-but-superseded "
+        "files are always reclaimed regardless",
+    )
     ap.add_argument(
         "--verify",
         action="store_true",
@@ -95,7 +109,9 @@ def main(argv: list[str]) -> int:
 
     e = {"removed_manifests": 0, "removed_files": 0}
     if not args.no_expire:
-        e = table.expire_snapshots(keep_last=args.keep_last)
+        e = table.expire_snapshots(
+            keep_last=args.keep_last, orphan_grace_s=args.orphan_grace
+        )
 
     fsck = ""
     rc = 0

@@ -1457,8 +1457,10 @@ class SnapshotTable:
         high-water marks don't exceed the manifest's version. Table-wide:
         the pointer (and every named ref) targets a retained manifest, and
         data files no retained manifest references are counted as orphans
-        (losers of commit races / interrupted writers — reclaimable by
-        :meth:`expire_snapshots`, never a correctness problem).
+        (losers of commit races / interrupted writers — but possibly also a
+        LIVE writer's staged pre-commit files, so they are reclaimable by
+        :meth:`expire_snapshots` only past its ``orphan_grace_s`` window;
+        never a correctness problem).
 
         Returns ``{"ok": bool, "issues": [str, ...], "orphan_files": int,
         "checked_versions": [...]}`` — ``ok`` means zero issues; orphans
@@ -1544,7 +1546,7 @@ class SnapshotTable:
             "checked_versions": [v for v in check if v in retained],
         }
 
-    def expire_snapshots(self, keep_last: int = 2) -> dict:
+    def expire_snapshots(self, keep_last: int = 2, orphan_grace_s: float = 0.0) -> dict:
         """Iceberg ``expireSnapshots`` analog: drop manifests older than the
         last ``keep_last`` versions and delete data files no kept manifest
         references. Copy-on-write MERGE rewrites touched buckets into new
@@ -1553,6 +1555,20 @@ class SnapshotTable:
         that is the table size times the batch count. Metadata-only driver
         work (file moves/deletes); current readers of kept versions are
         unaffected (files are immutable, the pointer swap already happened).
+
+        Two classes of dead file, per Iceberg's expireSnapshots /
+        removeOrphanFiles split: files some EXPIRED manifest referenced were
+        committed and superseded — always safe to delete. Files NO manifest
+        ever referenced are true orphans: commit-race losers, but also an
+        in-flight writer's staged files, which exist on disk BEFORE its
+        manifest commit arbitrates (see the staging-dir note in
+        :meth:`merge`). Deleting those mid-write corrupts the commit the
+        writer is about to win, so orphans are reclaimed only once older
+        than ``orphan_grace_s`` seconds (mtime; Iceberg's ``older_than``,
+        default 3 days there). The 0.0 default keeps single-maintainer
+        callers exact; a maintenance job that can race live writers must
+        pass a grace comfortably above one micro-batch's write time —
+        ``jobs/table_maintain.py --orphan-grace`` defaults to 600.
         """
         current = self.current_version()
         versions = sorted(
@@ -1575,15 +1591,22 @@ class SnapshotTable:
             return tuple(parts[-3:])
 
         referenced: set[tuple[str, str, str]] = set()
-        for v in keep:
+        ever_referenced: set[tuple[str, str, str]] = set()
+        for v in versions:
             mv = self.manifest(v)
+            ids: set[tuple[str, str, str]] = set()
             for files in mv["buckets"].values():
-                referenced.update(_file_id(f) for f in files)
+                ids.update(_file_id(f) for f in files)
             for sp in mv.get("legacy") or []:  # un-migrated rescale files
                 for files in sp["buckets"].values():
-                    referenced.update(_file_id(f) for f in files)
+                    ids.update(_file_id(f) for f in files)
+            ever_referenced |= ids
+            if v in keep:
+                referenced |= ids
 
         removed_files = 0
+        skipped_orphans = 0
+        grace_cutoff = time.time() - max(orphan_grace_s, 0.0)
         data_root = os.path.join(self.root, "data")
         for vdir in sorted(os.listdir(data_root)):
             for bdir in os.listdir(os.path.join(data_root, vdir)):
@@ -1592,12 +1615,26 @@ class SnapshotTable:
                     continue
                 for f in os.listdir(full_b):
                     full = os.path.join(full_b, f)
-                    if f.endswith(".parquet") and _file_id(full) not in referenced:
-                        os.remove(full)
-                        # bloom sidecars are GC'd with their data file
-                        if os.path.exists(full + BLOOM_SUFFIX):
-                            os.remove(full + BLOOM_SUFFIX)
-                        removed_files += 1
+                    if not f.endswith(".parquet"):
+                        continue
+                    fid = _file_id(full)
+                    if fid in referenced:
+                        continue
+                    if fid not in ever_referenced:
+                        # never committed: possibly an in-flight writer's
+                        # staged files — reclaim only past the grace window
+                        try:
+                            young = os.path.getmtime(full) >= grace_cutoff
+                        except OSError:
+                            continue  # vanished under us (racing maintainer)
+                        if young:
+                            skipped_orphans += 1
+                            continue
+                    os.remove(full)
+                    # bloom sidecars are GC'd with their data file
+                    if os.path.exists(full + BLOOM_SUFFIX):
+                        os.remove(full + BLOOM_SUFFIX)
+                    removed_files += 1
 
         removed_manifests = 0
         for v in versions:
@@ -1608,6 +1645,7 @@ class SnapshotTable:
             "kept_versions": sorted(keep),
             "removed_manifests": removed_manifests,
             "removed_files": removed_files,
+            "skipped_orphans": skipped_orphans,
         }
 
     def compact(self, min_files: int = 2) -> dict:
@@ -1646,7 +1684,9 @@ class SnapshotTable:
         # in-flight files BEFORE _commit_manifest arbitrates the winner.
         # The manifest references absolute file paths, so the suffix is
         # invisible downstream; the loser's files stay unreferenced and are
-        # swept by expire_snapshots.
+        # swept by expire_snapshots once older than its orphan grace window
+        # (which is also what keeps a concurrent maintainer from sweeping
+        # a live attempt's files before _commit_manifest arbitrates).
         vdir = os.path.join(
             self.root, "data", f"v{version:08d}-{uuid.uuid4().hex[:8]}"
         )
@@ -2232,7 +2272,9 @@ class SnapshotTable:
         # in-flight files BEFORE _commit_manifest arbitrates the winner.
         # The manifest references absolute file paths, so the suffix is
         # invisible downstream; the loser's files stay unreferenced and are
-        # swept by expire_snapshots.
+        # swept by expire_snapshots once older than its orphan grace window
+        # (which is also what keeps a concurrent maintainer from sweeping
+        # a live attempt's files before _commit_manifest arbitrates).
         vdir = os.path.join(
             self.root, "data", f"v{version:08d}-{uuid.uuid4().hex[:8]}"
         )

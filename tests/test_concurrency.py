@@ -177,3 +177,29 @@ def test_merge_into_racing_cdc_writer_no_lost_updates(spark, tmp_path):
         assert got[k] == n_rounds, (k, got[k])  # every increment landed
     for b in range(n_rounds):
         assert got[100 + b] == b  # the CDC writer's rows all present
+
+
+def test_expire_grace_spares_inflight_writer_files(spark, tmp_path):
+    """A maintainer's expire racing a live writer: files staged under the
+    next version dir exist BEFORE the manifest commit. With an orphan
+    grace window they must survive the sweep; committed-but-superseded
+    files must still be reclaimed immediately regardless of grace."""
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), keys=["k"], nbuckets=4)
+    t.merge(_delta(spark, [(1, 1.0, "upsert", 1)]), batch_id="b1")
+    t.merge(_delta(spark, [(1, 2.0, "upsert", 2)]), batch_id="b2")
+
+    # simulate the writer mid-gap: fresh staged parquet, no manifest yet
+    staged_dir = os.path.join(t.root, "data", "v00000099-aaaaaaaa", "__b=1")
+    os.makedirs(staged_dir)
+    staged = os.path.join(staged_dir, "part-00000-staged.parquet")
+    with open(staged, "wb") as f:
+        f.write(b"staged by an in-flight writer")
+
+    res = t.expire_snapshots(keep_last=1, orphan_grace_s=3600)
+    # v1's superseded bucket file was committed garbage: reclaimed now
+    assert res["removed_manifests"] >= 1 and res["removed_files"] >= 1
+    assert res["skipped_orphans"] == 1 and os.path.exists(staged)
+
+    # past the grace window (grace 0) the true orphan is reclaimed too
+    res2 = t.expire_snapshots(keep_last=1, orphan_grace_s=0.0)
+    assert res2["skipped_orphans"] == 0 and not os.path.exists(staged)
