@@ -298,6 +298,12 @@ def _run_sequence(spark, root: str, seed: int, use_format_reader: bool = False) 
         f"seed={seed} final state"
     )
 
+    # metadata fsck holds after EVERY op sequence: pointer/ref retention,
+    # referenced-file existence, stats liveness, ledger bounds (orphans
+    # from rollback-then-diverge are reported, never an issue)
+    rep = t.verify(all_versions=True)
+    assert rep["ok"], f"seed={seed} fsck: {rep['issues']}"
+
 
 def test_cdf_random_sequences_match_dict_oracle(spark, tmp_path):
     root = str(tmp_path)
