@@ -517,8 +517,9 @@ def main() -> None:
                     "cold_first_run": cold,
                     **({"errors": errors} if errors else {}),
                 },
-            }
-        )
+            },
+        ),
+        flush=True,
     )
 
 
