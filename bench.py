@@ -74,6 +74,10 @@ BENCH_QUERIES = [
     # integer-exact cross-multiplied variant) and z-order-clustered
     # multi-column data skipping
     "quality_dsir",
+    # round 5: CCNet-style bigram-LM perplexity scoring (fit on the en
+    # slice + score every doc: two count aggs, two int-key joins, one
+    # per-doc ordered fold)
+    "quality_perplexity",
     "cdc_zorder_scan",
     # round 5: bloom-sidecar file skipping, batched point lookup (in-list)
     "cdc_bloom_scan",

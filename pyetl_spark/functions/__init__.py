@@ -8,6 +8,7 @@ from pyetl_spark.functions import (  # noqa: F401
     dedup,
     dsir,
     incremental,
+    lm,
     multimodal,
     packing,
     quality,
