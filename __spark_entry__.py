@@ -837,6 +837,67 @@ def q_cdc_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_cdc_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow clone (SnapshotTable.clone — Delta SHALLOW CLONE analog):
+    build the source from the first 2 of 3 event batches, clone it
+    (metadata-only, zero data copied), merge batch 3 into the CLONE only,
+    then compact + expire the clone (maintenance must be state-invariant
+    and can never reclaim source files). The contract reads BOTH sides:
+    the source must still be the LWW state of batches 1-2, the clone the
+    LWW state of all three — a clone that leaks writes back to the source,
+    loses a shared bucket to its own expiry, or carries the source's batch
+    ledger (refusing the legitimate first delivery of batch 3) fails the
+    hash. Both metadata fscks are asserted in-query."""
+    import shutil
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("op", F.lit("upsert"))
+        .select("user_id", "event_id", "event_type", "value", "op")
+    )
+    n = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    step = n // 3 + 1
+    root = _mkdtemp(prefix="q_cdc_clone_")
+    try:
+        src = SnapshotTable.create(
+            spark, os.path.join(root, "src"), keys=["user_id"], nbuckets=8
+        )
+        batches = [
+            ev.filter(
+                (F.col("event_id") >= b * step) & (F.col("event_id") < (b + 1) * step)
+            )
+            for b in range(3)
+        ]
+        for b in range(2):
+            src.merge(batches[b], batch_id=f"q:{b}", seq_col="event_id")
+        cl = src.clone(os.path.join(root, "c"))
+        cl.merge(batches[2], batch_id="q:2", seq_col="event_id")
+        cl.compact()
+        cl.expire_snapshots(keep_last=1)
+        for side, t in (("source", src), ("clone", cl)):
+            chk = t.verify(all_versions=True)
+            if not chk["ok"]:
+                raise RuntimeError(f"{side} fsck failed: {chk['issues']}")
+
+        def _st(t: SnapshotTable, side: str) -> DataFrame:
+            return (
+                t.read_raw()
+                .filter(~F.col("_deleted"))
+                .select(
+                    F.lit(side).alias("side"),
+                    "user_id",
+                    F.col("_seq").alias("last_event"),
+                    "event_type",
+                    F.col("value").alias("last_value"),
+                )
+            )
+
+        out = _st(src, "source").unionByName(_st(cl, "clone"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_cdc_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read commits (Iceberg v2 row-delta analog,
     tableio.py merge(mode="mor")): the same 3-batch events replay as
@@ -2479,6 +2540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_metadata": q_cdc_metadata,                # NEW r5: metadata tables
         "serve_script": q_serve_script,                # new: pooled serving seam
         "cdc_merge_table": q_cdc_merge_table,          # tableio: ledger compaction+HWM
+        "cdc_clone": q_cdc_clone,                      # NEW r5: shallow clone
         "cdc_mor_merge": q_cdc_mor_merge,              # NEW r5: merge-on-read commits
         "cdc_wap_publish": q_cdc_wap_publish,          # NEW r5: branch refs + WAP
         "cdc_table_changes": q_cdc_table_changes,      # changes(): bounded plan growth
@@ -2520,20 +2582,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "csv_roundtrip": q_csv_roundtrip,
         "xlsx_roundtrip": q_xlsx_roundtrip,
-        "dbf_roundtrip": q_dbf_roundtrip,
         # ---- position 51+ : outside the driver's 50-row certification
         # window (the marker sits at the EXACT cut — verified by index, a
         # prior revision had drifted two entries high). Every entry below
         # was certified green in ROUND 4's driver window (CORRECTNESS_r04)
         # — except script_front, objgroup, join_denorm, semi_join,
-        # anti_join, compare_cdc, changed_lag, merge_rows, kafka_roundtrip
-        # and sortir_fanout, green in ROUND 3 and pushed past the cut by
-        # the round-5 front additions (two rounds stale, the allowed bound)
-        # — and the local oracle suite still checks every one of them each
-        # run. The round-5 front additions are quality_dsir,
-        # quality_perplexity, cdc_zorder_scan, cdc_bloom_scan, cdc_rescale,
-        # cdc_delete_where, cdc_merge_into, cdc_metadata, cdc_stream_feed,
-        # serve_script, cdc_mor_merge, and cdc_wap_publish.
+        # anti_join, compare_cdc, changed_lag, merge_rows, kafka_roundtrip,
+        # sortir_fanout and dbf_roundtrip, green in ROUND 3 and pushed past
+        # the cut by the round-5 front additions (two rounds stale, the
+        # allowed bound) — and the local oracle suite still checks every
+        # one of them each run. The round-5 front additions are
+        # quality_dsir, quality_perplexity, cdc_zorder_scan,
+        # cdc_bloom_scan, cdc_rescale, cdc_delete_where, cdc_merge_into,
+        # cdc_metadata, cdc_stream_feed, serve_script, cdc_mor_merge,
+        # cdc_wap_publish, and cdc_clone.
+        "dbf_roundtrip": q_dbf_roundtrip,
         "sortir_fanout": q_sortir_fanout,
         "script_front": q_script_front,
         "kafka_roundtrip": q_kafka_roundtrip,
@@ -3479,6 +3542,24 @@ def oracle_sql() -> dict[str, str]:
                    max_by(event_type, event_id) AS event_type,
                    max_by(value, event_id) AS last_value
             FROM events GROUP BY user_id
+        """,
+        # shallow clone: the source stays the LWW state of the 2 batches it
+        # saw (batch cut = the same n//3+1 arithmetic, computed in SQL), the
+        # clone is the LWW state of all three — isolation both ways
+        "cdc_clone": """
+            WITH cut AS (SELECT 2 * ((max(event_id) + 1) // 3 + 1) AS c
+                         FROM events),
+            s AS (SELECT 'source' AS side, user_id,
+                         max(event_id) AS last_event,
+                         max_by(event_type, event_id) AS event_type,
+                         max_by(value, event_id) AS last_value
+                  FROM events, cut WHERE event_id < cut.c GROUP BY user_id),
+            cl AS (SELECT 'clone' AS side, user_id,
+                          max(event_id) AS last_event,
+                          max_by(event_type, event_id) AS event_type,
+                          max_by(value, event_id) AS last_value
+                   FROM events GROUP BY user_id)
+            SELECT * FROM s UNION ALL SELECT * FROM cl
         """,
         # staging on an audit branch then publishing must be invisible in the
         # final state: same argmax over all events

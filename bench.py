@@ -87,6 +87,9 @@ BENCH_QUERIES = [
     "cdc_delete_where",
     # round 5: general conditional MERGE INTO (clause layer over merge())
     "cdc_merge_into",
+    # round 5: shallow clone (metadata-only clone + CoW divergence + the
+    # state-invariant maintenance pass, both sides read back)
+    "cdc_clone",
     # round 5: metadata tables (per-version answers from manifests only)
     # and the Structured-Streaming change-feed source (Python Data Source
     # API) — the latter times a full stream lifecycle per run

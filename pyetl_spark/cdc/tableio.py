@@ -1920,6 +1920,75 @@ class SnapshotTable:
             raise ValueError(f"version {version} not retained (expired or never existed)")
         self._swap_pointer(version)
 
+    def clone(self, dest_root: str, version: int | None = None) -> "SnapshotTable":
+        """Delta ``SHALLOW CLONE`` analog: a new table at ``dest_root``
+        whose v0 manifest references THIS table's data files — zero data
+        copied, metadata-only driver work, optionally from a time-travel
+        ``version``. Writes to the clone are copy-on-write into its own
+        ``data/`` dir, so the clone diverges bucket by bucket as it is
+        touched (``compact()`` fully de-references the source); the source
+        is never modified through the clone, and the clone's
+        ``expire_snapshots`` only scans its OWN data dir, so it can never
+        reclaim source files. Two documented Delta-parity caveats: (1) the
+        SOURCE's ``expire_snapshots``/vacuum does not know about clones —
+        expiring source versions whose files a clone still references
+        breaks the clone (Delta shallow clones share this); (2) the
+        idempotency ledger (``committed_batches``/``batch_hwm``) is NOT
+        carried over — a clone is a new sink, and inheriting the source's
+        batch ids would silently no-op a legitimate first delivery to the
+        clone (Delta clones likewise drop stream/txn metadata). File paths
+        are absolutized so the clone works from any working directory."""
+        if self.exists(dest_root):
+            raise ValueError(f"table already exists at {dest_root}")
+        m = self.manifest(version)
+        missing = [
+            f
+            for fs in m["buckets"].values()
+            for f in fs
+            if not os.path.exists(f)
+        ]
+        if missing:
+            raise ValueError(
+                f"source v{m['version']} references missing files: {missing[:3]}"
+            )
+        os.makedirs(os.path.join(dest_root, "_versions"), exist_ok=True)
+        os.makedirs(os.path.join(dest_root, "data"), exist_ok=True)
+
+        def _abs(fs: list[str]) -> list[str]:
+            return [os.path.abspath(f) for f in fs]
+
+        nm = {
+            "version": 0,
+            "keys": list(m["keys"]),
+            "bucket_cols": list(m.get("bucket_cols", m["keys"])),
+            "nbuckets": m["nbuckets"],
+            "props": dict(m.get("props") or {}),
+            "schema": m.get("schema"),
+            "buckets": {b: _abs(fs) for b, fs in m["buckets"].items()},
+            "committed_batches": {},
+            "batch_hwm": {},
+            "parent": None,
+            "created_ts": time.time(),
+            "summary": {
+                "operation": "clone",
+                "source_root": os.path.abspath(self.root),
+                "source_version": m["version"],
+            },
+        }
+        if m.get("legacy"):
+            nm["legacy"] = [
+                {**sp, "buckets": {b: _abs(fs) for b, fs in sp["buckets"].items()}}
+                for sp in m["legacy"]
+            ]
+        if m.get("file_stats"):
+            nm["file_stats"] = dict(m["file_stats"])
+        if m.get("dirty"):
+            nm["dirty"] = list(m["dirty"])
+        t = SnapshotTable(self.spark, dest_root)
+        t._write_manifest(nm)
+        t._swap_pointer(0)
+        return t
+
     # ------------------------------------------------------------ change feed
 
     def _lineage(self, from_version: int, to_version: int) -> list[int]:
