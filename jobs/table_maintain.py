@@ -31,8 +31,8 @@ Usage:
     cd <repo> && zip -qr /tmp/pyetl_spark.zip pyetl_spark
     spark-submit --master <cluster|local[N]> --py-files /tmp/pyetl_spark.zip \
         jobs/table_maintain.py <table_root> [--min-files 2] [--keep-last 2] \
-        [--rescale N] [--alter JSON] [--no-compact] [--no-expire] \
-        [--orphan-grace 600]
+        [--rescale N] [--alter JSON] [--clone DEST [--clone-version V]] \
+        [--no-compact] [--no-expire] [--orphan-grace 600]
 
 Prints one summary line: buckets compacted, files before/after, manifests
 removed, data files removed, final version.
@@ -74,6 +74,19 @@ def main(argv: list[str]) -> int:
         "files are always reclaimed regardless",
     )
     ap.add_argument(
+        "--clone",
+        default=None,
+        metavar="DEST",
+        help="before any maintenance, shallow-clone the table to DEST "
+        "(SnapshotTable.clone — metadata-only, zero data copied); with "
+        "--clone-version, clone that retained time-travel version. The "
+        "maintenance flags still apply to the SOURCE table afterwards — "
+        "note expiry on the source can reclaim files a clone references "
+        "(Delta vacuum parity), so pair --clone with --no-expire unless "
+        "the clone is throwaway",
+    )
+    ap.add_argument("--clone-version", type=int, default=None, metavar="V")
+    ap.add_argument(
         "--verify",
         action="store_true",
         help="run the metadata fsck (SnapshotTable.verify) after "
@@ -83,6 +96,11 @@ def main(argv: list[str]) -> int:
 
     spark = SparkSession.builder.appName("pyetl_spark_table_maintain").getOrCreate()
     table = SnapshotTable(spark, args.table_root)
+
+    cloned = ""
+    if args.clone is not None:
+        t2 = table.clone(args.clone, version=args.clone_version)
+        cloned = f"cloned_to={args.clone} cloned_version={t2.current_version()} "
 
     c = {"compacted_buckets": 0, "files_before": 0, "files_after": 0}
     skipped = False
@@ -126,7 +144,7 @@ def main(argv: list[str]) -> int:
             print(f"fsck: {issue}", file=sys.stderr)
         rc = 0 if rep["ok"] else 1
     print(
-        f"compacted_buckets={c['compacted_buckets']} "
+        cloned + f"compacted_buckets={c['compacted_buckets']} "
         f"files_before={c['files_before']} files_after={c['files_after']} "
         f"compact_skipped={str(skipped).lower()} "
         f"removed_manifests={e['removed_manifests']} "

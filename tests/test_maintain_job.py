@@ -128,3 +128,25 @@ def test_maintain_alter_relayout_in_one_cycle(spark, job, tmp_path, capsys):
 
     with pytest.raises(ValueError, match="creator-owned"):
         job.main([root, "--alter", '{"bands": 9}', "--no-compact", "--no-expire"])
+
+
+def test_maintain_clone_flag(spark, job, tmp_path, capsys):
+    """--clone DEST shallow-clones before maintenance; the clone reads the
+    source state and the source's own maintenance still runs."""
+    root = str(tmp_path / "t")
+    dest = str(tmp_path / "c")
+    t = _mk_table(spark, root)
+    before_state = sorted(tuple(r) for r in t.read().collect())
+
+    # --no-expire: expiry on the source could reclaim files the fresh
+    # clone references (the documented Delta vacuum-parity caveat)
+    rc = job.main([root, "--clone", dest, "--no-expire", "--min-files", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert f"cloned_to={dest}" in out and "cloned_version=0" in out
+
+    c = SnapshotTable(spark, dest)
+    assert sorted(tuple(r) for r in c.read().collect()) == before_state
+    assert c.verify()["ok"]
+    # source was compacted (maintenance applied to the source, not the clone)
+    assert SnapshotTable(spark, root).manifest()["summary"]["operation"] == "compact"
