@@ -127,3 +127,77 @@ def test_clone_missing_source_file_refused(source, spark, tmp_path):
             source.clone(str(tmp_path / "c"))
     finally:
         os.rename(victim + ".hidden", victim)
+
+
+def test_clone_property_random_divergence(spark, tmp_path):
+    """Property: clone at a random retained version, then evolve source and
+    clone independently with random upsert/delete batches — each side must
+    match its own sequential dict oracle (LWW, tombstones), fscks stay
+    green, and maintenance on either side never perturbs the other."""
+    import random
+
+    KEYS = list(range(8))
+
+    def apply(state, events):
+        winners = {}
+        for k, val, op, seq in events:
+            if k not in winners or seq > winners[k][2]:
+                winners[k] = (val, op, seq)
+        out = dict(state)
+        for k, (val, op, seq) in winners.items():
+            cur = out.get(k)
+            if cur is None or seq > cur[1]:
+                out[k] = (val, seq, op == "delete")
+        return out
+
+    def live(state):
+        return {k: v for k, (v, s, dead) in state.items() if not dead}
+
+    for seed in range(6):
+        rng = random.Random(1000 + seed)
+        t = SnapshotTable.create(
+            spark, str(tmp_path / f"s{seed}"), keys=["k"], nbuckets=rng.choice([2, 4])
+        )
+        seqc = [1]
+        states = {0: {}}
+
+        def batch(rng, seqc):
+            ev = []
+            for _ in range(rng.randint(1, 4)):
+                k = rng.choice(KEYS)
+                op = "delete" if rng.random() < 0.3 else "upsert"
+                ev.append((k, f"v{seqc[0]}", op, seqc[0]))
+                seqc[0] += 1
+            return ev
+
+        def merge(t, ev, bid):
+            df = spark.createDataFrame(ev, ["k", "val", "op", "seq"])
+            return t.merge(df, bid).version
+
+        src_state = {}
+        for i in range(rng.randint(1, 3)):
+            ev = batch(rng, seqc)
+            src_state = apply(src_state, ev)
+            states[merge(t, ev, f"b{i}")] = src_state
+        clone_at = rng.choice(sorted(states))
+        c = t.clone(str(tmp_path / f"c{seed}"), version=clone_at)
+        clone_state = states[clone_at]
+
+        for i in range(rng.randint(1, 3)):
+            ev = batch(rng, seqc)
+            if rng.random() < 0.5:
+                src_state = apply(src_state, ev)
+                merge(t, ev, f"sb{i}")
+                if rng.random() < 0.4:
+                    t.compact(min_files=1)
+            else:
+                clone_state = apply(clone_state, ev)
+                merge(c, ev, f"cb{i}")
+                if rng.random() < 0.4:
+                    c.compact(min_files=1)
+                    c.expire_snapshots(keep_last=1)
+
+        assert _state(t) == live(src_state), f"seed {seed} source diverged"
+        assert _state(c) == live(clone_state), f"seed {seed} clone diverged"
+        assert t.verify(all_versions=True)["ok"], f"seed {seed} source fsck"
+        assert c.verify()["ok"], f"seed {seed} clone fsck"
