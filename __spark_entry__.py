@@ -2387,11 +2387,14 @@ def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance (cdc/ivm.py IncrementalAgg over the
     change feed): replay events as 3 CDC batches into a base table (click
     events become deletes), fold each commit's CDF slice into a persistent
-    per-event_type (count, sum) view, and return the FINAL VIEW STATE. It
-    must equal a from-scratch aggregate of the final LWW table — the view
-    only ever sees row-level deltas, so a sign error, a missed group move,
-    or a tombstone folded twice diverges immediately. Sums are maintained
-    in DECIMAL (exact fold-in/fold-out) and exported as double."""
+    per-event_type (count, sum, min, max) view, and return the FINAL VIEW
+    STATE. It must equal a from-scratch aggregate of the final LWW table —
+    the view only ever sees row-level deltas, so a sign error, a missed
+    group move, or a tombstone folded twice diverges immediately. Sums are
+    maintained in DECIMAL (exact fold-in/fold-out) and exported as double;
+    min/max use the boundary-hit discipline (fold inserts, recompute from
+    the base ONLY groups whose boundary value a slice retracted — the
+    deletes here guarantee that path actually runs)."""
     import shutil
 
     ev = _t(spark, sf_dir, "events").select(
@@ -2411,7 +2414,12 @@ def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, os.path.join(root, "t"), keys=["user_id"], nbuckets=8
         )
         view = IncrementalAgg(
-            spark, os.path.join(root, "v"), ["event_type"], ["value"]
+            spark,
+            os.path.join(root, "v"),
+            ["event_type"],
+            ["value"],
+            min_cols=["value"],
+            max_cols=["value"],
         )
         v_prev = 0
         for b in range(3):
@@ -2420,12 +2428,14 @@ def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             base.merge(batch, batch_id=f"q:{b}", seq_col="event_id")
             v_now = base.current_version()
-            view.apply(base.changes(v_prev, v_now), batch_id=f"q:{b}")
+            view.apply(base.changes(v_prev, v_now), batch_id=f"q:{b}", base=base)
             v_prev = v_now
         out = view.state().select(
             "event_type",
             F.col("count").alias("n_keys"),
             F.col("sum_value").cast("double").alias("value_sum"),
+            F.col("min_value").alias("value_min"),
+            F.col("max_value").alias("value_max"),
         )
         return out.localCheckpoint(eager=True)
     finally:
@@ -3612,7 +3622,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM events GROUP BY user_id
             )
             SELECT event_type, count(*) AS n_keys,
-                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum
+                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum,
+                   min(value) AS value_min, max(value) AS value_max
             FROM lww WHERE NOT del GROUP BY event_type
         """,
         "cdc_skipping_scan": """

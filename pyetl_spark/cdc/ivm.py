@@ -14,6 +14,21 @@ read + one small merge), never the size of the base table or of the view.
 Sums are maintained in DECIMAL so incremental (+x then −x) arithmetic is
 exact — float sums drift under reordering, and a maintained view must stay
 byte-equal to the recomputed truth indefinitely.
+
+MIN/MAX are NOT additive under retraction (deleting the current minimum
+tells you nothing about the runner-up), so they are maintained with the
+standard boundary-hit discipline (the Flink retract-stream analog): inserts
+fold for free (``least(cur_min, batch_min)``), and a group needs a
+recompute ONLY when some retracted value touches the boundary —
+``del_min <= least(cur_min, ins_min)`` (symmetric with greatest/>= for
+max). Non-dirty folds are exact: every retracted value is strictly greater
+than m = least(cur_min, ins_min), so the row carrying m survives the slice
+and every other survivor is >= m. Dirty groups (typically a tiny fraction
+of touched groups) are recomputed from the base table restricted to those
+groups via a broadcast inner join — cost ∝ base rows in dirty groups, and
+the base read prunes with whatever file metrics / clustering the source
+table carries. When no retraction hits a boundary the base table is not
+read at all.
 """
 
 from __future__ import annotations
@@ -38,18 +53,26 @@ def delta_aggregate(
     group_cols: Sequence[str],
     sum_cols: Sequence[str] = (),
     decimal: str = "decimal(28,6)",
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Per-group additive deltas for a CDF slice: ``d_count`` plus one
     ``d_sum_<col>`` per ``sum_cols`` entry (cast to ``decimal`` for exact
     fold-in/fold-out). One hash aggregate; groups whose net effect cancels
     within the slice (e.g. a row updated without changing group or summed
     values) still emit a zero row — harmless, and filtering them would cost
-    more than merging them."""
+    more than merging them.
+
+    For ``min_cols`` / ``max_cols`` the slice is split by sign inside the
+    same aggregate: ``ins_min_<c>`` / ``del_min_<c>`` (and ``ins_max_<c>``
+    / ``del_max_<c>``) carry the inserted-side and retracted-side extremes
+    the fold-vs-recompute decision needs."""
     sign = F.col("_change_type")
     expr = F.lit(None).cast("int")
     for ct, s in _SIGN.items():
         expr = F.when(sign == ct, F.lit(s)).otherwise(expr)
     base = changes.withColumn("__sign", expr)
+    ins = F.col("__sign") == 1
     aggs = [F.sum("__sign").cast("long").alias("d_count")]
     for c in sum_cols:
         aggs.append(
@@ -57,16 +80,30 @@ def delta_aggregate(
             .cast(decimal)
             .alias(f"d_sum_{c}")
         )
+    for c in min_cols:
+        aggs.append(F.min(F.when(ins, F.col(c))).alias(f"ins_min_{c}"))
+        aggs.append(F.min(F.when(~ins, F.col(c))).alias(f"del_min_{c}"))
+    for c in max_cols:
+        aggs.append(F.max(F.when(ins, F.col(c))).alias(f"ins_max_{c}"))
+        aggs.append(F.max(F.when(~ins, F.col(c))).alias(f"del_max_{c}"))
     return base.groupBy(*group_cols).agg(*aggs)
 
 
 class IncrementalAgg:
-    """A persistent COUNT/SUM-per-group view maintained from change-feed
-    slices. State lives in a :class:`SnapshotTable` keyed on the group
-    columns, so applies inherit the table's exactly-once batch ledger
-    (a replayed slice is a no-op), atomic commits, time travel, expiry and
-    rollback. Groups whose count returns to zero are deleted from the view
-    (tombstoned), mirroring what a recompute would show."""
+    """A persistent COUNT/SUM/MIN/MAX-per-group view maintained from
+    change-feed slices. State lives in a :class:`SnapshotTable` keyed on
+    the group columns, so applies inherit the table's exactly-once batch
+    ledger (a replayed slice is a no-op), atomic commits, time travel,
+    expiry and rollback. Groups whose count returns to zero are deleted
+    from the view (tombstoned), mirroring what a recompute would show.
+
+    ``min_cols`` / ``max_cols`` enable the non-additive extremes: applies
+    whose retractions hit a group's boundary value need ``base=`` (the
+    source table's state AT THE SLICE'S END VERSION — pass the
+    :class:`SnapshotTable` itself, or a time-travel read for historical
+    catch-up) to recompute exactly those groups; every other group folds
+    without touching the base (see the module docstring for the
+    correctness argument)."""
 
     def __init__(
         self,
@@ -75,17 +112,25 @@ class IncrementalAgg:
         group_cols: Sequence[str],
         sum_cols: Sequence[str] = (),
         nbuckets: int = 16,
+        min_cols: Sequence[str] = (),
+        max_cols: Sequence[str] = (),
     ):
         self.spark = spark
         self.group_cols = list(group_cols)
         self.sum_cols = list(sum_cols)
+        self.min_cols = list(min_cols)
+        self.max_cols = list(max_cols)
         cfg = {
             "view_group_cols": self.group_cols,
             "view_sum_cols": self.sum_cols,
+            "view_min_cols": self.min_cols,
+            "view_max_cols": self.max_cols,
         }
         if SnapshotTable.exists(root):
             self.table = SnapshotTable(spark, root)
-            got = {k: self.table.props().get(k) for k in cfg}
+            # `or []`: count/sum views created before min/max support
+            # carry no min/max props — same definition as empty lists
+            got = {k: self.table.props().get(k) or [] for k in cfg}
             if got != cfg:
                 raise ValueError(
                     f"IncrementalAgg at {root} was created with {got}, "
@@ -96,20 +141,38 @@ class IncrementalAgg:
                 spark, root, keys=self.group_cols, nbuckets=nbuckets, props=cfg
             )
 
-    def apply(self, changes: DataFrame, batch_id: str) -> MergeStats:
+    def apply(
+        self,
+        changes: DataFrame,
+        batch_id: str,
+        base: DataFrame | SnapshotTable | None = None,
+    ) -> MergeStats:
         """Fold one CDF slice into the view. Reads ONLY the state buckets
         the slice's groups hash into (cost ∝ touched groups); emits
         upserts for surviving groups and deletes for groups whose count
-        reaches zero. Idempotent per ``batch_id`` via the table ledger."""
+        reaches zero. Idempotent per ``batch_id`` via the table ledger.
+
+        With ``min_cols``/``max_cols`` configured, pass ``base`` (the
+        source at the slice's END version) whenever the slice may contain
+        retractions — it is read only if some group's boundary value was
+        actually retracted, and then only the dirty groups' rows."""
         if self.table.is_committed(batch_id):
             return MergeStats(batch_id, self.table.current_version(), 0, 0, 0, 0, skipped=True)
-        deltas = delta_aggregate(changes, self.group_cols, self.sum_cols)
+        deltas = delta_aggregate(
+            changes,
+            self.group_cols,
+            self.sum_cols,
+            min_cols=self.min_cols,
+            max_cols=self.max_cols,
+        )
         # pin the (small) delta frame: bucket_ids collects from it, and the
         # join below reuses it — without this the CDF diff recomputes twice
         deltas = deltas.localCheckpoint(eager=True)
         touched = self.table.bucket_ids(deltas)
         cur = self.table.read(buckets=touched)
         sum_names = [f"sum_{c}" for c in self.sum_cols]
+        min_names = [f"min_{c}" for c in self.min_cols]
+        max_names = [f"max_{c}" for c in self.max_cols]
         if "count" not in cur.columns:  # first apply: empty-schema state
             cur = deltas.select(
                 *self.group_cols,
@@ -118,8 +181,26 @@ class IncrementalAgg:
                     F.lit(0).cast(deltas.schema[f"d_sum_{c}"].dataType).alias(n)
                     for c, n in zip(self.sum_cols, sum_names)
                 ],
+                *[
+                    F.lit(None).cast(deltas.schema[f"ins_min_{c}"].dataType).alias(n)
+                    for c, n in zip(self.min_cols, min_names)
+                ],
+                *[
+                    F.lit(None).cast(deltas.schema[f"ins_max_{c}"].dataType).alias(n)
+                    for c, n in zip(self.max_cols, max_names)
+                ],
             ).limit(0)
         j = cur.join(deltas, on=self.group_cols, how="full")
+        # fold candidates + the boundary-hit flag (see module docstring:
+        # a retraction <= least(cur_min, ins_min) may have removed the
+        # minimum's carrier row — only those groups need the base table)
+        dirty = F.lit(False)
+        for c, n in zip(self.min_cols, min_names):
+            cand = F.least(F.col(n), F.col(f"ins_min_{c}"))
+            dirty = dirty | F.coalesce(F.col(f"del_min_{c}") <= cand, F.lit(False))
+        for c, n in zip(self.max_cols, max_names):
+            cand = F.greatest(F.col(n), F.col(f"ins_max_{c}"))
+            dirty = dirty | F.coalesce(F.col(f"del_max_{c}") >= cand, F.lit(False))
         folded = j.select(
             *self.group_cols,
             (
@@ -135,12 +216,25 @@ class IncrementalAgg:
                 .alias(n)
                 for c, n in zip(self.sum_cols, sum_names)
             ],
+            *[
+                F.least(F.col(n), F.col(f"ins_min_{c}")).alias(n)
+                for c, n in zip(self.min_cols, min_names)
+            ],
+            *[
+                F.greatest(F.col(n), F.col(f"ins_max_{c}")).alias(n)
+                for c, n in zip(self.max_cols, max_names)
+            ],
+            dirty.alias("__dirty"),
         )
+        if self.min_cols or self.max_cols:
+            folded = self._recompute_dirty(folded, base)
         seq = self.table.max_seq() + 1
         delta_rows = folded.select(
             *self.group_cols,
             "count",
             *sum_names,
+            *min_names,
+            *max_names,
             F.when(F.col("count") <= 0, F.lit("delete"))
             .otherwise(F.lit("upsert"))
             .alias("op"),
@@ -148,6 +242,53 @@ class IncrementalAgg:
         )
         return self.table.merge(delta_rows, batch_id=batch_id)
 
+    def _recompute_dirty(self, folded: DataFrame, base) -> DataFrame:
+        """Replace fold candidates with base-table recomputes for the
+        (usually empty) set of groups whose boundary value was retracted.
+        folded is pinned first: it gates whether base is read at all, and
+        is reused by the merge — without the pin the CDF diff and the
+        state read would both run twice."""
+        folded = folded.localCheckpoint(eager=True)
+        min_names = [f"min_{c}" for c in self.min_cols]
+        max_names = [f"max_{c}" for c in self.max_cols]
+        dirty_keys = folded.where(F.col("__dirty") & (F.col("count") > 0)).select(
+            *self.group_cols
+        )
+        if dirty_keys.isEmpty():
+            return folded.drop("__dirty")
+        if base is None:
+            raise ValueError(
+                "this change slice retracts a group's min/max boundary "
+                "value — pass base= (the source at the slice's end "
+                "version) so the dirty groups can be recomputed"
+            )
+        if isinstance(base, SnapshotTable):
+            base = base.read()
+        rec = (
+            base.join(F.broadcast(dirty_keys), on=self.group_cols, how="inner")
+            .groupBy(*self.group_cols)
+            .agg(
+                *[F.min(c).alias(f"rec_{n}") for c, n in zip(self.min_cols, min_names)],
+                *[F.max(c).alias(f"rec_{n}") for c, n in zip(self.max_cols, max_names)],
+            )
+        )
+        j = folded.join(rec, on=self.group_cols, how="left")
+        # recomputed values win on dirty groups even when NULL (a group
+        # whose only non-null value was retracted has min NULL — coalesce
+        # would wrongly resurrect the fold candidate)
+        return j.select(
+            *self.group_cols,
+            "count",
+            *[f"sum_{c}" for c in self.sum_cols],
+            *[
+                F.when(F.col("__dirty"), F.col(f"rec_{n}"))
+                .otherwise(F.col(n))
+                .alias(n)
+                for n in min_names + max_names
+            ],
+        )
+
     def state(self) -> DataFrame:
-        """Current view contents (group_cols, count, sum_<col>…)."""
+        """Current view contents (group_cols, count, sum_<col>…,
+        min_<col>…, max_<col>…)."""
         return self.table.read()

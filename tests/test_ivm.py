@@ -113,3 +113,157 @@ def test_delta_aggregate_signs(spark):
     }
     assert got["a"] == (0, Decimal("0.000000"))
     assert got["b"] == (0, Decimal("6.000000"))
+
+
+def _mm_recompute(table):
+    return {
+        r["grp"]: (r["n"], r["mn"], r["mx"])
+        for r in table.read()
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"), F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    }
+
+
+def _mm_state(view):
+    return {
+        r["grp"]: (r["count"], r["min_x"], r["max_x"]) for r in view.state().collect()
+    }
+
+
+def test_minmax_insert_only_folds_without_base(spark, tmp_path):
+    """Insert-only slices fold min/max for free — no base needed."""
+    base = _base(spark, tmp_path)
+    view = IncrementalAgg(
+        spark, str(tmp_path / "v"), ["grp"], min_cols=["x"], max_cols=["x"]
+    )
+    base.merge(_delta(spark, [(1, "a", 5.0, "upsert", 1), (2, "a", 9.0, "upsert", 2)]), "b0")
+    view.apply(base.changes(0), "b0")  # base intentionally omitted
+    v1 = base.current_version()
+    base.merge(_delta(spark, [(3, "a", 2.0, "upsert", 3), (4, "b", 7.0, "upsert", 4)]), "b1")
+    view.apply(base.changes(v1), "b1")
+    assert _mm_state(view) == _mm_recompute(base)
+    assert _mm_state(view)["a"] == (3, 2.0, 9.0)
+
+
+def test_minmax_nonboundary_retraction_skips_base(spark, tmp_path):
+    """Deleting a middle value must not need the base table: the boundary
+    survives, so the fold is provably exact and base stays unread."""
+    base = _base(spark, tmp_path)
+    view = IncrementalAgg(
+        spark, str(tmp_path / "v"), ["grp"], min_cols=["x"], max_cols=["x"]
+    )
+    rows = [(i, "a", float(i), "upsert", i) for i in range(1, 6)]  # 1..5
+    base.merge(_delta(spark, rows), "b0")
+    view.apply(base.changes(0), "b0")
+    v1 = base.current_version()
+    base.merge(_delta(spark, [(3, "a", 0.0, "delete", 6)]), "b1")
+    # pre-image x=3.0 is strictly inside (1.0, 5.0) — no boundary hit,
+    # so base=None must succeed
+    view.apply(base.changes(v1), "b1")
+    assert _mm_state(view) == _mm_recompute(base) == {"a": (4, 1.0, 5.0)}
+
+
+def test_minmax_boundary_retraction_requires_and_uses_base(spark, tmp_path):
+    base = _base(spark, tmp_path)
+    view = IncrementalAgg(
+        spark, str(tmp_path / "v"), ["grp"], min_cols=["x"], max_cols=["x"]
+    )
+    rows = [(1, "a", 1.0, "upsert", 1), (2, "a", 3.0, "upsert", 2), (3, "a", 5.0, "upsert", 3)]
+    base.merge(_delta(spark, rows), "b0")
+    view.apply(base.changes(0), "b0")
+    v1 = base.current_version()
+    base.merge(_delta(spark, [(1, "a", 0.0, "delete", 4)]), "b1")  # retracts the min
+    feed = base.changes(v1)
+    with pytest.raises(ValueError, match="boundary"):
+        view.apply(feed, "b_err")
+    view.apply(feed, "b1", base=base)
+    assert _mm_state(view) == _mm_recompute(base) == {"a": (2, 3.0, 5.0)}
+
+
+def test_minmax_null_only_survivors_stay_null(spark, tmp_path):
+    """Retracting a group's only non-null value must leave min/max NULL —
+    a coalesce over the fold candidate would wrongly resurrect it."""
+    base = _base(spark, tmp_path)
+    view = IncrementalAgg(spark, str(tmp_path / "v"), ["grp"], min_cols=["x"])
+    base.merge(
+        spark.createDataFrame(
+            [(1, "a", 4.0, "upsert", 1), (2, "a", None, "upsert", 2)],
+            "k long, grp string, x double, op string, seq long",
+        ),
+        "b0",
+    )
+    view.apply(base.changes(0), "b0")
+    assert _mm_state_min(view) == {"a": (2, 4.0)}
+    v1 = base.current_version()
+    base.merge(_delta(spark, [(1, "a", 0.0, "delete", 3)]), "b1")
+    view.apply(base.changes(v1), "b1", base=base)
+    assert _mm_state_min(view) == {"a": (1, None)}
+
+
+def _mm_state_min(view):
+    return {r["grp"]: (r["count"], r["min_x"]) for r in view.state().collect()}
+
+
+def test_minmax_reopen_with_different_definition_raises(spark, tmp_path):
+    IncrementalAgg(spark, str(tmp_path / "v"), ["grp"], min_cols=["x"])
+    with pytest.raises(ValueError, match="view definitions"):
+        IncrementalAgg(spark, str(tmp_path / "v"), ["grp"], max_cols=["x"])
+    # and a pre-min/max count/sum view reopens cleanly with empty lists
+    IncrementalAgg(spark, str(tmp_path / "w"), ["grp"], ["x"])
+    IncrementalAgg(spark, str(tmp_path / "w"), ["grp"], ["x"])
+
+
+def test_minmax_property_random_sequences(spark, tmp_path):
+    """Randomized op sequences: after every apply the maintained
+    count/sum/min/max view equals a from-scratch recompute of the base."""
+    import random
+    from decimal import Decimal as D
+
+    for seed in range(4):
+        rng = random.Random(7000 + seed)
+        base = SnapshotTable.create(
+            spark, str(tmp_path / f"b{seed}"), keys=["k"], nbuckets=4
+        )
+        view = IncrementalAgg(
+            spark,
+            str(tmp_path / f"v{seed}"),
+            ["grp"],
+            ["x"],
+            min_cols=["x"],
+            max_cols=["x"],
+        )
+        live, seq, v_prev = {}, 1, 0
+        for b in range(5):
+            rows = []
+            for _ in range(rng.randint(1, 6)):
+                k = rng.randint(0, 9)
+                if live and rng.random() < 0.4:
+                    k = rng.choice(sorted(live))
+                    rows.append((k, "g0", 0.0, "delete", seq))
+                    live.pop(k, None)
+                else:
+                    grp = rng.choice(["g0", "g1"])
+                    x = float(rng.randint(0, 20))
+                    rows.append((k, grp, x, "upsert", seq))
+                    live[k] = (grp, x)
+                seq += 1
+            base.merge(_delta(spark, rows), f"b{b}")
+            v_now = base.current_version()
+            view.apply(base.changes(v_prev, v_now), f"b{b}", base=base)
+            v_prev = v_now
+            want = {}
+            for grp, x in live.values():
+                n, s, mn, mx = want.get(grp, (0, D(0), None, None))
+                want[grp] = (
+                    n + 1,
+                    s + D(str(x)),
+                    x if mn is None else min(mn, x),
+                    x if mx is None else max(mx, x),
+                )
+            got = {
+                r["grp"]: (r["count"], r["sum_x"], r["min_x"], r["max_x"])
+                for r in view.state().collect()
+            }
+            want = {g: (n, s.quantize(D("0.000001")), mn, mx) for g, (n, s, mn, mx) in want.items()}
+            assert got == want, f"seed {seed} batch {b}: {got} != {want}"
