@@ -16,7 +16,14 @@ Usage:
     cd <repo> && zip -qr /tmp/pyetl_spark.zip pyetl_spark
     spark-submit --master <cluster|local[N]> --py-files /tmp/pyetl_spark.zip \
         jobs/cdf_view.py <base_table_dir> <view_dir> \
-        --group-cols event_type [--sum-cols value]
+        --group-cols event_type [--sum-cols value] \
+        [--min-cols value] [--max-cols value]
+
+Min/max views recompute a group from the base table only when a commit
+retracts that group's boundary value (cdc/ivm.py) — the job hands apply()
+a TIME-TRAVEL read at each slice's end version, so catch-up over many
+historical commits recomputes against the state each slice actually saw,
+not today's.
 
 Scale notes: per consumed commit, the feed reads only the buckets named by
 the manifest diff (changes() docstring) and the view reads only the state
@@ -44,11 +51,15 @@ def consume(
     view_dir: str,
     group_cols: list[str],
     sum_cols: list[str],
+    min_cols: list[str] = (),
+    max_cols: list[str] = (),
 ) -> dict:
     """Catch the view up to the base table's current version; returns a
     summary dict (applied commit list, final view version, group count)."""
     base = SnapshotTable(spark, base_dir)
-    view = IncrementalAgg(spark, view_dir, group_cols, sum_cols)
+    view = IncrementalAgg(
+        spark, view_dir, group_cols, sum_cols, min_cols=min_cols, max_cols=max_cols
+    )
     applied = {
         int(b[1:])
         for b in view.table.committed_batches()
@@ -60,8 +71,15 @@ def consume(
     # apply each — a crash mid-loop resumes exactly where it stopped
     pending = [v for v in base._lineage(cursor, current)[1:] if v not in applied]
     prev = cursor
+    needs_base = bool(min_cols or max_cols)
     for v in pending:
-        view.apply(base.changes(prev, v), batch_id=f"v{v}")
+        view.apply(
+            base.changes(prev, v),
+            batch_id=f"v{v}",
+            # the slice's END version, not current_version(): a boundary
+            # retracted in commit v must recompute against state-at-v
+            base=base.read(version=v) if needs_base else None,
+        )
         prev = v
     return {
         "base_version": current,
@@ -77,6 +95,8 @@ def main(argv: list[str]) -> int:
     ap.add_argument("view_dir")
     ap.add_argument("--group-cols", required=True, help="comma-separated")
     ap.add_argument("--sum-cols", default="", help="comma-separated")
+    ap.add_argument("--min-cols", default="", help="comma-separated")
+    ap.add_argument("--max-cols", default="", help="comma-separated")
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName("cdf-view").getOrCreate()
@@ -87,6 +107,8 @@ def main(argv: list[str]) -> int:
             args.view_dir,
             [c for c in args.group_cols.split(",") if c],
             [c for c in args.sum_cols.split(",") if c],
+            [c for c in args.min_cols.split(",") if c],
+            [c for c in args.max_cols.split(",") if c],
         )
         print(json.dumps(summary))
         return 0

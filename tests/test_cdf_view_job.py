@@ -57,3 +57,29 @@ def test_consume_catches_up_incrementally_and_is_idempotent(spark, tmp_path):
     s3 = consume(spark, base_dir, view_dir, ["grp"], ["x"])
     assert len(s3["applied_now"]) == 1
     assert _view_state(spark, view_dir) == _recompute(base)
+
+
+def test_consume_minmax_catchup_recomputes_at_slice_versions(spark, tmp_path):
+    """Catch-up over MANY historical commits with min/max: commit 2
+    retracts group a's minimum while commit 3 re-lowers it — each slice's
+    dirty-group recompute must see the base AT THAT VERSION, so a
+    current-state read would fold the wrong boundary."""
+    base_dir, view_dir = str(tmp_path / "base"), str(tmp_path / "view")
+    base = SnapshotTable.create(spark, base_dir, keys=["k"], nbuckets=4)
+    base.merge(_delta(spark, [(1, "a", 1.0, "upsert", 1), (2, "a", 5.0, "upsert", 2)]), "b0")
+    base.merge(_delta(spark, [(1, "a", 0.0, "delete", 3)]), "b1")  # retract min 1.0
+    base.merge(_delta(spark, [(3, "a", 0.5, "upsert", 4)]), "b2")  # new lower min
+    base.merge(_delta(spark, [(2, "a", 0.0, "delete", 5)]), "b3")  # retract old max 5.0
+
+    s = consume(spark, base_dir, view_dir, ["grp"], ["x"], ["x"], ["x"])
+    assert len(s["applied_now"]) == 4
+    from pyetl_spark.cdc.ivm import IncrementalAgg
+
+    v = IncrementalAgg(spark, view_dir, ["grp"], ["x"], min_cols=["x"], max_cols=["x"])
+    got = {
+        r["grp"]: (r["count"], r["min_x"], r["max_x"]) for r in v.state().collect()
+    }
+    assert got == {"a": (1, 0.5, 0.5)}
+    # idempotent rerun
+    s2 = consume(spark, base_dir, view_dir, ["grp"], ["x"], ["x"], ["x"])
+    assert s2["applied_now"] == []
