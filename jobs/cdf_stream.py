@@ -16,6 +16,7 @@ Usage:
     spark-submit --master <cluster|local[N]> --py-files /tmp/pyetl_spark.zip \
         jobs/cdf_stream.py <base_table_dir> <view_dir> <checkpoint_dir> \
         --group-cols event_type [--sum-cols value] \
+        [--min-cols value] [--max-cols value] \
         [--starting-version 0] [--max-commits-per-batch 64] \
         [--follow <seconds>]
 
@@ -41,6 +42,7 @@ from pyspark.sql import functions as F
 
 from pyetl_spark.cdc import cdf_source
 from pyetl_spark.cdc.ivm import IncrementalAgg
+from pyetl_spark.cdc.tableio import SnapshotTable
 
 
 def start_stream(
@@ -50,13 +52,19 @@ def start_stream(
     checkpoint_dir: str,
     group_cols: list[str],
     sum_cols: list[str],
+    min_cols: list[str] = (),
+    max_cols: list[str] = (),
     starting_version: str = "current",
     max_commits_per_batch: int = 64,
     follow_seconds: float | None = None,
 ):
     """Open the feed stream and attach the view-maintaining sink; returns
     the StreamingQuery (caller awaits/stops it)."""
-    view = IncrementalAgg(spark, view_dir, group_cols, sum_cols)
+    view = IncrementalAgg(
+        spark, view_dir, group_cols, sum_cols, min_cols=min_cols, max_cols=max_cols
+    )
+    needs_base = bool(min_cols or max_cols)
+    base = SnapshotTable(spark, base_dir) if needs_base else None
     feed = cdf_source.read_stream_changes(
         spark,
         base_dir,
@@ -74,7 +82,11 @@ def start_stream(
         )
         for v in versions:
             view.apply(
-                batch.filter(F.col("_commit_version") == v), batch_id=f"v{v}"
+                batch.filter(F.col("_commit_version") == v),
+                batch_id=f"v{v}",
+                # min/max boundary retractions recompute against the base
+                # AT COMMIT v (time travel), same as the batch catch-up job
+                base=base.read(version=v) if needs_base else None,
             )
 
     writer = feed.writeStream.foreachBatch(_apply).option(
@@ -94,6 +106,8 @@ def main(argv: list[str]) -> int:
     ap.add_argument("checkpoint_dir")
     ap.add_argument("--group-cols", required=True, help="comma-separated")
     ap.add_argument("--sum-cols", default="", help="comma-separated")
+    ap.add_argument("--min-cols", default="", help="comma-separated")
+    ap.add_argument("--max-cols", default="", help="comma-separated")
     ap.add_argument("--starting-version", default="0")
     ap.add_argument("--max-commits-per-batch", type=int, default=64)
     ap.add_argument("--follow", type=float, default=None, metavar="SECONDS")
@@ -108,6 +122,8 @@ def main(argv: list[str]) -> int:
             args.checkpoint_dir,
             [c for c in args.group_cols.split(",") if c],
             [c for c in args.sum_cols.split(",") if c],
+            [c for c in args.min_cols.split(",") if c],
+            [c for c in args.max_cols.split(",") if c],
             starting_version=args.starting_version,
             max_commits_per_batch=args.max_commits_per_batch,
             follow_seconds=args.follow,
@@ -118,6 +134,8 @@ def main(argv: list[str]) -> int:
             args.view_dir,
             [c for c in args.group_cols.split(",") if c],
             [c for c in args.sum_cols.split(",") if c],
+            min_cols=[c for c in args.min_cols.split(",") if c],
+            max_cols=[c for c in args.max_cols.split(",") if c],
         )
         print(
             json.dumps(

@@ -110,3 +110,27 @@ def test_stream_and_batch_consumers_share_one_ledger(spark, tmp_path):
     summary = consume(spark, base_dir, view_dir, ["grp"], ["x"])
     assert summary["applied_now"] == [3]
     assert _view_state(spark, view_dir) == _recompute(base)
+
+
+def test_stream_minmax_boundary_retraction(spark, tmp_path):
+    """Streaming consumer with min/max: a commit that retracts a group's
+    boundary value recomputes against the base AT that commit's version
+    inside foreachBatch, and the drained view equals a recompute."""
+    base_dir = str(tmp_path / "base")
+    view_dir = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    base = SnapshotTable.create(spark, base_dir, keys=["k"], nbuckets=4)
+    base.merge(_delta(spark, [(1, "a", 1.0, "upsert", 1), (2, "a", 5.0, "upsert", 2)]), "b0")
+    base.merge(_delta(spark, [(1, "a", 0.0, "delete", 3)]), "b1")  # retract min
+    base.merge(_delta(spark, [(3, "a", 0.5, "upsert", 4), (4, "b", 7.0, "upsert", 5)]), "b2")
+
+    q = start_stream(
+        spark, base_dir, view_dir, ckpt, ["grp"], [], ["x"], ["x"],
+        starting_version="0",
+    )
+    q.awaitTermination(120)
+    from pyetl_spark.cdc.ivm import IncrementalAgg
+
+    v = IncrementalAgg(spark, view_dir, ["grp"], [], min_cols=["x"], max_cols=["x"])
+    got = {r["grp"]: (r["count"], r["min_x"], r["max_x"]) for r in v.state().collect()}
+    assert got == {"a": (2, 0.5, 5.0), "b": (1, 7.0, 7.0)}
