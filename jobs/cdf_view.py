@@ -17,7 +17,7 @@ Usage:
     spark-submit --master <cluster|local[N]> --py-files /tmp/pyetl_spark.zip \
         jobs/cdf_view.py <base_table_dir> <view_dir> \
         --group-cols event_type [--sum-cols value] \
-        [--min-cols value] [--max-cols value]
+        [--min-cols value] [--max-cols value] | [--distinct-col value]
 
 Min/max views recompute a group from the base table only when a commit
 retracts that group's boundary value (cdc/ivm.py) — the job hands apply()
@@ -41,7 +41,7 @@ import sys
 
 from pyspark.sql import SparkSession
 
-from pyetl_spark.cdc.ivm import IncrementalAgg
+from pyetl_spark.cdc.ivm import IncrementalAgg, IncrementalDistinct
 from pyetl_spark.cdc.tableio import SnapshotTable
 
 
@@ -53,16 +53,27 @@ def consume(
     sum_cols: list[str],
     min_cols: list[str] = (),
     max_cols: list[str] = (),
+    distinct_col: str | None = None,
 ) -> dict:
     """Catch the view up to the base table's current version; returns a
-    summary dict (applied commit list, final view version, group count)."""
+    summary dict (applied commit list, final view version, group count).
+    ``distinct_col`` switches the view to a chained count(DISTINCT col)
+    (IncrementalDistinct) — its base-feed ledger lives on the inner
+    multiplicity table, so the cursor below reads the right ledger."""
     base = SnapshotTable(spark, base_dir)
-    view = IncrementalAgg(
-        spark, view_dir, group_cols, sum_cols, min_cols=min_cols, max_cols=max_cols
-    )
+    if distinct_col:
+        if sum_cols or min_cols or max_cols:
+            raise ValueError("--distinct-col is exclusive of sum/min/max cols")
+        view = IncrementalDistinct(spark, view_dir, group_cols, distinct_col)
+        ledger_table = view.inner.table
+    else:
+        view = IncrementalAgg(
+            spark, view_dir, group_cols, sum_cols, min_cols=min_cols, max_cols=max_cols
+        )
+        ledger_table = view.table
     applied = {
         int(b[1:])
-        for b in view.table.committed_batches()
+        for b in ledger_table.committed_batches()
         if b.startswith("v") and b[1:].isdigit()
     }
     cursor = max(applied, default=0)
@@ -73,18 +84,21 @@ def consume(
     prev = cursor
     needs_base = bool(min_cols or max_cols)
     for v in pending:
-        view.apply(
-            base.changes(prev, v),
-            batch_id=f"v{v}",
-            # the slice's END version, not current_version(): a boundary
-            # retracted in commit v must recompute against state-at-v
-            base=base.read(version=v) if needs_base else None,
-        )
+        if distinct_col:
+            view.apply(base.changes(prev, v), batch_id=f"v{v}")
+        else:
+            view.apply(
+                base.changes(prev, v),
+                batch_id=f"v{v}",
+                # the slice's END version, not current_version(): a boundary
+                # retracted in commit v must recompute against state-at-v
+                base=base.read(version=v) if needs_base else None,
+            )
         prev = v
     return {
         "base_version": current,
         "applied_now": pending,
-        "view_version": view.table.current_version(),
+        "view_version": ledger_table.current_version(),
         "groups": view.state().count(),
     }
 
@@ -97,6 +111,11 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--sum-cols", default="", help="comma-separated")
     ap.add_argument("--min-cols", default="", help="comma-separated")
     ap.add_argument("--max-cols", default="", help="comma-separated")
+    ap.add_argument(
+        "--distinct-col",
+        default=None,
+        help="maintain count(DISTINCT col) per group instead (chained IVM)",
+    )
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName("cdf-view").getOrCreate()
@@ -109,6 +128,7 @@ def main(argv: list[str]) -> int:
             [c for c in args.sum_cols.split(",") if c],
             [c for c in args.min_cols.split(",") if c],
             [c for c in args.max_cols.split(",") if c],
+            distinct_col=args.distinct_col,
         )
         print(json.dumps(summary))
         return 0

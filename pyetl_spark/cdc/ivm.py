@@ -292,3 +292,73 @@ class IncrementalAgg:
         """Current view contents (group_cols, count, sum_<col>…,
         min_<col>…, max_<col>…)."""
         return self.table.read()
+
+
+class IncrementalDistinct:
+    """COUNT(DISTINCT col)-per-group, maintained incrementally as TWO
+    chained :class:`IncrementalAgg` views: an inner multiplicity view
+    keyed ``group_cols + [col]`` absorbs the base change feed (its count
+    is how many base rows carry that (group, value) pair), and an outer
+    view counts the inner table's live rows per group by consuming the
+    INNER TABLE'S OWN change feed. Distinct-count deltas fall out of the
+    chain with no special casing: a pair's multiplicity reaching zero
+    tombstones the inner row, whose feed 'delete' decrements the outer
+    count; multiplicity changes on a surviving pair emit paired pre/post
+    images that cancel (the Flink two-level distinct-agg analog —
+    reference analog: pyetl's cnt_val_uniq statistics, which recompute
+    from scratch per run, traitement_stats.py).
+
+    Scale shape: inner state ∝ live DISTINCT (group, value) pairs and is
+    bucket-pruned per apply like any view; outer state ∝ groups; per-batch
+    cost ∝ pairs the batch touched. Both levels sit on the table ledger —
+    the outer keeps a cursor over inner commit versions (``iv<version>``
+    keys), so a crash between the two applies, or a replayed slice, is
+    healed by the next call."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        group_cols: Sequence[str],
+        col: str,
+        nbuckets: int = 16,
+    ):
+        import os
+
+        self.group_cols = list(group_cols)
+        self.col = col
+        self.inner = IncrementalAgg(
+            spark,
+            os.path.join(root, "multiplicity"),
+            self.group_cols + [col],
+            nbuckets=nbuckets,
+        )
+        self.outer = IncrementalAgg(
+            spark, os.path.join(root, "distinct"), self.group_cols, nbuckets=nbuckets
+        )
+
+    def apply(self, changes: DataFrame, batch_id: str) -> MergeStats:
+        """Fold one base-feed slice through both levels. Idempotent: the
+        inner apply no-ops on a replayed ``batch_id``; the outer catch-up
+        below is cursor-driven off the inner ledger, so it also finishes
+        any outer work a previous crash left behind."""
+        stats = self.inner.apply(changes, batch_id)
+        applied = {
+            int(b[2:])
+            for b in self.outer.table.committed_batches()
+            if b.startswith("iv") and b[2:].isdigit()
+        }
+        cursor = max(applied, default=0)
+        current = self.inner.table.current_version()
+        prev = cursor
+        for v in self.inner.table._lineage(cursor, current)[1:]:
+            if v not in applied:
+                self.outer.apply(self.inner.table.changes(prev, v), batch_id=f"iv{v}")
+            prev = v
+        return stats
+
+    def state(self) -> DataFrame:
+        """(group_cols…, n_distinct) — live groups only."""
+        return self.outer.state().select(
+            *self.group_cols, F.col("count").alias("n_distinct")
+        )

@@ -83,3 +83,27 @@ def test_consume_minmax_catchup_recomputes_at_slice_versions(spark, tmp_path):
     # idempotent rerun
     s2 = consume(spark, base_dir, view_dir, ["grp"], ["x"], ["x"], ["x"])
     assert s2["applied_now"] == []
+
+
+def test_consume_distinct_col(spark, tmp_path):
+    """--distinct-col: the chained count(DISTINCT) view catches up with
+    the same cursor semantics and survives reruns."""
+    base_dir, view_dir = str(tmp_path / "base"), str(tmp_path / "view")
+    base = SnapshotTable.create(spark, base_dir, keys=["k"], nbuckets=4)
+    base.merge(_delta(spark, [(1, "a", 1.0, "upsert", 1), (2, "a", 1.0, "upsert", 2),
+                              (3, "a", 2.0, "upsert", 3)]), "b0")
+    base.merge(_delta(spark, [(1, "a", 0.0, "delete", 4)]), "b1")  # dup carrier
+    s1 = consume(spark, base_dir, view_dir, ["grp"], [], distinct_col="x")
+    assert len(s1["applied_now"]) == 2
+
+    from pyetl_spark.cdc.ivm import IncrementalDistinct
+
+    v = IncrementalDistinct(spark, view_dir, ["grp"], "x")
+    assert {r["grp"]: r["n_distinct"] for r in v.state().collect()} == {"a": 2}
+    # rerun: no-op
+    s2 = consume(spark, base_dir, view_dir, ["grp"], [], distinct_col="x")
+    assert s2["applied_now"] == []
+    # drop x=2.0's only carrier: distinct 2→1
+    base.merge(_delta(spark, [(3, "a", 0.0, "delete", 5)]), "b2")
+    consume(spark, base_dir, view_dir, ["grp"], [], distinct_col="x")
+    assert {r["grp"]: r["n_distinct"] for r in v.state().collect()} == {"a": 1}

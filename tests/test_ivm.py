@@ -267,3 +267,112 @@ def test_minmax_property_random_sequences(spark, tmp_path):
             }
             want = {g: (n, s.quantize(D("0.000001")), mn, mx) for g, (n, s, mn, mx) in want.items()}
             assert got == want, f"seed {seed} batch {b}: {got} != {want}"
+
+
+def _distinct_recompute(base):
+    return {
+        r["grp"]: r["nd"]
+        for r in base.read()
+        .groupBy("grp")
+        .agg(F.countDistinct("x").alias("nd"))
+        .collect()
+    }
+
+
+def test_incremental_distinct_lifecycle(spark, tmp_path):
+    """Chained two-level IVM: multiplicity drops that keep a value alive
+    must not change the distinct count; dropping a value's last carrier
+    must decrement it; emptied groups leave the view."""
+    from pyetl_spark.cdc.ivm import IncrementalDistinct
+
+    base = _base(spark, tmp_path)
+    d = IncrementalDistinct(spark, str(tmp_path / "d"), ["grp"], "x")
+    batches = [
+        # two keys share x=1.0 in grp a → distinct {a: 2, b: 1}
+        [(1, "a", 1.0, "upsert", 1), (2, "a", 1.0, "upsert", 2),
+         (3, "a", 7.0, "upsert", 3), (4, "b", 5.0, "upsert", 4)],
+        # delete ONE carrier of (a, 1.0): multiplicity 2→1, distinct stays 2
+        [(1, "a", 0.0, "delete", 5)],
+        # delete the LAST carrier of (a, 1.0): distinct 2→1
+        [(2, "a", 0.0, "delete", 6)],
+        # move k=3 a→b with a new value: a empties, b gains a value
+        [(3, "b", 9.0, "upsert", 7)],
+    ]
+    v_prev = 0
+    for i, rows in enumerate(batches):
+        base.merge(_delta(spark, rows), batch_id=f"b{i}")
+        v_now = base.current_version()
+        d.apply(base.changes(v_prev, v_now), batch_id=f"b{i}")
+        v_prev = v_now
+        got = {r["grp"]: r["n_distinct"] for r in d.state().collect()}
+        assert got == _distinct_recompute(base), f"diverged after batch {i}"
+    assert got == {"b": 2}
+
+
+def test_incremental_distinct_replay_and_crash_healing(spark, tmp_path):
+    """A replayed slice no-ops at both levels, and an inner apply whose
+    outer half never ran (crash between the chained applies) is finished
+    by the next call's cursor catch-up."""
+    from pyetl_spark.cdc.ivm import IncrementalDistinct
+
+    base = _base(spark, tmp_path)
+    d = IncrementalDistinct(spark, str(tmp_path / "d"), ["grp"], "x")
+    base.merge(_delta(spark, [(1, "a", 1.0, "upsert", 1)]), "b0")
+    feed0 = base.changes(0)
+    d.apply(feed0, "b0")
+    d.apply(feed0, "b0")  # replay: both levels skip
+    v1 = base.current_version()
+    base.merge(_delta(spark, [(2, "a", 3.0, "upsert", 2)]), "b1")
+    feed1 = base.changes(v1)
+    d.inner.apply(feed1, "b1")  # simulate crash before the outer apply
+    d.apply(feed1, "b1")  # inner no-ops, outer catch-up heals
+    got = {r["grp"]: r["n_distinct"] for r in d.state().collect()}
+    assert got == {"a": 2}
+
+
+def test_incremental_distinct_random_vs_duckdb(spark, tmp_path):
+    """Randomized sequences cross-checked against BOTH a Spark recompute
+    and DuckDB's count(DISTINCT) over the same final base rows."""
+    import random
+
+    import duckdb
+
+    from pyetl_spark.cdc.ivm import IncrementalDistinct
+
+    for seed in range(3):
+        rng = random.Random(4200 + seed)
+        base = SnapshotTable.create(
+            spark, str(tmp_path / f"b{seed}"), keys=["k"], nbuckets=4
+        )
+        d = IncrementalDistinct(spark, str(tmp_path / f"d{seed}"), ["grp"], "x")
+        live, seq, v_prev = {}, 1, 0
+        for b in range(4):
+            rows = []
+            for _ in range(rng.randint(1, 6)):
+                k = rng.randint(0, 9)
+                if live and rng.random() < 0.35:
+                    k = rng.choice(sorted(live))
+                    rows.append((k, "g", 0.0, "delete", seq))
+                    live.pop(k, None)
+                else:
+                    grp = rng.choice(["g0", "g1"])
+                    x = float(rng.randint(0, 4))  # few values → real collisions
+                    rows.append((k, grp, x, "upsert", seq))
+                    live[k] = (grp, x)
+                seq += 1
+            base.merge(_delta(spark, rows), f"b{b}")
+            v_now = base.current_version()
+            d.apply(base.changes(v_prev, v_now), f"b{b}")
+            v_prev = v_now
+            got = {r["grp"]: r["n_distinct"] for r in d.state().collect()}
+            assert got == _distinct_recompute(base), f"seed {seed} batch {b}"
+        pdf = base.read().select("grp", "x").toPandas()
+        con = duckdb.connect()
+        con.register("t", pdf)
+        oracle = {
+            g: n
+            for g, n in con.execute(
+                "SELECT grp, count(DISTINCT x) FROM t GROUP BY grp"
+            ).fetchall()
+        }
+        assert got == oracle, f"seed {seed} vs duckdb"
