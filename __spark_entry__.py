@@ -2442,6 +2442,62 @@ def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_cdc_ivm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental AVG/VARIANCE view (cdc/ivm.py sumsq_cols + stats()):
+    same 3-batch CDC replay as cdc_incremental_agg (clicks become
+    deletes), but the maintained view carries the signed sum of SQUARES —
+    additive under retraction, so updates/deletes/group-moves fold with no
+    recompute path — and avg/var are derived at read time from the exact
+    decimal sums. The oracle recomputes the identical formula (E[x²] −
+    E[x]²) over the final LWW state with the same decimal casts, so
+    equality is exact, not tolerance-based: any sign error or double-fold
+    in the sumsq path shifts the variance immediately."""
+    import shutil
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "click", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    n = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    step = n // 3 + 1
+    root = _mkdtemp(prefix="q_cdc_ivm_stats_")
+    try:
+        base = SnapshotTable.create(
+            spark, os.path.join(root, "t"), keys=["user_id"], nbuckets=8
+        )
+        view = IncrementalAgg(
+            spark,
+            os.path.join(root, "v"),
+            ["event_type"],
+            ["value"],
+            sumsq_cols=["value"],
+        )
+        v_prev = 0
+        for b in range(3):
+            batch = ev.filter(
+                (F.col("event_id") >= b * step) & (F.col("event_id") < (b + 1) * step)
+            )
+            base.merge(batch, batch_id=f"q:{b}", seq_col="event_id")
+            v_now = base.current_version()
+            view.apply(base.changes(v_prev, v_now), batch_id=f"q:{b}")
+            v_prev = v_now
+        out = view.stats().select(
+            "event_type",
+            F.col("count").alias("n_keys"),
+            F.col("sumsq_value").cast("double").alias("value_sumsq"),
+            F.col("avg_value").alias("value_avg"),
+            F.col("var_value").alias("value_var"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (decontam.decontaminate): a deterministic
     'eval set' is carved from the corpus itself (docs with doc_id % 101 ==
@@ -2557,6 +2613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_stream_feed": q_cdc_stream_feed,          # NEW r5: streaming CDF source
         "cdc_skipping_scan": q_cdc_skipping_scan,      # tableio-backed
         "cdc_incremental_agg": q_cdc_incremental_agg,  # tableio-backed
+        "cdc_ivm_stats": q_cdc_ivm_stats,              # NEW r5: sumsq AVG/VAR view
         "cdc_time_travel": q_cdc_time_travel,          # tableio-backed
         "cdc_schema_evolution": q_cdc_schema_evolution,  # tableio-backed
         "dedup_incremental": q_dedup_incremental,      # tableio-backed registry
@@ -2591,21 +2648,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_pivot": q_stat_pivot,
         "sessionize": q_sessionize,
         "csv_roundtrip": q_csv_roundtrip,
-        "xlsx_roundtrip": q_xlsx_roundtrip,
         # ---- position 51+ : outside the driver's 50-row certification
         # window (the marker sits at the EXACT cut — verified by index, a
         # prior revision had drifted two entries high). Every entry below
         # was certified green in ROUND 4's driver window (CORRECTNESS_r04)
         # — except script_front, objgroup, join_denorm, semi_join,
         # anti_join, compare_cdc, changed_lag, merge_rows, kafka_roundtrip,
-        # sortir_fanout and dbf_roundtrip, green in ROUND 3 and pushed past
-        # the cut by the round-5 front additions (two rounds stale, the
-        # allowed bound) — and the local oracle suite still checks every
-        # one of them each run. The round-5 front additions are
-        # quality_dsir, quality_perplexity, cdc_zorder_scan,
+        # sortir_fanout, dbf_roundtrip and xlsx_roundtrip, green in ROUND 3
+        # and pushed past the cut by the round-5 front additions (two
+        # rounds stale, the allowed bound) — and the local oracle suite
+        # still checks every one of them each run. The round-5 front
+        # additions are quality_dsir, quality_perplexity, cdc_zorder_scan,
         # cdc_bloom_scan, cdc_rescale, cdc_delete_where, cdc_merge_into,
         # cdc_metadata, cdc_stream_feed, serve_script, cdc_mor_merge,
-        # cdc_wap_publish, and cdc_clone.
+        # cdc_wap_publish, cdc_clone, and cdc_ivm_stats.
+        "xlsx_roundtrip": q_xlsx_roundtrip,
         "dbf_roundtrip": q_dbf_roundtrip,
         "sortir_fanout": q_sortir_fanout,
         "script_front": q_script_front,
@@ -3625,6 +3682,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum,
                    min(value) AS value_min, max(value) AS value_max
             FROM lww WHERE NOT del GROUP BY event_type
+        """,
+        # sumsq view: identical decimal casts and the identical E[x²]−E[x]²
+        # double formula as IncrementalAgg.stats(), over the LWW final
+        # state — exact sums make the derived doubles bit-comparable
+        "cdc_ivm_stats": """
+            WITH lww AS (
+                SELECT user_id,
+                       max_by(event_type, event_id) AS event_type,
+                       max_by(value, event_id) AS value,
+                       max_by(event_type = 'click', event_id) AS del
+                FROM events GROUP BY user_id
+            ),
+            agg AS (
+                SELECT event_type, count(*) AS n_keys,
+                       sum(CAST(value AS DECIMAL(28,6))) AS s,
+                       sum(CAST(CAST(value AS DECIMAL(18,6))
+                                * CAST(value AS DECIMAL(18,6))
+                                AS DECIMAL(28,6))) AS sq
+                FROM lww WHERE NOT del GROUP BY event_type
+            )
+            SELECT event_type, n_keys,
+                   CAST(sq AS DOUBLE) AS value_sumsq,
+                   CAST(s AS DOUBLE) / CAST(n_keys AS DOUBLE) AS value_avg,
+                   CAST(sq AS DOUBLE) / CAST(n_keys AS DOUBLE)
+                     - (CAST(s AS DOUBLE) / CAST(n_keys AS DOUBLE))
+                       * (CAST(s AS DOUBLE) / CAST(n_keys AS DOUBLE)) AS value_var
+            FROM agg
         """,
         "cdc_skipping_scan": """
             SELECT user_id,

@@ -16,7 +16,7 @@ Usage:
     spark-submit --master <cluster|local[N]> --py-files /tmp/pyetl_spark.zip \
         jobs/cdf_stream.py <base_table_dir> <view_dir> <checkpoint_dir> \
         --group-cols event_type [--sum-cols value] \
-        [--min-cols value] [--max-cols value] \
+        [--min-cols value] [--max-cols value] [--sumsq-cols value] \
         [--starting-version 0] [--max-commits-per-batch 64] \
         [--follow <seconds>]
 
@@ -54,6 +54,7 @@ def start_stream(
     sum_cols: list[str],
     min_cols: list[str] = (),
     max_cols: list[str] = (),
+    sumsq_cols: list[str] = (),
     starting_version: str = "current",
     max_commits_per_batch: int = 64,
     follow_seconds: float | None = None,
@@ -61,7 +62,8 @@ def start_stream(
     """Open the feed stream and attach the view-maintaining sink; returns
     the StreamingQuery (caller awaits/stops it)."""
     view = IncrementalAgg(
-        spark, view_dir, group_cols, sum_cols, min_cols=min_cols, max_cols=max_cols
+        spark, view_dir, group_cols, sum_cols,
+            min_cols=min_cols, max_cols=max_cols, sumsq_cols=sumsq_cols
     )
     needs_base = bool(min_cols or max_cols)
     base = SnapshotTable(spark, base_dir) if needs_base else None
@@ -108,6 +110,11 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--sum-cols", default="", help="comma-separated")
     ap.add_argument("--min-cols", default="", help="comma-separated")
     ap.add_argument("--max-cols", default="", help="comma-separated")
+    ap.add_argument(
+        "--sumsq-cols",
+        default="",
+        help="comma-separated; additive sum-of-squares for derived AVG/VAR",
+    )
     ap.add_argument("--starting-version", default="0")
     ap.add_argument("--max-commits-per-batch", type=int, default=64)
     ap.add_argument("--follow", type=float, default=None, metavar="SECONDS")
@@ -124,6 +131,7 @@ def main(argv: list[str]) -> int:
             [c for c in args.sum_cols.split(",") if c],
             [c for c in args.min_cols.split(",") if c],
             [c for c in args.max_cols.split(",") if c],
+            sumsq_cols=[c for c in args.sumsq_cols.split(",") if c],
             starting_version=args.starting_version,
             max_commits_per_batch=args.max_commits_per_batch,
             follow_seconds=args.follow,
@@ -136,6 +144,7 @@ def main(argv: list[str]) -> int:
             [c for c in args.sum_cols.split(",") if c],
             min_cols=[c for c in args.min_cols.split(",") if c],
             max_cols=[c for c in args.max_cols.split(",") if c],
+            sumsq_cols=[c for c in args.sumsq_cols.split(",") if c],
         )
         print(
             json.dumps(

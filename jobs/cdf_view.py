@@ -17,7 +17,8 @@ Usage:
     spark-submit --master <cluster|local[N]> --py-files /tmp/pyetl_spark.zip \
         jobs/cdf_view.py <base_table_dir> <view_dir> \
         --group-cols event_type [--sum-cols value] \
-        [--min-cols value] [--max-cols value] | [--distinct-col value]
+        [--min-cols value] [--max-cols value] [--sumsq-cols value] |
+        [--distinct-col value]
 
 Min/max views recompute a group from the base table only when a commit
 retracts that group's boundary value (cdc/ivm.py) — the job hands apply()
@@ -53,6 +54,7 @@ def consume(
     sum_cols: list[str],
     min_cols: list[str] = (),
     max_cols: list[str] = (),
+    sumsq_cols: list[str] = (),
     distinct_col: str | None = None,
 ) -> dict:
     """Catch the view up to the base table's current version; returns a
@@ -62,13 +64,14 @@ def consume(
     multiplicity table, so the cursor below reads the right ledger."""
     base = SnapshotTable(spark, base_dir)
     if distinct_col:
-        if sum_cols or min_cols or max_cols:
-            raise ValueError("--distinct-col is exclusive of sum/min/max cols")
+        if sum_cols or min_cols or max_cols or sumsq_cols:
+            raise ValueError("--distinct-col is exclusive of sum/min/max/sumsq cols")
         view = IncrementalDistinct(spark, view_dir, group_cols, distinct_col)
         ledger_table = view.inner.table
     else:
         view = IncrementalAgg(
-            spark, view_dir, group_cols, sum_cols, min_cols=min_cols, max_cols=max_cols
+            spark, view_dir, group_cols, sum_cols,
+            min_cols=min_cols, max_cols=max_cols, sumsq_cols=sumsq_cols
         )
         ledger_table = view.table
     applied = {
@@ -112,6 +115,11 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--min-cols", default="", help="comma-separated")
     ap.add_argument("--max-cols", default="", help="comma-separated")
     ap.add_argument(
+        "--sumsq-cols",
+        default="",
+        help="comma-separated; additive sum-of-squares for derived AVG/VAR",
+    )
+    ap.add_argument(
         "--distinct-col",
         default=None,
         help="maintain count(DISTINCT col) per group instead (chained IVM)",
@@ -128,6 +136,7 @@ def main(argv: list[str]) -> int:
             [c for c in args.sum_cols.split(",") if c],
             [c for c in args.min_cols.split(",") if c],
             [c for c in args.max_cols.split(",") if c],
+            sumsq_cols=[c for c in args.sumsq_cols.split(",") if c],
             distinct_col=args.distinct_col,
         )
         print(json.dumps(summary))

@@ -13,7 +13,12 @@ read + one small merge), never the size of the base table or of the view.
 
 Sums are maintained in DECIMAL so incremental (+x then −x) arithmetic is
 exact — float sums drift under reordering, and a maintained view must stay
-byte-equal to the recomputed truth indefinitely.
+byte-equal to the recomputed truth indefinitely. ``sumsq_cols`` maintains
+sums of squares under the same exact-decimal discipline, which makes AVG
+and VARIANCE purely additive too (:meth:`IncrementalAgg.stats` derives
+them from the exact sums at read time — the Flink incremental-AVG/STDDEV
+accumulator analog, with no retract special-casing because retraction is
+just a sign flip on an exact number).
 
 MIN/MAX are NOT additive under retraction (deleting the current minimum
 tells you nothing about the runner-up), so they are maintained with the
@@ -55,6 +60,7 @@ def delta_aggregate(
     decimal: str = "decimal(28,6)",
     min_cols: Sequence[str] = (),
     max_cols: Sequence[str] = (),
+    sumsq_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Per-group additive deltas for a CDF slice: ``d_count`` plus one
     ``d_sum_<col>`` per ``sum_cols`` entry (cast to ``decimal`` for exact
@@ -62,6 +68,14 @@ def delta_aggregate(
     within the slice (e.g. a row updated without changing group or summed
     values) still emit a zero row — harmless, and filtering them would cost
     more than merging them.
+
+    ``sumsq_cols`` adds ``d_sumsq_<col>`` — the signed sum of SQUARES,
+    which is additive under retraction exactly like a plain sum, so AVG
+    and VARIANCE views need no boundary-hit machinery at all (contrast
+    min/max below). The operand is cast to decimal(18,6) BEFORE squaring:
+    the product is then decimal-exact (scale 12), and re-casting to the
+    accumulator ``decimal`` stays exact whenever inputs carry ≤3 fractional
+    digits — drift-free fold-in/fold-out indefinitely.
 
     For ``min_cols`` / ``max_cols`` the slice is split by sign inside the
     same aggregate: ``ins_min_<c>`` / ``del_min_<c>`` (and ``ins_max_<c>``
@@ -79,6 +93,13 @@ def delta_aggregate(
             F.sum(F.col("__sign") * F.col(c).cast(decimal))
             .cast(decimal)
             .alias(f"d_sum_{c}")
+        )
+    for c in sumsq_cols:
+        v = F.col(c).cast("decimal(18,6)")
+        aggs.append(
+            F.sum(F.col("__sign") * (v * v).cast(decimal))
+            .cast(decimal)
+            .alias(f"d_sumsq_{c}")
         )
     for c in min_cols:
         aggs.append(F.min(F.when(ins, F.col(c))).alias(f"ins_min_{c}"))
@@ -114,17 +135,20 @@ class IncrementalAgg:
         nbuckets: int = 16,
         min_cols: Sequence[str] = (),
         max_cols: Sequence[str] = (),
+        sumsq_cols: Sequence[str] = (),
     ):
         self.spark = spark
         self.group_cols = list(group_cols)
         self.sum_cols = list(sum_cols)
         self.min_cols = list(min_cols)
         self.max_cols = list(max_cols)
+        self.sumsq_cols = list(sumsq_cols)
         cfg = {
             "view_group_cols": self.group_cols,
             "view_sum_cols": self.sum_cols,
             "view_min_cols": self.min_cols,
             "view_max_cols": self.max_cols,
+            "view_sumsq_cols": self.sumsq_cols,
         }
         if SnapshotTable.exists(root):
             self.table = SnapshotTable(spark, root)
@@ -164,6 +188,7 @@ class IncrementalAgg:
             self.sum_cols,
             min_cols=self.min_cols,
             max_cols=self.max_cols,
+            sumsq_cols=self.sumsq_cols,
         )
         # pin the (small) delta frame: bucket_ids collects from it, and the
         # join below reuses it — without this the CDF diff recomputes twice
@@ -173,13 +198,19 @@ class IncrementalAgg:
         sum_names = [f"sum_{c}" for c in self.sum_cols]
         min_names = [f"min_{c}" for c in self.min_cols]
         max_names = [f"max_{c}" for c in self.max_cols]
+        sumsq_names = [f"sumsq_{c}" for c in self.sumsq_cols]
+        # (delta column, state column) pairs that fold by plain addition —
+        # sums of values and sums of squares share one code path
+        add_pairs = [
+            (f"d_sum_{c}", n) for c, n in zip(self.sum_cols, sum_names)
+        ] + [(f"d_sumsq_{c}", n) for c, n in zip(self.sumsq_cols, sumsq_names)]
         if "count" not in cur.columns:  # first apply: empty-schema state
             cur = deltas.select(
                 *self.group_cols,
                 F.lit(0).cast("long").alias("count"),
                 *[
-                    F.lit(0).cast(deltas.schema[f"d_sum_{c}"].dataType).alias(n)
-                    for c, n in zip(self.sum_cols, sum_names)
+                    F.lit(0).cast(deltas.schema[d].dataType).alias(n)
+                    for d, n in add_pairs
                 ],
                 *[
                     F.lit(None).cast(deltas.schema[f"ins_min_{c}"].dataType).alias(n)
@@ -210,11 +241,11 @@ class IncrementalAgg:
             *[
                 (
                     F.coalesce(F.col(n), F.lit(0))
-                    + F.coalesce(F.col(f"d_sum_{c}"), F.lit(0))
+                    + F.coalesce(F.col(d), F.lit(0))
                 )
                 .cast(cur.schema[n].dataType if n in cur.columns else "decimal(28,6)")
                 .alias(n)
-                for c, n in zip(self.sum_cols, sum_names)
+                for d, n in add_pairs
             ],
             *[
                 F.least(F.col(n), F.col(f"ins_min_{c}")).alias(n)
@@ -233,6 +264,7 @@ class IncrementalAgg:
             *self.group_cols,
             "count",
             *sum_names,
+            *sumsq_names,
             *min_names,
             *max_names,
             F.when(F.col("count") <= 0, F.lit("delete"))
@@ -280,6 +312,7 @@ class IncrementalAgg:
             *self.group_cols,
             "count",
             *[f"sum_{c}" for c in self.sum_cols],
+            *[f"sumsq_{c}" for c in self.sumsq_cols],
             *[
                 F.when(F.col("__dirty"), F.col(f"rec_{n}"))
                 .otherwise(F.col(n))
@@ -290,8 +323,28 @@ class IncrementalAgg:
 
     def state(self) -> DataFrame:
         """Current view contents (group_cols, count, sum_<col>…,
-        min_<col>…, max_<col>…)."""
+        sumsq_<col>…, min_<col>…, max_<col>…)."""
         return self.table.read()
+
+    def stats(self) -> DataFrame:
+        """:meth:`state` plus derived ``avg_<c>`` / ``var_<c>`` (population
+        variance) for every column maintained in BOTH ``sum_cols`` and
+        ``sumsq_cols``. The stored sums are decimal-exact, so the derived
+        values are a single deterministic double computation over exact
+        inputs — a maintained view's AVG/VAR stays equal to a from-scratch
+        recompute no matter how many folds produced it. Formula is the
+        textbook E[x²] − E[x]² over exact sums (no Welford needed: there is
+        no float accumulation anywhere)."""
+        df = self.state()
+        n = F.col("count").cast("double")
+        for c in self.sumsq_cols:
+            if c not in self.sum_cols:
+                continue
+            m = F.col(f"sum_{c}").cast("double") / n
+            df = df.withColumn(f"avg_{c}", m).withColumn(
+                f"var_{c}", F.col(f"sumsq_{c}").cast("double") / n - m * m
+            )
+        return df
 
 
 class IncrementalDistinct:

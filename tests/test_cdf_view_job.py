@@ -107,3 +107,24 @@ def test_consume_distinct_col(spark, tmp_path):
     base.merge(_delta(spark, [(3, "a", 0.0, "delete", 5)]), "b2")
     consume(spark, base_dir, view_dir, ["grp"], [], distinct_col="x")
     assert {r["grp"]: r["n_distinct"] for r in v.state().collect()} == {"a": 1}
+
+
+def test_consume_sumsq_catchup_derives_avg_var(spark, tmp_path):
+    """--sumsq-cols path: the consumed view carries exact sums of squares
+    and stats() matches a from-scratch avg/var after catch-up, including
+    across a delete (sumsq needs no base= recompute, unlike min/max)."""
+    from pyetl_spark.cdc.ivm import IncrementalAgg
+
+    base_dir, view_dir = str(tmp_path / "base"), str(tmp_path / "view")
+    base = SnapshotTable.create(spark, base_dir, keys=["k"], nbuckets=4)
+    base.merge(_delta(spark, [(1, "a", 1.0, "upsert", 1), (2, "a", 3.0, "upsert", 2)]), "b0")
+    base.merge(_delta(spark, [(2, "a", 0.0, "delete", 3), (3, "b", 5.0, "upsert", 4)]), "b1")
+
+    s = consume(spark, base_dir, view_dir, ["grp"], ["x"], sumsq_cols=["x"])
+    assert len(s["applied_now"]) == 2
+
+    v = IncrementalAgg(spark, view_dir, ["grp"], ["x"], sumsq_cols=["x"])
+    got = {
+        r["grp"]: (r["count"], r["avg_x"], r["var_x"]) for r in v.stats().collect()
+    }
+    assert got == {"a": (1, 1.0, 0.0), "b": (1, 5.0, 0.0)}

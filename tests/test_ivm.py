@@ -376,3 +376,89 @@ def test_incremental_distinct_random_vs_duckdb(spark, tmp_path):
             ).fetchall()
         }
         assert got == oracle, f"seed {seed} vs duckdb"
+
+
+def _stats_recompute(table):
+    """From-scratch avg/var over the base, via the same exact-decimal
+    sums the view maintains (so equality is exact, not approximate)."""
+    out = {}
+    for r in (
+        table.read()
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("x").cast("decimal(28,6)")).cast("decimal(28,6)").alias("s"),
+            F.sum(
+                (F.col("x").cast("decimal(18,6)") * F.col("x").cast("decimal(18,6)"))
+                .cast("decimal(28,6)")
+            )
+            .cast("decimal(28,6)")
+            .alias("sq"),
+        )
+        .collect()
+    ):
+        n = float(r["n"])
+        m = float(r["s"]) / n
+        out[r["grp"]] = (r["n"], m, float(r["sq"]) / n - m * m)
+    return out
+
+
+def test_sumsq_view_tracks_avg_var_through_lifecycle(spark, tmp_path):
+    """AVG/VARIANCE via additive sum-of-squares: inserts, within-group
+    updates, group moves and deletes all fold with no recompute path,
+    and stats() equals a from-scratch computation after every batch."""
+    base = _base(spark, tmp_path)
+    view = IncrementalAgg(
+        spark, str(tmp_path / "v"), ["grp"], ["x"], sumsq_cols=["x"]
+    )
+    batches = [
+        [(1, "a", 10.5, "upsert", 1), (2, "a", 1.0, "upsert", 2), (3, "b", 2.0, "upsert", 3)],
+        [(1, "a", 11.5, "upsert", 4), (2, "b", 1.0, "upsert", 5), (4, "b", 7.0, "upsert", 6)],
+        [(3, "x", 0.0, "delete", 7), (4, "x", 0.0, "delete", 8)],
+    ]
+    v_prev = 0
+    for i, rows in enumerate(batches):
+        base.merge(_delta(spark, rows), batch_id=f"b{i}")
+        v_now = base.current_version()
+        view.apply(base.changes(v_prev, v_now), batch_id=f"b{i}")
+        v_prev = v_now
+        got = {
+            r["grp"]: (r["count"], r["avg_x"], r["var_x"])
+            for r in view.stats().collect()
+        }
+        assert got == _stats_recompute(base), f"diverged after batch {i}"
+    # single-row groups: variance exactly 0.0 (exact sums, no float drift)
+    assert got["a"] == (1, 11.5, 0.0)
+
+
+def test_sumsq_survives_minmax_dirty_recompute(spark, tmp_path):
+    """sumsq columns must pass through the min/max dirty-group recompute
+    path unharmed (the recompute only replaces min/max candidates)."""
+    base = _base(spark, tmp_path)
+    view = IncrementalAgg(
+        spark,
+        str(tmp_path / "v"),
+        ["grp"],
+        ["x"],
+        min_cols=["x"],
+        max_cols=["x"],
+        sumsq_cols=["x"],
+    )
+    base.merge(
+        _delta(spark, [(1, "a", 1.0, "upsert", 1), (2, "a", 9.0, "upsert", 2)]), "b0"
+    )
+    view.apply(base.changes(0), "b0", base=base)
+    v1 = base.current_version()
+    # delete the current max → boundary hit → dirty recompute runs
+    base.merge(_delta(spark, [(2, "a", 0.0, "delete", 3)]), "b1")
+    view.apply(base.changes(v1), "b1", base=base)
+    r = view.stats().collect()[0]
+    assert (r["count"], r["min_x"], r["max_x"]) == (1, 1.0, 1.0)
+    assert (r["avg_x"], r["var_x"]) == (1.0, 0.0)
+    assert r["sumsq_x"] == Decimal("1.000000")
+
+
+def test_sumsq_reopen_definition_guard(spark, tmp_path):
+    IncrementalAgg(spark, str(tmp_path / "v"), ["grp"], ["x"], sumsq_cols=["x"])
+    with pytest.raises(ValueError, match="view definitions"):
+        IncrementalAgg(spark, str(tmp_path / "v"), ["grp"], ["x"])
