@@ -95,6 +95,9 @@ BENCH_QUERIES = [
     # API) — the latter times a full stream lifecycle per run
     "cdc_metadata",
     "cdc_stream_feed",
+    # round 5: incremental AVG/VARIANCE view via additive sum-of-squares
+    # (3 full CDC commits + per-commit view folds inside the query)
+    "cdc_ivm_stats",
 ]
 
 

@@ -341,8 +341,14 @@ class IncrementalAgg:
             if c not in self.sum_cols:
                 continue
             m = F.col(f"sum_{c}").cast("double") / n
-            df = df.withColumn(f"avg_{c}", m).withColumn(
-                f"var_{c}", F.col(f"sumsq_{c}").cast("double") / n - m * m
+            var = F.col(f"sumsq_{c}").cast("double") / n - m * m
+            df = (
+                df.withColumn(f"avg_{c}", m)
+                .withColumn(f"var_{c}", var)
+                # greatest(0, var) before sqrt: E[x²]−E[x]² over exact sums
+                # can still round a true-zero variance to a tiny negative
+                # double; sqrt of that would be NaN
+                .withColumn(f"std_{c}", F.sqrt(F.greatest(var, F.lit(0.0))))
             )
         return df
 

@@ -429,6 +429,10 @@ def test_sumsq_view_tracks_avg_var_through_lifecycle(spark, tmp_path):
         assert got == _stats_recompute(base), f"diverged after batch {i}"
     # single-row groups: variance exactly 0.0 (exact sums, no float drift)
     assert got["a"] == (1, 11.5, 0.0)
+    # derived stddev: sqrt(var), clamped at 0 so a zero variance that
+    # rounds to a tiny negative double never turns into NaN
+    stds = {r["grp"]: r["std_x"] for r in view.stats().collect()}
+    assert stds["a"] == 0.0 and stds["b"] == 0.0
 
 
 def test_sumsq_survives_minmax_dirty_recompute(spark, tmp_path):
