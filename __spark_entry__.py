@@ -2288,6 +2288,51 @@ def q_cdc_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_cdc_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level predicate update (SnapshotTable.update_where — the
+    Iceberg/Delta UPDATE ... SET ... WHERE analog, completing the DML
+    triad with delete_where/merge_into; reference analog: pyetl's keyed
+    maj: UPDATE load mode, traitement_db.py): replay events as 2 CDC
+    batches (error events become deletes), then update_where(value :=
+    value + 100 WHERE value >= 400) and read the final state. The
+    assignment delta is planned through the data-skipping scan and
+    sequenced one past max_seq, so it must rewrite exactly the rows whose
+    FINAL value matched — updating a stale pre-image, or missing a row
+    the update should have won over, changes the hash. Late-event and
+    schema-widening edges are in tests/test_update_where.py."""
+    import shutil
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    n = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    half = n // 2
+    root = _mkdtemp(prefix="q_cdc_updw_")
+    try:
+        table = SnapshotTable.create(
+            spark,
+            os.path.join(root, "t"),
+            keys=["user_id"],
+            nbuckets=4,
+            props={"stats_cols": ["value"], "max_file_rows": max(16, n // 200)},
+        )
+        table.merge(ev.filter(F.col("event_id") < half), "uw:0", seq_col="event_id")
+        table.merge(ev.filter(F.col("event_id") >= half), "uw:1", seq_col="event_id")
+        table.update_where(
+            {"value": "value + 100"}, [("value", ">=", 400.0)], batch_id="uw:2"
+        )
+        out = table.read().select("user_id", "event_type", "value")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_cdc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General conditional MERGE (SnapshotTable.merge_into — the
     Delta/Iceberg MERGE INTO analog; pyetl's update-vs-insert load modes,
@@ -2602,6 +2647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_bloom_scan": q_cdc_bloom_scan,            # NEW r5: bloom sidecars + in-list scan
         "cdc_rescale": q_cdc_rescale,                  # NEW r5: bucket-spec evolution
         "cdc_delete_where": q_cdc_delete_where,        # NEW r5: predicate delete
+        "cdc_update_where": q_cdc_update_where,        # NEW r5: predicate update
         "cdc_merge_into": q_cdc_merge_into,            # NEW r5: conditional MERGE INTO
         "cdc_metadata": q_cdc_metadata,                # NEW r5: metadata tables
         "serve_script": q_serve_script,                # new: pooled serving seam
@@ -2647,21 +2693,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiplex_autre": q_multiplex_autre,
         "stat_pivot": q_stat_pivot,
         "sessionize": q_sessionize,
-        "csv_roundtrip": q_csv_roundtrip,
         # ---- position 51+ : outside the driver's 50-row certification
         # window (the marker sits at the EXACT cut — verified by index, a
         # prior revision had drifted two entries high). Every entry below
         # was certified green in ROUND 4's driver window (CORRECTNESS_r04)
         # — except script_front, objgroup, join_denorm, semi_join,
         # anti_join, compare_cdc, changed_lag, merge_rows, kafka_roundtrip,
-        # sortir_fanout, dbf_roundtrip and xlsx_roundtrip, green in ROUND 3
-        # and pushed past the cut by the round-5 front additions (two
-        # rounds stale, the allowed bound) — and the local oracle suite
-        # still checks every one of them each run. The round-5 front
-        # additions are quality_dsir, quality_perplexity, cdc_zorder_scan,
-        # cdc_bloom_scan, cdc_rescale, cdc_delete_where, cdc_merge_into,
-        # cdc_metadata, cdc_stream_feed, serve_script, cdc_mor_merge,
-        # cdc_wap_publish, cdc_clone, and cdc_ivm_stats.
+        # sortir_fanout, dbf_roundtrip, xlsx_roundtrip and csv_roundtrip,
+        # green in ROUND 3 and pushed past the cut by the round-5 front
+        # additions (two rounds stale, the allowed bound) — and the local
+        # oracle suite still checks every one of them each run. The
+        # round-5 front additions are quality_dsir, quality_perplexity,
+        # cdc_zorder_scan, cdc_bloom_scan, cdc_rescale, cdc_delete_where,
+        # cdc_update_where, cdc_merge_into, cdc_metadata, cdc_stream_feed,
+        # serve_script, cdc_mor_merge, cdc_wap_publish, cdc_clone, and
+        # cdc_ivm_stats.
+        "csv_roundtrip": q_csv_roundtrip,
         "xlsx_roundtrip": q_xlsx_roundtrip,
         "dbf_roundtrip": q_dbf_roundtrip,
         "sortir_fanout": q_sortir_fanout,
@@ -3738,6 +3785,21 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
             HAVING NOT max_by(event_type = 'error', event_id)
                AND NOT max_by(value, event_id) < 30.0
+        """,
+        # predicate update: rows whose FINAL LWW value matched carry the
+        # assignment (same double arithmetic both engines)
+        "cdc_update_where": """
+            WITH lww AS (
+                SELECT user_id,
+                       max_by(event_type, event_id) AS event_type,
+                       max_by(value, event_id) AS value,
+                       max_by(event_type = 'error', event_id) AS del
+                FROM events GROUP BY user_id
+            )
+            SELECT user_id, event_type,
+                   CASE WHEN value >= 400.0 THEN value + 100 ELSE value END
+                     AS value
+            FROM lww WHERE NOT del
         """,
         # conditional MERGE INTO: base = LWW over the first half of events;
         # source = per-user argmax over the second half; matched & error →

@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "cdc_rescale",
     # round 5: row-level predicate delete (skipping-scan planned tombstones)
     "cdc_delete_where",
+    # round 5: row-level predicate update (same scan-planned shape)
+    "cdc_update_where",
     # round 5: general conditional MERGE INTO (clause layer over merge())
     "cdc_merge_into",
     # round 5: shallow clone (metadata-only clone + CoW divergence + the

@@ -1178,6 +1178,63 @@ class SnapshotTable:
         )
         return self.merge(delta, batch_id=batch_id, operation="delete")
 
+    def update_where(
+        self,
+        set_exprs: dict[str, str],
+        filters: Sequence[tuple],
+        batch_id: str | None = None,
+    ) -> MergeStats:
+        """Row-level UPDATE by predicate — the Iceberg/Delta ``UPDATE t SET
+        col = expr WHERE ...`` analog, completing the DML triad with
+        :meth:`delete_where` and :meth:`merge_into` (reference analog:
+        pyetl's keyed ``maj:`` UPDATE load mode, traitement_db.py —
+        there a per-row DB statement, here one bucket-pruned MERGE).
+
+        ``set_exprs`` maps payload column → a Spark SQL expression over the
+        CURRENT row's columns (``value + 10``, ``upper(event_type)``); an
+        expression for a column the table doesn't have yet ADDS it through
+        the normal widening-only schema evolution. Key columns cannot be
+        assigned — an UPDATE that moves a row's identity is a delete plus
+        an insert, which is :meth:`merge_into`'s job.
+
+        Plans exactly like :meth:`delete_where`: data-skipping scan for the
+        matching VISIBLE rows (file-level min/max + bloom pruning bound the
+        read), apply the assignments, re-emit as an upsert delta sequenced
+        one past ``max_seq()`` (so the update wins LWW over everything
+        stored, and late stale events still lose to it), then the normal
+        MERGE — bucket-pruned, exactly-once under ``batch_id``, visible to
+        ``changes()`` as update pre/post-image pairs, pre-update state
+        reachable by time travel until expiry."""
+        m = self.manifest()
+        bad = [c for c in set_exprs if c in m["keys"]]
+        if bad:
+            raise ValueError(
+                f"update_where cannot assign key columns {bad} — changing a "
+                "row's identity is a delete+insert (use merge_into)"
+            )
+        matches = self.scan(filters)
+        seq = self.max_seq() + 1
+        # assignments to EXISTING columns cast to the stored type (Delta's
+        # implicit-cast UPDATE semantics — `SET x = 0` on a bigint column
+        # must not narrow the table schema to int)
+        updated = matches.select(
+            *[
+                F.expr(set_exprs[c]).cast(matches.schema[c].dataType).alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in matches.columns
+            ],
+            *[
+                F.expr(e).alias(c)
+                for c, e in set_exprs.items()
+                if c not in matches.columns
+            ],
+        )
+        delta = updated.withColumn("op", F.lit("upsert")).withColumn(
+            "seq", F.lit(seq).cast("long")
+        )
+        return self.merge(delta, batch_id=batch_id, operation="update")
+
     def merge_into(
         self,
         source: DataFrame,
