@@ -27,11 +27,21 @@ SET TBLPROPERTIES / sort-order evolution): the compact that follows in the
 same run re-lays existing files out under the new clustering/blooms, so
 one maintenance cycle = a complete re-layout under the new sort order.
 
+``--delete-where`` / ``--update-where`` run the row-level DML sweep BEFORE
+compact+expire, so one maintenance cycle is the complete GDPR-erasure /
+data-correction path: tombstone (or rewrite) the matching rows, fold the
+touched buckets to clean files, then expire the pre-DML history — after
+the run, the erased content is gone from live files AND from time travel
+(within --keep-last). ``--dml-batch-id`` puts the sweep on the table
+ledger: a rerun with the same id is a no-op, so the job stays
+crash-safe-idempotent end to end.
+
 Usage:
     cd <repo> && zip -qr /tmp/pyetl_spark.zip pyetl_spark
     spark-submit --master <cluster|local[N]> --py-files /tmp/pyetl_spark.zip \
         jobs/table_maintain.py <table_root> [--min-files 2] [--keep-last 2] \
         [--rescale N] [--alter JSON] [--clone DEST [--clone-version V]] \
+        [--delete-where JSON] [--update-where JSON] [--dml-batch-id ID] \
         [--no-compact] [--no-expire] [--orphan-grace 600]
 
 Prints one summary line: buckets compacted, files before/after, manifests
@@ -87,6 +97,30 @@ def main(argv: list[str]) -> int:
     )
     ap.add_argument("--clone-version", type=int, default=None, metavar="V")
     ap.add_argument(
+        "--delete-where",
+        default=None,
+        metavar="JSON",
+        help='JSON list of [col, op, literal] filters, e.g. '
+        '\'[["v", "<", 30]]\' — tombstone matching rows before compacting '
+        "(SnapshotTable.delete_where; with expiry in the same run this is "
+        "the complete erasure sweep)",
+    )
+    ap.add_argument(
+        "--update-where",
+        default=None,
+        metavar="JSON",
+        help='JSON {"set": {col: sql_expr}, "where": [[col, op, literal]]} '
+        "— rewrite matching rows before compacting "
+        "(SnapshotTable.update_where)",
+    )
+    ap.add_argument(
+        "--dml-batch-id",
+        default=None,
+        metavar="ID",
+        help="table-ledger batch id for the DML sweep; a rerun with the "
+        "same id is a no-op (exactly-once under retries)",
+    )
+    ap.add_argument(
         "--verify",
         action="store_true",
         help="run the metadata fsck (SnapshotTable.verify) after "
@@ -104,6 +138,31 @@ def main(argv: list[str]) -> int:
 
     c = {"compacted_buckets": 0, "files_before": 0, "files_after": 0}
     skipped = False
+    dml = ""
+    if args.delete_where is not None or args.update_where is not None:
+        import json
+
+        # one ledger id per DML op: with both flags set, suffix so the
+        # second isn't swallowed by the first's ledger entry
+        bid = args.dml_batch_id
+        both = args.delete_where is not None and args.update_where is not None
+        try:
+            if args.delete_where is not None:
+                filters = [tuple(f) for f in json.loads(args.delete_where)]
+                st = table.delete_where(
+                    filters, batch_id=f"{bid}:del" if bid and both else bid
+                )
+                dml += f"deleted={st.events_in} "
+            if args.update_where is not None:
+                spec = json.loads(args.update_where)
+                st = table.update_where(
+                    spec["set"],
+                    [tuple(f) for f in spec["where"]],
+                    batch_id=f"{bid}:upd" if bid and both else bid,
+                )
+                dml += f"updated={st.events_in} "
+        except ConcurrentWriteError:
+            skipped = True  # a merge landed mid-sweep; next cycle retries
     if args.alter is not None:
         import json
 
@@ -144,7 +203,7 @@ def main(argv: list[str]) -> int:
             print(f"fsck: {issue}", file=sys.stderr)
         rc = 0 if rep["ok"] else 1
     print(
-        cloned + f"compacted_buckets={c['compacted_buckets']} "
+        cloned + dml + f"compacted_buckets={c['compacted_buckets']} "
         f"files_before={c['files_before']} files_after={c['files_after']} "
         f"compact_skipped={str(skipped).lower()} "
         f"removed_manifests={e['removed_manifests']} "

@@ -150,3 +150,57 @@ def test_maintain_clone_flag(spark, job, tmp_path, capsys):
     assert c.verify()["ok"]
     # source was compacted (maintenance applied to the source, not the clone)
     assert SnapshotTable(spark, root).manifest()["summary"]["operation"] == "compact"
+
+
+def test_maintain_dml_sweep_erases_and_updates(spark, job, tmp_path, capsys):
+    """--delete-where + --update-where + compact + expire in one cycle:
+    matching rows are tombstoned/rewritten, then the pre-DML history is
+    expired, so the erased values are gone from live files AND from the
+    retained time-travel window; a rerun with the same --dml-batch-id is
+    a no-op (ledger)."""
+    import json
+
+    root = str(tmp_path / "t_dml")
+    t = _mk_table(spark, root)
+    # final LWW state is id -> id % 97 for ids 0..99 (see _mk_table)
+    rc = job.main([
+        root,
+        "--delete-where", json.dumps([["v", "<", 10]]),
+        "--update-where", json.dumps({"set": {"v": "v + 1000"}, "where": [["v", ">=", 90]]}),
+        "--dml-batch-id", "sweep:1",
+        "--min-files", "1",
+        "--keep-last", "1",
+        "--orphan-grace", "0",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "deleted=" in out and "updated=" in out
+
+    t2 = SnapshotTable(spark, root)
+    state = {r["id"]: r["v"] for r in t2.read().collect()}
+    assert all(v >= 10 for v in state.values())
+    assert all(v >= 1090 for v in state.values() if v >= 90)
+    # erased values survive nowhere in the retained versions (earlier
+    # manifests are expired — that is exactly the point of the sweep)
+    vdir = os.path.join(root, "_versions")
+    retained = sorted(
+        int(f.split(".")[0].lstrip("v"))
+        for f in os.listdir(vdir)
+        if f.endswith(".json") and f.split(".")[0].lstrip("v").isdigit()
+    )
+    assert retained, "no retained manifests"
+    for ver in retained:
+        vals = [r["v"] for r in t2.read(version=ver).collect()]
+        assert all(v >= 10 for v in vals), f"version {ver} leaks erased rows"
+
+    # same-id rerun: both ops no-op (suffixed ledger ids), state unchanged
+    rc = job.main([
+        root,
+        "--delete-where", json.dumps([["v", "<", 10]]),
+        "--update-where", json.dumps({"set": {"v": "v + 1000"}, "where": [["v", ">=", 90]]}),
+        "--dml-batch-id", "sweep:1",
+        "--no-compact", "--no-expire",
+    ])
+    assert rc == 0
+    assert "deleted=0 updated=0" in capsys.readouterr().out
+    assert {r["id"]: r["v"] for r in SnapshotTable(spark, root).read().collect()} == state
