@@ -1171,6 +1171,12 @@ class SnapshotTable:
         with ``expire_snapshots`` + ``compact`` — tombstoned content leaves
         the live files at the delete, and history at expiry)."""
         m = self.manifest()
+        if not m.get("schema"):
+            # nothing was ever written at this version (e.g. fresh table, or
+            # rolled back to the empty root): no row can match, and merging
+            # the schema-less fallback frame would poison the stored schema
+            # with placeholder string key types
+            return MergeStats(batch_id, m["version"], 0, 0, 0, 0, skipped=True)
         matches = self.scan(filters).select(*m["keys"])
         seq = self.max_seq() + 1
         delta = matches.withColumn("op", F.lit("delete")).withColumn(
@@ -1212,6 +1218,10 @@ class SnapshotTable:
                 f"update_where cannot assign key columns {bad} — changing a "
                 "row's identity is a delete+insert (use merge_into)"
             )
+        if not m.get("schema"):
+            # empty-root guard: see delete_where — no row can match, and the
+            # fallback frame's placeholder types must not enter the schema
+            return MergeStats(batch_id, m["version"], 0, 0, 0, 0, skipped=True)
         matches = self.scan(filters)
         seq = self.max_seq() + 1
         # assignments to EXISTING columns cast to the stored type (Delta's

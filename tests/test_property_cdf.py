@@ -3,7 +3,9 @@
 Randomized op sequences — merge (upsert/delete mixes, stale and in-batch
 duplicate seqs, random copy-on-write vs merge-on-read commit modes),
 merge_into (random conditional update/delete/insert clauses, oracle
-mirroring the engine's bucket-pruned next-seq rule), alter_props
+mirroring the engine's bucket-pruned next-seq rule), delete_where /
+update_where (predicate DML at global max_seq+1, oracle mirroring the
+scan-over-visible-rows semantics), alter_props
 (metadata-only layout commits, feed-silent), compact, rollback, expire —
 are driven against a
 :class:`SnapshotTable` and, in lockstep, against a sequential dict oracle
@@ -182,6 +184,54 @@ def _run_sequence(spark, root: str, seed: int, use_format_reader: bool = False) 
         parents[stats.version] = current
         current = stats.version
 
+    def do_delete_where() -> None:
+        """Predicate delete (NEW r5): visible rows matching k >= K are
+        tombstoned at max_seq+1. Oracle mirrors the global-max sequencing
+        (max over ALL stored rows incl. tombstones, like read_raw)."""
+        nonlocal current
+        kmin = rng.choice(KEYS)
+        merge_counter[0] += 1
+        stats = t.delete_where(
+            [("k", ">=", kmin)], batch_id=f"s{seed}-dw{merge_counter[0]}"
+        )
+        if stats.skipped:  # empty-root guard: no commit, lineage unchanged
+            return
+        nseq = max(
+            (s for (_v, s, _d) in states[current].values()), default=-1
+        ) + 1
+        new = dict(states[current])
+        for k, (val, s, dead) in list(new.items()):
+            if not dead and k >= kmin:
+                new[k] = (val, nseq, True)
+        states[stats.version] = new
+        parents[stats.version] = current
+        current = stats.version
+
+    def do_update_where() -> None:
+        """Predicate update (NEW r5): visible rows matching k < K get
+        val := concat(val, '+') re-emitted at max_seq+1 — every matching
+        row bumps seq, so the feed must carry a pre/post pair for each."""
+        nonlocal current
+        kmax = rng.choice(KEYS)
+        merge_counter[0] += 1
+        stats = t.update_where(
+            {"val": "concat(val, '+')"},
+            [("k", "<", kmax)],
+            batch_id=f"s{seed}-uw{merge_counter[0]}",
+        )
+        if stats.skipped:  # empty-root guard: no commit, lineage unchanged
+            return
+        nseq = max(
+            (s for (_v, s, _d) in states[current].values()), default=-1
+        ) + 1
+        new = dict(states[current])
+        for k, (val, s, dead) in list(new.items()):
+            if not dead and k < kmax:
+                new[k] = (val + "+", nseq, False)
+        states[stats.version] = new
+        parents[stats.version] = current
+        current = stats.version
+
     def do_alter() -> None:
         """Metadata-only layout-prop commit (NEW r5): state identical, the
         feed must be silent across the edge."""
@@ -224,13 +274,17 @@ def _run_sequence(spark, root: str, seed: int, use_format_reader: bool = False) 
     do_merge()  # every sequence has at least one commit
     for _ in range(rng.randint(3, 5)):
         r = rng.random()
-        if r < 0.5:
+        if r < 0.42:
             do_merge()
-        elif r < 0.64:
+        elif r < 0.54:
             do_merge_into()
-        elif r < 0.76:
+        elif r < 0.62:
+            do_delete_where()
+        elif r < 0.70:
+            do_update_where()
+        elif r < 0.79:
             do_compact()
-        elif r < 0.86:
+        elif r < 0.87:
             do_rollback()
         elif r < 0.93:
             do_alter()

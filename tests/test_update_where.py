@@ -112,3 +112,24 @@ def test_update_where_scan_prunes_files(spark, tmp_path):
     t.update_where({"x": "x + 1000"}, [("x", ">=", 60)])
     assert t.last_scan["files_read"] < t.last_scan["files_total"]
     assert _state(t)[63] == 1063 and _state(t)[0] == 0
+
+
+def test_dml_on_empty_root_is_noop_and_keeps_schema_clean(spark, tmp_path):
+    """delete_where/update_where on a table with no stored schema (fresh,
+    or rolled back to the empty root) must no-op WITHOUT committing the
+    string-typed fallback frame — a later real merge with proper key
+    types must not hit a schema-evolution conflict (property-test find)."""
+    t = _mk(spark, tmp_path)
+    st = t.delete_where([("x", "<", 10)], batch_id="dw:0")
+    assert st.skipped and st.events_in == 0
+    st = t.update_where({"x": "x + 1"}, [("x", "<", 10)], batch_id="uw:0")
+    assert st.skipped
+    # the real first merge with bigint keys must go through unharmed
+    t.merge(_delta(spark, [(1, 5, "upsert", 1)]), "b0")
+    assert _state(t) == {1: 5}
+    # rolled back to the empty root: same guard applies
+    t.rollback(0)
+    st = t.delete_where([("x", "<", 10)])
+    assert st.skipped
+    t.merge(_delta(spark, [(2, 6, "upsert", 2)]), "b1")
+    assert _state(t) == {2: 6}
