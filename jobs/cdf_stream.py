@@ -17,6 +17,7 @@ Usage:
         jobs/cdf_stream.py <base_table_dir> <view_dir> <checkpoint_dir> \
         --group-cols event_type [--sum-cols value] \
         [--min-cols value] [--max-cols value] [--sumsq-cols value] \
+        [--distinct-col value] \
         [--starting-version 0] [--max-commits-per-batch 64] \
         [--follow <seconds>]
 
@@ -41,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyetl_spark.cdc import cdf_source
-from pyetl_spark.cdc.ivm import IncrementalAgg
+from pyetl_spark.cdc.ivm import IncrementalAgg, IncrementalDistinct
 from pyetl_spark.cdc.tableio import SnapshotTable
 
 
@@ -55,16 +56,25 @@ def start_stream(
     min_cols: list[str] = (),
     max_cols: list[str] = (),
     sumsq_cols: list[str] = (),
+    distinct_col: str | None = None,
     starting_version: str = "current",
     max_commits_per_batch: int = 64,
     follow_seconds: float | None = None,
 ):
     """Open the feed stream and attach the view-maintaining sink; returns
-    the StreamingQuery (caller awaits/stops it)."""
-    view = IncrementalAgg(
-        spark, view_dir, group_cols, sum_cols,
-            min_cols=min_cols, max_cols=max_cols, sumsq_cols=sumsq_cols
-    )
+    the StreamingQuery (caller awaits/stops it). ``distinct_col`` switches
+    to the chained count(DISTINCT col) view (IncrementalDistinct) — its
+    per-commit ledger ids match the batch job's, so the streaming tail and
+    cdf_view catch-up runs are interchangeable on one distinct view too."""
+    if distinct_col:
+        if sum_cols or min_cols or max_cols or sumsq_cols:
+            raise ValueError("--distinct-col is exclusive of sum/min/max/sumsq cols")
+        view = IncrementalDistinct(spark, view_dir, group_cols, distinct_col)
+    else:
+        view = IncrementalAgg(
+            spark, view_dir, group_cols, sum_cols,
+                min_cols=min_cols, max_cols=max_cols, sumsq_cols=sumsq_cols
+        )
     needs_base = bool(min_cols or max_cols)
     base = SnapshotTable(spark, base_dir) if needs_base else None
     feed = cdf_source.read_stream_changes(
@@ -83,13 +93,17 @@ def start_stream(
             r[0] for r in batch.select("_commit_version").distinct().collect()
         )
         for v in versions:
-            view.apply(
-                batch.filter(F.col("_commit_version") == v),
-                batch_id=f"v{v}",
-                # min/max boundary retractions recompute against the base
-                # AT COMMIT v (time travel), same as the batch catch-up job
-                base=base.read(version=v) if needs_base else None,
-            )
+            commit_slice = batch.filter(F.col("_commit_version") == v)
+            if distinct_col:
+                view.apply(commit_slice, batch_id=f"v{v}")
+            else:
+                view.apply(
+                    commit_slice,
+                    batch_id=f"v{v}",
+                    # min/max boundary retractions recompute against the base
+                    # AT COMMIT v (time travel), same as the batch catch-up job
+                    base=base.read(version=v) if needs_base else None,
+                )
 
     writer = feed.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_dir
@@ -115,6 +129,11 @@ def main(argv: list[str]) -> int:
         default="",
         help="comma-separated; additive sum-of-squares for derived AVG/VAR",
     )
+    ap.add_argument(
+        "--distinct-col",
+        default=None,
+        help="maintain count(DISTINCT col) per group instead (chained IVM)",
+    )
     ap.add_argument("--starting-version", default="0")
     ap.add_argument("--max-commits-per-batch", type=int, default=64)
     ap.add_argument("--follow", type=float, default=None, metavar="SECONDS")
@@ -132,28 +151,34 @@ def main(argv: list[str]) -> int:
             [c for c in args.min_cols.split(",") if c],
             [c for c in args.max_cols.split(",") if c],
             sumsq_cols=[c for c in args.sumsq_cols.split(",") if c],
+            distinct_col=args.distinct_col,
             starting_version=args.starting_version,
             max_commits_per_batch=args.max_commits_per_batch,
             follow_seconds=args.follow,
         )
         q.awaitTermination()
-        view = IncrementalAgg(
-            spark,
-            args.view_dir,
-            [c for c in args.group_cols.split(",") if c],
-            [c for c in args.sum_cols.split(",") if c],
-            min_cols=[c for c in args.min_cols.split(",") if c],
-            max_cols=[c for c in args.max_cols.split(",") if c],
-            sumsq_cols=[c for c in args.sumsq_cols.split(",") if c],
-        )
-        print(
-            json.dumps(
-                {
-                    "view_version": view.table.current_version(),
-                    "groups": view.state().count(),
-                }
+        gcols = [c for c in args.group_cols.split(",") if c]
+        if args.distinct_col:
+            view = IncrementalDistinct(spark, args.view_dir, gcols, args.distinct_col)
+            summary = {
+                "view_version": view.outer.table.current_version(),
+                "groups": view.state().count(),
+            }
+        else:
+            view = IncrementalAgg(
+                spark,
+                args.view_dir,
+                gcols,
+                [c for c in args.sum_cols.split(",") if c],
+                min_cols=[c for c in args.min_cols.split(",") if c],
+                max_cols=[c for c in args.max_cols.split(",") if c],
+                sumsq_cols=[c for c in args.sumsq_cols.split(",") if c],
             )
-        )
+            summary = {
+                "view_version": view.table.current_version(),
+                "groups": view.state().count(),
+            }
+        print(json.dumps(summary))
         return 0
     finally:
         spark.stop()

@@ -134,3 +134,47 @@ def test_stream_minmax_boundary_retraction(spark, tmp_path):
     v = IncrementalAgg(spark, view_dir, ["grp"], [], min_cols=["x"], max_cols=["x"])
     got = {r["grp"]: (r["count"], r["min_x"], r["max_x"]) for r in v.state().collect()}
     assert got == {"a": (2, 0.5, 5.0), "b": (1, 7.0, 7.0)}
+
+
+def test_stream_distinct_col_interchangeable_with_batch(spark, tmp_path):
+    """--distinct-col on the streaming tail: the chained count(DISTINCT)
+    view drains commits exactly-once, matches a from-scratch recompute
+    incl. across a delete, and shares ledger keys with the batch job —
+    a follow-up cdf_view catch-up on the same view applies nothing."""
+    from pyetl_spark.cdc.ivm import IncrementalDistinct
+
+    base_dir = str(tmp_path / "base")
+    view_dir = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    base = SnapshotTable.create(spark, base_dir, keys=["k"], nbuckets=4)
+    base.merge(
+        _delta(spark, [(1, "a", 1.0, "upsert", 1), (2, "a", 1.0, "upsert", 2),
+                       (3, "a", 3.0, "upsert", 3), (4, "b", 9.0, "upsert", 4)]),
+        "b0",
+    )
+    base.merge(_delta(spark, [(2, "a", 0.0, "delete", 5)]), "b1")
+
+    q = start_stream(
+        spark, base_dir, view_dir, ckpt, ["grp"], [],
+        distinct_col="x", starting_version="0",
+    )
+    q.awaitTermination(240)
+
+    d = IncrementalDistinct(spark, view_dir, ["grp"], "x")
+    got = {r["grp"]: r["n_distinct"] for r in d.state().collect()}
+    # group a: values {1.0, 3.0} after k=2's delete (1.0 still carried by k=1)
+    assert got == {"a": 2, "b": 1}
+
+    # batch catch-up on the SAME view: everything already ledgered
+    s = consume(spark, base_dir, view_dir, ["grp"], [], distinct_col="x")
+    assert s["applied_now"] == []
+    assert {r["grp"]: r["n_distinct"] for r in d.state().collect()} == got
+
+    # new commit: a fresh stream drain picks up only that commit
+    base.merge(_delta(spark, [(9, "b", 9.0, "upsert", 6)]), "b2")
+    q = start_stream(
+        spark, base_dir, view_dir, str(tmp_path / "ckpt2"), ["grp"], [],
+        distinct_col="x", starting_version="0",
+    )
+    q.awaitTermination(240)
+    assert {r["grp"]: r["n_distinct"] for r in d.state().collect()} == {"a": 2, "b": 1}
