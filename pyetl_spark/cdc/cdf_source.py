@@ -107,10 +107,23 @@ def _lineage(root: str, from_version: int, to_version: int) -> list[int]:
     return list(reversed(chain))
 
 
-def _table_feed_schema(root: str) -> StructType:
+def _table_feed_schema(root: str, version: int | None = None) -> StructType:
     """Pinned output schema: the table's stored schema minus the storage
-    envelope (``_seq``/``_deleted``), plus the CDF columns."""
-    m = _load_manifest(root, _current_version(root))
+    envelope (``_seq``/``_deleted``), plus the CDF columns.
+
+    ``version`` anchors the schema for batch range reads (the schema AT
+    the range's end). When the anchor manifest carries no schema — e.g.
+    the table was rolled back to the empty root and then received only
+    metadata-only commits (alter_props) — walk the parent chain to the
+    nearest ancestor WITH one: schema evolution is widening-only, so the
+    nearest schema'd ancestor is the widest schema any commit ≤ anchor
+    wrote (property-test find)."""
+    m = _load_manifest(root, _current_version(root) if version is None else version)
+    while not m.get("schema") and m.get("parent") is not None:
+        try:
+            m = _load_manifest(root, m["parent"])
+        except (FileNotFoundError, ValueError):
+            break  # expired ancestor: nothing more to learn
     if not m.get("schema"):
         raise ValueError(
             "table has no schema yet (no commits) — merge at least one "
@@ -387,7 +400,8 @@ class TableChangesDataSource(DataSource):
         root = self.options.get("path") or self.options.get("tableroot")
         if not root:
             raise ValueError("table_changes: option 'path' (table root) is required")
-        return _table_feed_schema(root)
+        endo = self.options.get("endingversion")
+        return _table_feed_schema(root, int(endo) if endo is not None else None)
 
     def streamReader(self, schema: StructType) -> TableChangesStreamReader:
         return TableChangesStreamReader(schema, dict(self.options))

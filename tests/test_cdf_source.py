@@ -213,3 +213,29 @@ def test_stream_delete_only_and_empty_ranges(spark, tmp_path):
     got = _drain(spark, t.root, str(tmp_path / "c8"), str(tmp_path / "o8"), startingVersion=0)
     assert _rowset(got) == _rowset(t.changes(0))
     assert (2, "delete", 2, 2.0, "b") in _rowset(got)
+
+
+def test_batch_read_after_rollback_to_empty_root_plus_alter(spark, tmp_path):
+    """Rollback to the empty root followed by a metadata-only commit
+    (alter_props) leaves the CURRENT manifest schema-less; the format
+    reader must still serve retained history by anchoring the schema at
+    endingVersion and walking to the nearest schema'd ancestor
+    (property-test find — previously raised 'table has no schema yet')."""
+    from pyetl_spark.cdc import cdf_source
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable.create(spark, root, keys=["k"], nbuckets=2)
+    t.merge(
+        spark.createDataFrame([(1, "a", "upsert", 1)], ["k", "val", "op", "seq"]),
+        "b0",
+    )
+    v1 = t.current_version()
+    t.rollback(0)
+    t.alter_props({"max_file_rows": 4})  # metadata-only: schema stays empty
+
+    rows = cdf_source.read_changes(
+        spark, root, startingVersion=0, endingVersion=v1
+    ).collect()
+    assert [(r["k"], r["val"], r["_change_type"]) for r in rows] == [
+        (1, "a", "insert")
+    ]
