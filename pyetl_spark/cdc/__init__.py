@@ -4,7 +4,7 @@ Structured Streaming tail, lineage/metrics (SURVEY §2.9, north_rule)."""
 from pyetl_spark.cdc.datagen import change_events, write_event_batches
 from pyetl_spark.cdc.dedup import lww_dedup, lww_dedup_salted
 from pyetl_spark.cdc.ivm import IncrementalAgg, delta_aggregate
-from pyetl_spark.cdc.tableio import SnapshotTable
+from pyetl_spark.cdc.tableio import ConstraintViolationError, SnapshotTable
 from pyetl_spark.cdc.oracle import replay_oracle
 
 __all__ = [
@@ -15,5 +15,6 @@ __all__ = [
     "IncrementalAgg",
     "delta_aggregate",
     "SnapshotTable",
+    "ConstraintViolationError",
     "replay_oracle",
 ]

@@ -83,6 +83,58 @@ class ConcurrentWriteError(RuntimeError):
     retry the merge or let snapshot expiry collect them."""
 
 
+class ConstraintViolationError(RuntimeError):
+    """A write batch (or, for :meth:`SnapshotTable.add_constraint`, the
+    existing table state) carries rows that fail a CHECK constraint — the
+    Delta ``DeltaInvariantViolationException`` analog. Raised BEFORE the
+    manifest commit, so the table never exposes a violating row."""
+
+
+def _constraint_flags(
+    df: DataFrame, constraints: dict, schema_json: str | None
+) -> tuple[DataFrame, list[tuple[str, str]]]:
+    """``df`` plus one boolean violation flag per CHECK constraint, for
+    UPSERT rows only (tombstones are exempt — a delete event carries no
+    payload to validate). Stored-schema columns the delta doesn't carry
+    evaluate as typed NULLs: a CDC upsert replaces the whole row, so a
+    missing payload column IS null after the merge and the constraint must
+    see it that way. Null-fails semantics (Delta CHECK analog): a row
+    passes only when the expression evaluates to TRUE — so ``col IS NOT
+    NULL`` is the NOT NULL constraint, and ``value > 0`` rejects null
+    values too. Returns ``(frame, [(constraint_name, flag_col), ...])``."""
+    from pyspark.sql.types import StructType
+
+    have = set(df.columns)
+    if schema_json:
+        stored = StructType.fromJson(json.loads(schema_json))
+        missing = {
+            f.name: F.lit(None).cast(f.dataType)
+            for f in stored.fields
+            if f.name not in have and f.name not in (SEQ, DELETED)
+        }
+        if missing:
+            df = df.withColumns(missing)
+    flags: list[tuple[str, str]] = []
+    for i, name in enumerate(sorted(constraints)):
+        vc = f"__viol_{i}"
+        passes = F.expr(constraints[name]).eqNullSafe(F.lit(True))
+        df = df.withColumn(vc, (~F.col(DELETED)) & ~passes)
+        flags.append((name, vc))
+    return df, flags
+
+
+def _raise_violations(counts: dict, batch_id) -> None:
+    """Raise when any CHECK constraint counted violating rows (None-safe:
+    an empty delta aggregates to null sums)."""
+    bad = {n: int(c) for n, c in counts.items() if c}
+    if bad:
+        detail = ", ".join(f"{n} ({c} rows)" for n, c in sorted(bad.items()))
+        raise ConstraintViolationError(
+            f"batch {batch_id!r} violates CHECK constraints: {detail}; "
+            "nothing was committed"
+        )
+
+
 def _parse_batch_id(batch_id: str) -> tuple[str, int | None]:
     """``(writer, seq)`` from a batch id ending in an integer — the forms
     every shipped writer uses: ``stream:17`` → ("stream:", 17), ``v3`` →
@@ -1511,6 +1563,94 @@ class SnapshotTable:
         self._swap_pointer(version)
         return version
 
+    def constraints(self) -> dict:
+        """Current CHECK constraints, ``{name: sql_expr}``."""
+        return dict(self.manifest().get("constraints") or {})
+
+    def add_constraint(self, name: str, expr: str, validate: bool = True) -> int:
+        """Add a CHECK constraint — the Delta ``ALTER TABLE t ADD CONSTRAINT
+        name CHECK (expr)`` analog (Iceberg has no row constraints; Delta's
+        are the lake precedent). ``expr`` is any Spark SQL boolean
+        expression over the table's columns. Semantics are null-fails: a
+        row passes only when the expression evaluates to TRUE, so
+        ``"col IS NOT NULL"`` is the NOT NULL constraint and ``"value > 0"``
+        rejects null values too.
+
+        Like Delta, adding the constraint first validates the EXISTING
+        visible state (one scan; skip with ``validate=False`` when the
+        caller just proved it), then commits METADATA-ONLY — no data is
+        read or rewritten afterwards, past versions keep their own
+        constraint sets (time travel replays history under the rules it was
+        written with), and the change feed emits nothing for the commit (no
+        bucket changed — same contract as :meth:`alter_props`). Every
+        future merge/DML batch is then validated BEFORE its commit
+        (:class:`ConstraintViolationError`, nothing written to the
+        manifest); on the streaming path the check piggybacks on the
+        merge's existing bucket-count job, so enforcement adds zero jobs
+        per micro-batch. Upserts that omit a payload column are validated
+        with that column as NULL — a CDC upsert replaces the whole row.
+        Reference analog: pyetl's fail/abort data-quality gates
+        (traitement_alpha.py) applied declaratively at the sink."""
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"constraint name must be an identifier, got {name!r}")
+        m = self.manifest()
+        cons = dict(m.get("constraints") or {})
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists: {cons[name]!r}")
+        passes = F.expr(expr).eqNullSafe(F.lit(True))  # parse check up front
+        if validate and m.get("schema"):
+            bad = self.read(version=m["version"]).filter(~passes).count()
+            if bad:
+                raise ConstraintViolationError(
+                    f"cannot add constraint {name!r}: {bad} existing rows "
+                    f"violate CHECK ({expr}); nothing was committed"
+                )
+        version = self._next_version(m["version"])
+        manifest = {
+            **m,
+            "version": version,
+            "constraints": {**cons, name: expr},
+            "parent": m["version"],
+            "committed_ts": time.time(),
+            "summary": {"operation": "add-constraint", "name": name},
+        }
+        if self.current_version() != m["version"]:
+            raise ConcurrentWriteError(
+                f"table advanced to v{self.current_version()} while adding a "
+                f"constraint against v{m['version']}; retry"
+            )
+        self._commit_manifest(manifest)
+        self._swap_pointer(version)
+        return version
+
+    def drop_constraint(self, name: str) -> int:
+        """Remove a CHECK constraint (Delta ``DROP CONSTRAINT`` analog) —
+        metadata-only commit; data and history untouched."""
+        m = self.manifest()
+        cons = dict(m.get("constraints") or {})
+        if name not in cons:
+            raise ValueError(
+                f"no constraint {name!r}; have {sorted(cons) or 'none'}"
+            )
+        del cons[name]
+        version = self._next_version(m["version"])
+        manifest = {
+            **m,
+            "version": version,
+            "constraints": cons,
+            "parent": m["version"],
+            "committed_ts": time.time(),
+            "summary": {"operation": "drop-constraint", "name": name},
+        }
+        if self.current_version() != m["version"]:
+            raise ConcurrentWriteError(
+                f"table advanced to v{self.current_version()} while dropping "
+                f"a constraint against v{m['version']}; retry"
+            )
+        self._commit_manifest(manifest)
+        self._swap_pointer(version)
+        return version
+
     def verify(self, all_versions: bool = False) -> dict:
         """Metadata fsck — check the table's invariants without reading a
         data row, and report what a maintenance pass should clean. The ops
@@ -2051,6 +2191,8 @@ class SnapshotTable:
             nm["file_stats"] = dict(m["file_stats"])
         if m.get("dirty"):
             nm["dirty"] = list(m["dirty"])
+        if m.get("constraints"):
+            nm["constraints"] = dict(m["constraints"])
         t = SnapshotTable(self.spark, dest_root)
         t._write_manifest(nm)
         t._swap_pointer(0)
@@ -2309,15 +2451,46 @@ class SnapshotTable:
             .withColumn("__b", _bucket_col(bcols, nbuckets))
         )
 
+        # CHECK constraints (add_constraint): validate the incoming batch's
+        # upsert rows BEFORE anything is written or committed. On the
+        # streaming path (prune=True) the violation counts piggyback on the
+        # existing bucket-count job — zero extra jobs per micro-batch; the
+        # bulk path (prune=False) pays one dedicated aggregate over the
+        # delta. Existing rows were validated when the constraint was added
+        # and merges are full-row replacements, so batch-level enforcement
+        # keeps the table invariant inductively.
+        cons = m.get("constraints") or {}
+        viol_flags: list[tuple[str, str]] = []
+        eval_frame = normalized
+        if cons:
+            eval_frame, viol_flags = _constraint_flags(normalized, cons, m.get("schema"))
+
         obs = None
         if prune:
-            # 1. bucket pruning + events_in in ONE job (≤nbuckets result rows)
-            bucket_counts = normalized.groupBy("__b").count().collect()
+            # 1. bucket pruning + events_in (+ constraint violation counts)
+            #    in ONE job (≤nbuckets result rows)
+            aggs = [F.count(F.lit(1)).alias("count")] + [
+                F.sum(F.col(vc).cast("long")).alias(vc) for _, vc in viol_flags
+            ]
+            bucket_counts = eval_frame.groupBy("__b").agg(*aggs).collect()
             touched = [r["__b"] for r in bucket_counts]
             events_in = int(sum(r["count"] for r in bucket_counts))
+            if viol_flags:
+                _raise_violations(
+                    {
+                        n: sum(r[vc] or 0 for r in bucket_counts)
+                        for n, vc in viol_flags
+                    },
+                    batch_id,
+                )
         else:
             from pyspark.sql import Observation
 
+            if viol_flags:
+                row = eval_frame.select(
+                    *[F.sum(F.col(vc).cast("long")).alias(vc) for _, vc in viol_flags]
+                ).first()
+                _raise_violations({n: row[vc] for n, vc in viol_flags}, batch_id)
             touched = list(range(nbuckets))
             obs = Observation()
             normalized = normalized.observe(obs, F.count(F.lit(1)).alias("events_in"))
