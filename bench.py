@@ -100,6 +100,12 @@ BENCH_QUERIES = [
     # round 5: incremental AVG/VARIANCE view via additive sum-of-squares
     # (3 full CDC commits + per-commit view folds inside the query)
     "cdc_ivm_stats",
+    # round 5: CHECK constraints — 2 full commits + one REFUSED poison
+    # batch (validation piggybacks on the merge's bucket-count job)
+    "cdc_constraints",
+    # round 5: column rename/drop — metadata-only evolution mid-replay,
+    # mixed old/new-physical-name file reads coalesced at scan time
+    "cdc_rename_drop",
 ]
 
 

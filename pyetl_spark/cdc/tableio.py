@@ -285,14 +285,28 @@ def _collect_file_stats(spark: SparkSession, files: Sequence[str], cols: Sequenc
     )
 
 
-def _file_prunable(fstats: dict | None, filters: Sequence[tuple]) -> bool:
+def _file_prunable(
+    fstats: dict | None, filters: Sequence[tuple], variants: dict | None = None
+) -> bool:
     """True iff the file's stats PROVE no row can satisfy the conjunctive
     ``(col, op, literal)`` filters. Missing/unknown stats always keep the
-    file (pruning is an optimization, never a correctness lever)."""
+    file (pruning is an optimization, never a correctness lever).
+
+    ``variants`` maps a logical column to its RETIRED physical names
+    (rename aliases): a file's stats are keyed by the names current at its
+    write, so a pre-rename file answers the probe under the old name —
+    exactly one variant can exist per file, so the first hit is THE
+    answer. Without the mapping such files merely stop pruning (kept =
+    safe); with it, pruning effectiveness survives renames."""
     if not fstats:
         return False
     for c, op, v in filters:
         s = fstats.get(c, "__missing__")
+        if s == "__missing__" and variants:
+            for alt in variants.get(c, ()):
+                s = fstats.get(alt, "__missing__")
+                if s != "__missing__":
+                    break
         if s == "absent":
             return True  # column never written in this file: all null
         if s is None or s == "__missing__":
@@ -425,8 +439,11 @@ def _bloom_keep_file(path: str, probes: Sequence[tuple]) -> bool:
     except (OSError, ValueError):
         return True
     m_bits, k = int(data["m"]), int(data["k"])
-    for c, pairs in probes:
-        ent = data.get("cols", {}).get(c)
+    for names, pairs in probes:
+        # a sidecar keys its blooms by the names current at ITS write;
+        # exactly one name variant can be present — first hit is the answer
+        cols = data.get("cols", {})
+        ent = next((cols[n] for n in names if n in cols), None)
         if ent == "absent":
             return False  # column never written in this file: all null
         if not isinstance(ent, str):
@@ -438,21 +455,28 @@ def _bloom_keep_file(path: str, probes: Sequence[tuple]) -> bool:
 
 
 def _bloom_prune(
-    spark: SparkSession, files: Sequence[str], filters: Sequence[tuple], bloom_cols: set
+    spark: SparkSession,
+    files: Sequence[str],
+    filters: Sequence[tuple],
+    bloom_cols: set,
+    variants: dict | None = None,
 ) -> list[str]:
     """Files from ``files`` that survive bloom pruning for the equality /
     in-list filters on ``bloom_cols``. Probe hashes are computed ONCE per
     literal on the driver; the per-file sidecar membership checks run as a
     parallel job when the candidate list is wide (driver loop for narrow
-    ones — planning latency, not a data scan, either way)."""
+    ones — planning latency, not a data scan, either way). ``variants``
+    extends each probe to a column's retired physical names (rename
+    aliases) so pre-rename sidecars still answer."""
     probes = []
     for c, op, v in filters:
         if c not in bloom_cols:
             continue
+        names = (c, *((variants or {}).get(c, ())))
         if op == "=":
-            probes.append((c, [_bloom_hash_pair(v)]))
+            probes.append((names, [_bloom_hash_pair(v)]))
         elif op == "in":
-            probes.append((c, [_bloom_hash_pair(x) for x in v]))
+            probes.append((names, [_bloom_hash_pair(x) for x in v]))
     if not probes or not files:
         return list(files)
     files = list(files)
@@ -467,12 +491,23 @@ def _bloom_prune(
     )
 
 
-def _evolve_schema_json(stored_json: str | None, delta_schema) -> str:
+def _evolve_schema_json(
+    stored_json: str | None, delta_schema, blocked: dict | None = None
+) -> str:
     """Plan-time schema-merge for MOR commits: the stored union schema plus
     any NEW fields the delta introduces (Iceberg schema-merge analog —
     same result the COW path's ``unionByName(allowMissingColumns=True)``
     produces, without reading the base). Same-name type conflicts raise,
-    exactly as the COW union would at analysis time."""
+    exactly as the COW union would at analysis time.
+
+    ``blocked`` maps RETIRED physical names (rename aliases + dropped
+    columns) to a human reason. Introducing a new column under a retired
+    name is refused: live data files (and retained history) still carry
+    that physical name, and the by-name parquet read would resurrect the
+    old values into the new column — the ambiguity Iceberg field ids
+    exist to prevent. ``compact()`` (rewrites the old-named files) +
+    ``expire_snapshots()`` (retires the manifests and frees the name via
+    its registry prune) lift the block."""
     from pyspark.sql.types import StructType
 
     if not stored_json:
@@ -482,6 +517,13 @@ def _evolve_schema_json(stored_json: str | None, delta_schema) -> str:
     out = list(stored.fields)
     for f in delta_schema.fields:
         cur = have.get(f.name)
+        if cur is None and blocked and f.name in blocked:
+            raise ValueError(
+                f"cannot introduce column {f.name!r}: the name is retired "
+                f"({blocked[f.name]}) and live files or retained history "
+                "still carry it physically — run compact() then "
+                "expire_snapshots() to free it, or pick a fresh name"
+            )
         if cur is None:
             out.append(f)
         elif cur.dataType != f.dataType:
@@ -670,7 +712,12 @@ class SnapshotTable:
 
     # ----------------------------------------------------------------- reads
 
-    def _read_files(self, files: list[str], schema_json: str | None = None) -> DataFrame | None:
+    def _read_files(
+        self,
+        files: list[str],
+        schema_json: str | None = None,
+        aliases: dict | None = None,
+    ) -> DataFrame | None:
         """Read data files. When the caller passes the manifest's stored
         schema the read is planned WITHOUT a schema-inference job (no
         footer-sniffing pass over the files — one fewer Spark job on every
@@ -678,16 +725,50 @@ class SnapshotTable:
         stored schema is always the union schema of every committed merge,
         so older files simply surface nulls for columns they predate —
         Spark's by-name parquet resolution, same result ``mergeSchema``
-        would produce."""
+        would produce.
+
+        ``aliases`` (manifest ``aliases``, set by :meth:`rename_column`) is
+        the Iceberg field-id-mapping analog for a name-addressed layout:
+        ``{retired_physical_name: current_logical_name}``. Files written
+        before a rename physically carry the retired name, so the read
+        schema is widened with the retired names (typed as their logical
+        target — types are widening-only, never changed) and each logical
+        column is ``coalesce(logical, *retired)`` — exact because any one
+        file carries exactly ONE physical variant of a column (writes
+        always use the names current at their commit), the others resolve
+        to null. Downstream of this method the engine ONLY sees logical
+        names; any rewrite (merge COW fold, compact) therefore re-writes
+        data under the current names — rename migration rides the writes
+        that touch the data, like the rescale window."""
         if not files:
             return None
         reader = self.spark.read
         if schema_json:
-            from pyspark.sql.types import StructType
+            from pyspark.sql.types import StructField, StructType
 
-            reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
-        else:
-            reader = reader.option("mergeSchema", "true")
+            stored = StructType.fromJson(json.loads(schema_json))
+            variants: dict[str, list[str]] = {}
+            read_fields = list(stored.fields)
+            if aliases:
+                types = {f.name: f.dataType for f in stored.fields}
+                for old, new in aliases.items():
+                    if new in types and old not in types:
+                        read_fields.append(StructField(old, types[new], True))
+                        variants.setdefault(new, []).append(old)
+            df = reader.schema(StructType(read_fields)).parquet(*files)
+            if variants:
+                df = df.select(
+                    *[
+                        F.coalesce(
+                            F.col(f.name), *[F.col(o) for o in variants[f.name]]
+                        ).alias(f.name)
+                        if f.name in variants
+                        else F.col(f.name)
+                        for f in stored.fields
+                    ]
+                )
+            return df
+        reader = reader.option("mergeSchema", "true")
         return reader.parquet(*files)
 
     def read_raw(
@@ -712,12 +793,12 @@ class SnapshotTable:
             want = {str(b) for b in buckets}
             items = [(b, fs) for b, fs in items if b in want]
         files = [f for _, fs in items for f in fs]
-        cur = self._read_files(files, schema_json=m.get("schema"))
+        cur = self._read_files(files, schema_json=m.get("schema"), aliases=m.get("aliases"))
         legacy = m.get("legacy") or [] if include_legacy else []
         lfiles = [f for sp in legacy for fs in sp["buckets"].values() for f in fs]
         if not lfiles:
             return cur
-        lg = self._read_files(lfiles, schema_json=m.get("schema"))
+        lg = self._read_files(lfiles, schema_json=m.get("schema"), aliases=m.get("aliases"))
         if buckets is not None and lg is not None:
             bcols = m.get("bucket_cols", m["keys"])
             lg = lg.filter(
@@ -832,6 +913,11 @@ class SnapshotTable:
         dirty = set(m.get("dirty") or [])
         clean_files = [f for b, fs in items if b not in dirty for f in fs]
         dirty_files = [f for b, fs in items if b in dirty for f in fs]
+        # rename aliases: pre-rename files carry stats/blooms under their
+        # old physical names — probe those too (logical → retired variants)
+        variants: dict[str, list[str]] = {}
+        for _old, _new in (m.get("aliases") or {}).items():
+            variants.setdefault(_new, []).append(_old)
         # rescale window: un-migrated legacy-spec files are clean
         # (single-version rows) and identity-keyed like any other file, so
         # min/max and bloom pruning apply to them unchanged; they are read
@@ -846,12 +932,12 @@ class SnapshotTable:
         kept = [
             f
             for f in clean_files
-            if not _file_prunable(stats.get(_file_identity(f)), filters)
+            if not _file_prunable(stats.get(_file_identity(f)), filters, variants)
         ]
         legacy_kept = [
             f
             for f in legacy_files
-            if not _file_prunable(stats.get(_file_identity(f)), filters)
+            if not _file_prunable(stats.get(_file_identity(f)), filters, variants)
         ]
         # second pruning pass: per-file bloom sidecars rule out equality /
         # in-list probes that min/max ranges can't (high-cardinality
@@ -859,8 +945,10 @@ class SnapshotTable:
         bloom_cols = {c for c in (m.get("props") or {}).get("bloom_cols") or []}
         n_minmax_kept = len(kept) + len(legacy_kept)
         if bloom_cols:
-            kept = _bloom_prune(self.spark, kept, filters, bloom_cols)
-            legacy_kept = _bloom_prune(self.spark, legacy_kept, filters, bloom_cols)
+            kept = _bloom_prune(self.spark, kept, filters, bloom_cols, variants)
+            legacy_kept = _bloom_prune(
+                self.spark, legacy_kept, filters, bloom_cols, variants
+            )
         n_clean = len(clean_files) + len(legacy_files)
         n_kept = len(kept) + len(legacy_kept)
         self.last_scan = {
@@ -869,8 +957,8 @@ class SnapshotTable:
             "files_pruned": n_clean - n_kept,
             "files_bloom_pruned": n_minmax_kept - n_kept,
         }
-        raw = self._read_files(kept, schema_json=m.get("schema"))
-        legacy_raw = self._read_files(legacy_kept, schema_json=m.get("schema"))
+        raw = self._read_files(kept, schema_json=m.get("schema"), aliases=m.get("aliases"))
+        legacy_raw = self._read_files(legacy_kept, schema_json=m.get("schema"), aliases=m.get("aliases"))
         if legacy_raw is not None:
             if buckets is not None:
                 bcols = m.get("bucket_cols", m["keys"])
@@ -878,7 +966,7 @@ class SnapshotTable:
                     _bucket_col(bcols, m["nbuckets"]).isin([int(b) for b in buckets])
                 )
             raw = legacy_raw if raw is None else raw.unionByName(legacy_raw)
-        dirty_raw = self._read_files(dirty_files, schema_json=m.get("schema"))
+        dirty_raw = self._read_files(dirty_files, schema_json=m.get("schema"), aliases=m.get("aliases"))
         if dirty_raw is not None:
             resolved = lww_dedup(dirty_raw, keys=m["keys"], seq=SEQ)
             raw = resolved if raw is None else raw.unionByName(resolved)
@@ -1651,6 +1739,231 @@ class SnapshotTable:
         self._swap_pointer(version)
         return version
 
+    # ----------------------------------------------- column rename / drop
+
+    def _live_file_ids(self, m: dict) -> list[str]:
+        """Root-relative identities of every data file the manifest
+        references (current buckets + un-migrated rescale legacy)."""
+        ids = [_file_identity(f) for fs in m["buckets"].values() for f in fs]
+        ids += [
+            _file_identity(f)
+            for sp in m.get("legacy") or []
+            for fs in sp["buckets"].values()
+            for f in fs
+        ]
+        return sorted(set(ids))
+
+    def _check_constraints_resolve(self, m: dict, candidate_schema, action: str) -> None:
+        """Refuse a schema change that would break a CHECK constraint:
+        analyze each constraint expression against an empty frame with the
+        CANDIDATE schema — exact for the only failure mode a rename/drop
+        can cause (a referenced column no longer resolving)."""
+        cons = m.get("constraints") or {}
+        if not cons:
+            return
+        empty = self.spark.createDataFrame([], candidate_schema)
+        for name, expr in sorted(cons.items()):
+            try:
+                empty.select(F.expr(expr)).schema  # noqa: B018 — forces analysis
+            except Exception as exc:
+                raise ValueError(
+                    f"cannot {action}: CHECK constraint {name!r} "
+                    f"({expr}) would no longer resolve — drop_constraint "
+                    f"first ({exc.__class__.__name__})"
+                ) from exc
+
+    def _retired_names(self) -> set[str]:
+        """Every column name mentioned by ANY retained manifest (schema
+        fields, rename aliases, dropped registry) — the namespace a new
+        name must not collide with: historical reads and the change feed
+        resolve columns BY NAME, so reusing a name inside the retention
+        window would be ambiguous (the problem Iceberg field ids solve)."""
+        names: set[str] = set()
+        vdir = os.path.join(self.root, "_versions")
+        for f in os.listdir(vdir):
+            if not (f.startswith("v") and f.endswith(".json")):
+                continue
+            try:
+                rm = self.manifest(int(f[1:-5]))
+            except (OSError, ValueError):
+                continue
+            if rm.get("schema"):
+                names |= {fl["name"] for fl in json.loads(rm["schema"])["fields"]}
+            names |= set(rm.get("aliases") or {})
+            names |= set(rm.get("dropped") or {})
+        return names
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Rename a column — the Iceberg ``ALTER TABLE ... RENAME COLUMN``
+        analog, METADATA-ONLY like Iceberg's (no data file is read or
+        rewritten; Delta needs column-mapping mode for the same). Iceberg
+        disambiguates renamed columns with field ids; this layout is
+        name-addressed, so the manifest records the retired physical name
+        in ``aliases`` (old → new) and reads coalesce the physical
+        variants into the logical column (see :meth:`_read_files`) — every
+        rewrite (merge COW fold, compact) then migrates touched data to
+        the new name, and :meth:`expire_snapshots` prunes the alias once
+        no live file or retained manifest still carries the old name.
+
+        Key columns may be renamed (bucketing hashes VALUES, not names, so
+        bucket placement is unchanged); ``keys``/``bucket_cols`` and the
+        layout props (``stats_cols``/``zorder_cols``/``zorder_bounds``/
+        ``bloom_cols``) follow the rename, so clustering and pruning keep
+        working — old files' footer stats/bloom sidecars are keyed by the
+        name current at THEIR write, which :meth:`scan` probes through the
+        alias map. The new name must be fresh across the whole retained
+        window (current columns, retired aliases, dropped names, any
+        retained manifest) — historical reads and the change feed resolve
+        by name. Constraints referencing the old name block the rename
+        (drop_constraint first). Time travel replays old versions under
+        the names they were committed with; :meth:`changes` emits the feed
+        in the ENDING version's names. Deltas still arriving under the old
+        name are refused loudly (fail-fast, not silent duplication).
+        Reference analog: pyetl's ``ren`` attribute command
+        (traitement_alpha.py) — there a per-row dict re-key, here a
+        metadata commit over immutable files."""
+        from pyspark.sql.types import StructField, StructType
+
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", new):
+            raise ValueError(f"new column name must be an identifier, got {new!r}")
+        m = self.manifest()
+        if not m.get("schema"):
+            raise ValueError("rename_column: table has no schema yet (nothing merged)")
+        stored = StructType.fromJson(json.loads(m["schema"]))
+        names = [f.name for f in stored.fields]
+        if old in (SEQ, DELETED) or old not in names:
+            raise ValueError(f"no column {old!r}; have {[n for n in names if n not in (SEQ, DELETED)]}")
+        if new in self._retired_names() | set(names):
+            raise ValueError(
+                f"cannot rename to {new!r}: the name is already a column, a "
+                "retired alias, or appears in retained history — reusing it "
+                "would make by-name reads ambiguous inside the retention "
+                "window (compact + expire_snapshots frees retired names)"
+            )
+        cand = StructType(
+            [
+                StructField(new, f.dataType, f.nullable) if f.name == old else f
+                for f in stored.fields
+            ]
+        )
+        self._check_constraints_resolve(m, cand, f"rename {old!r} to {new!r}")
+        aliases = dict(m.get("aliases") or {})
+        alias_files = {k: list(v) for k, v in (m.get("alias_files") or {}).items()}
+        for k, v in aliases.items():
+            if v == old:  # chain a→old becomes a→new; its file list is kept
+                aliases[k] = new
+        aliases[old] = new
+        # conservative seed: any currently-live file MAY carry the old name
+        # physically; rewrites shrink the set, expire_snapshots prunes it
+        alias_files[old] = self._live_file_ids(m)
+        props = dict(m.get("props") or {})
+        for pk in ("stats_cols", "zorder_cols", "bloom_cols"):
+            if props.get(pk):
+                props[pk] = [new if c == old else c for c in props[pk]]
+        zb = props.get("zorder_bounds")
+        if zb and old in zb:
+            zb = dict(zb)
+            zb[new] = zb.pop(old)
+            props["zorder_bounds"] = zb
+        version = self._next_version(m["version"])
+        manifest = {
+            **m,
+            "version": version,
+            "schema": cand.json(),
+            "keys": [new if k == old else k for k in m["keys"]],
+            "bucket_cols": [
+                new if k == old else k for k in m.get("bucket_cols", m["keys"])
+            ],
+            "props": props,
+            "aliases": aliases,
+            "alias_files": alias_files,
+            "parent": m["version"],
+            "committed_ts": time.time(),
+            "summary": {"operation": "rename-column", "from": old, "to": new},
+        }
+        if self.current_version() != m["version"]:
+            raise ConcurrentWriteError(
+                f"table advanced to v{self.current_version()} while renaming "
+                f"against v{m['version']}; retry"
+            )
+        self._commit_manifest(manifest)
+        self._swap_pointer(version)
+        return version
+
+    def drop_column(self, name: str) -> int:
+        """Drop a payload column — the Iceberg ``ALTER TABLE ... DROP
+        COLUMN`` analog, METADATA-ONLY: the field leaves the stored schema,
+        so every read stops projecting it (the by-name parquet read simply
+        never asks for the physical column — zero read-time cost); the
+        bytes leave the data files as rewrites touch them and leave history
+        at snapshot expiry (Delta's ``REORG ... PURGE`` + ``VACUUM``
+        discipline). The name (plus any retired aliases that pointed at
+        it) enters the manifest ``dropped`` registry: re-introducing it is
+        refused while live files or retained manifests still carry it
+        physically — the by-name read would resurrect the old values into
+        the new column (the ambiguity Iceberg field ids prevent);
+        ``compact()`` + ``expire_snapshots()`` free the name. Key/bucket
+        columns cannot be dropped; columns referenced by layout props
+        (``stats_cols``/``zorder_cols``/``bloom_cols``) need
+        :meth:`alter_props` first; constraints referencing it block the
+        drop. Reference analog: pyetl's ``supp`` attribute command
+        (traitement_alpha.py:345-419 family)."""
+        from pyspark.sql.types import StructType
+
+        m = self.manifest()
+        if not m.get("schema"):
+            raise ValueError("drop_column: table has no schema yet (nothing merged)")
+        stored = StructType.fromJson(json.loads(m["schema"]))
+        names = [f.name for f in stored.fields]
+        if name in (SEQ, DELETED) or name not in names:
+            raise ValueError(f"no column {name!r}; have {[n for n in names if n not in (SEQ, DELETED)]}")
+        if name in m["keys"] or name in m.get("bucket_cols", m["keys"]):
+            raise ValueError(f"cannot drop key/bucket column {name!r}")
+        props = m.get("props") or {}
+        referenced = [
+            pk
+            for pk in ("stats_cols", "zorder_cols", "bloom_cols")
+            if name in (props.get(pk) or [])
+        ]
+        if referenced:
+            raise ValueError(
+                f"column {name!r} is referenced by layout props {referenced}; "
+                "alter_props first"
+            )
+        cand = StructType([f for f in stored.fields if f.name != name])
+        self._check_constraints_resolve(m, cand, f"drop {name!r}")
+        aliases = dict(m.get("aliases") or {})
+        alias_files = {k: list(v) for k, v in (m.get("alias_files") or {}).items()}
+        dropped = {k: dict(v) for k, v in (m.get("dropped") or {}).items()}
+        live = self._live_file_ids(m)
+        version = self._next_version(m["version"])
+        # retired aliases of the dropped column are dead names too — their
+        # (smaller) file lists carry over; the current name conservatively
+        # taints every live file
+        for a in [k for k, v in aliases.items() if v == name]:
+            dropped[a] = {"files": alias_files.pop(a, live), "since": version}
+            del aliases[a]
+        dropped[name] = {"files": live, "since": version}
+        manifest = {
+            **m,
+            "version": version,
+            "schema": cand.json(),
+            "aliases": aliases,
+            "alias_files": alias_files,
+            "dropped": dropped,
+            "parent": m["version"],
+            "committed_ts": time.time(),
+            "summary": {"operation": "drop-column", "name": name},
+        }
+        if self.current_version() != m["version"]:
+            raise ConcurrentWriteError(
+                f"table advanced to v{self.current_version()} while dropping "
+                f"a column against v{m['version']}; retry"
+            )
+        self._commit_manifest(manifest)
+        self._swap_pointer(version)
+        return version
+
     def verify(self, all_versions: bool = False) -> dict:
         """Metadata fsck — check the table's invariants without reading a
         data row, and report what a maintenance pass should clean. The ops
@@ -1848,11 +2161,78 @@ class SnapshotTable:
             if v not in keep:
                 os.remove(self._manifest_path(v))
                 removed_manifests += 1
+
+        # rename/drop name-registry prune: a retired name (alias or dropped
+        # column) is freed once no LIVE file can still carry it physically
+        # (its taint list no longer intersects the current manifest's
+        # files — rewrites replaced them) AND no still-retained manifest's
+        # SCHEMA has it as a logical column (historical reads + the feed's
+        # ending-version anchor resolve by name). Freeing is a best-effort
+        # metadata-only commit — on a race with a live writer it simply
+        # waits for the next expiry.
+        pruned_names = 0
+        m_cur = self.manifest(current)
+        ali = dict(m_cur.get("aliases") or {})
+        alias_files = {k: list(v) for k, v in (m_cur.get("alias_files") or {}).items()}
+        dropped = {k: dict(v) for k, v in (m_cur.get("dropped") or {}).items()}
+        if ali or dropped:
+            live_ids = set(self._live_file_ids(m_cur))
+            mentioned: set[str] = set()
+            for v in sorted(keep):
+                if v == current:
+                    continue
+                try:
+                    rm = self.manifest(v)
+                except OSError:
+                    continue
+                if rm.get("schema"):
+                    mentioned |= {f["name"] for f in json.loads(rm["schema"])["fields"]}
+            changed = False
+            for nm in list(ali):
+                still = sorted(set(alias_files.get(nm, [])) & live_ids)
+                if not still and nm not in mentioned:
+                    del ali[nm]
+                    alias_files.pop(nm, None)
+                    changed, pruned_names = True, pruned_names + 1
+                elif still != sorted(alias_files.get(nm, [])):
+                    alias_files[nm] = still
+                    changed = True
+            for nm in list(dropped):
+                still = sorted(set(dropped[nm].get("files", [])) & live_ids)
+                if not still and nm not in mentioned:
+                    del dropped[nm]
+                    changed, pruned_names = True, pruned_names + 1
+                elif still != sorted(dropped[nm].get("files", [])):
+                    dropped[nm]["files"] = still
+                    changed = True
+            if changed and self.current_version() == current:
+                version = self._next_version(current)
+                try:
+                    self._commit_manifest(
+                        {
+                            **m_cur,
+                            "version": version,
+                            "aliases": ali,
+                            "alias_files": alias_files,
+                            "dropped": dropped,
+                            "parent": current,
+                            "committed_ts": time.time(),
+                            "summary": {
+                                "operation": "prune-names",
+                                "freed": pruned_names,
+                            },
+                        }
+                    )
+                except ConcurrentWriteError:
+                    pruned_names = 0  # lost to a live writer; next expiry
+                else:
+                    self._swap_pointer(version)
         return {
             "kept_versions": sorted(keep),
             "removed_manifests": removed_manifests,
             "removed_files": removed_files,
             "skipped_orphans": skipped_orphans,
+            "freed_names": pruned_names,
         }
 
     def compact(self, min_files: int = 2) -> dict:
@@ -1914,9 +2294,9 @@ class SnapshotTable:
         clean_files += legacy_files  # legacy rows are single-version (clean)
         dirty_files = [f for b, fs in frag.items() if b in dirty for f in fs]
         if clean_files:
-            parts.append(self._read_files(clean_files, schema_json=m.get("schema")))
+            parts.append(self._read_files(clean_files, schema_json=m.get("schema"), aliases=m.get("aliases")))
         if dirty_files:
-            d = self._read_files(dirty_files, schema_json=m.get("schema"))
+            d = self._read_files(dirty_files, schema_json=m.get("schema"), aliases=m.get("aliases"))
             parts.append(lww_dedup(d, keys=m["keys"], seq=SEQ))
         df = parts[0]
         for p in parts[1:]:
@@ -2193,6 +2573,11 @@ class SnapshotTable:
             nm["dirty"] = list(m["dirty"])
         if m.get("constraints"):
             nm["constraints"] = dict(m["constraints"])
+        # rename/drop registries travel too: file taint lists are keyed by
+        # root-relative identity, which clone's absolute paths preserve
+        for reg in ("aliases", "alias_files", "dropped"):
+            if m.get(reg):
+                nm[reg] = json.loads(json.dumps(m[reg]))
         t = SnapshotTable(self.spark, dest_root)
         t._write_manifest(nm)
         t._swap_pointer(0)
@@ -2269,6 +2654,18 @@ class SnapshotTable:
             to_version = self.current_version()
         m_to = self.manifest(to_version)
         keys = m_to["keys"]
+        # feed schema is the ENDING version's (Delta CDF contract): columns
+        # renamed inside the range are mapped to their ending names (the
+        # anchor's alias map covers every retired name still in the
+        # retention window — rename_column refuses name reuse inside it, so
+        # the mapping is unambiguous), and columns dropped inside the range
+        # leave the feed
+        ali_to = m_to.get("aliases") or {}
+        anchor_cols = (
+            {f["name"] for f in json.loads(m_to["schema"])["fields"]}
+            if m_to.get("schema")
+            else None
+        )
 
         def _state(version: int, buckets: list[str]) -> tuple[DataFrame, list[str]] | None:
             # resolved_raw: one row per key even across merge-on-read
@@ -2276,6 +2673,18 @@ class SnapshotTable:
             raw = self.resolved_raw(version, buckets=[int(b) for b in buckets])
             if raw is None:
                 return None
+            if ali_to:
+                ren = {
+                    c: ali_to[c]
+                    for c in raw.columns
+                    if c in ali_to and ali_to[c] not in raw.columns
+                }
+                if ren:
+                    raw = raw.withColumnsRenamed(ren)
+            if anchor_cols is not None:
+                gone = [c for c in raw.columns if c not in anchor_cols]
+                if gone:
+                    raw = raw.drop(*gone)
             pay = [c for c in raw.columns if c not in (*keys, SEQ, DELETED)]
             return raw, pay
 
@@ -2526,6 +2935,10 @@ class SnapshotTable:
                 mor = False
                 mode = "cow"
 
+        blocked_names = {
+            **{a: f"renamed to {t!r}" for a, t in (m.get("aliases") or {}).items()},
+            **{d: "dropped" for d in (m.get("dropped") or {})},
+        }
         if mor:
             # merge-on-read: never read the base — resolve ONLY the
             # in-batch duplicates; cross-snapshot winners are resolved by
@@ -2534,7 +2947,9 @@ class SnapshotTable:
             # surface nulls for new columns via the by-name parquet read,
             # new files surface nulls for columns they don't carry).
             merged = lww_dedup(normalized, keys=keys, seq=SEQ)
-            schema_json = _evolve_schema_json(m.get("schema"), merged.drop("__b").schema)
+            schema_json = _evolve_schema_json(
+                m.get("schema"), merged.drop("__b").schema, blocked=blocked_names
+            )
         else:
             current = self.read_raw(buckets=touched, include_legacy=False)
             migrating = [
@@ -2544,7 +2959,7 @@ class SnapshotTable:
                 for f in legacy[i]["buckets"][b]
             ]
             if migrating:
-                lg = self._read_files(migrating, schema_json=m.get("schema"))
+                lg = self._read_files(migrating, schema_json=m.get("schema"), aliases=m.get("aliases"))
                 if lg is not None:
                     current = (
                         lg
@@ -2565,7 +2980,7 @@ class SnapshotTable:
             # carries fewer columns than untouched buckets store) must not
             # narrow the table schema — schema changes are widening-only
             schema_json = _evolve_schema_json(
-                m.get("schema"), merged.drop("__b").schema
+                m.get("schema"), merged.drop("__b").schema, blocked=blocked_names
             )
 
         # 5. write only the touched buckets to the new version dir. When the

@@ -188,7 +188,7 @@ def test_missing_sidecar_keeps_file(tmp_path):
     # stats-less/legacy file: never pruned
     f = tmp_path / "x.parquet"
     f.write_bytes(b"")
-    assert _bloom_keep_file(str(f), [("name", [_bloom_hash_pair("v")])])
+    assert _bloom_keep_file(str(f), [(("name",), [_bloom_hash_pair("v")])])
 
 
 def test_mor_dirty_buckets_not_bloom_pruned(spark, tmp_path):
