@@ -36,12 +36,23 @@ the run, the erased content is gone from live files AND from time travel
 ledger: a rerun with the same id is a no-op, so the job stays
 crash-safe-idempotent end to end.
 
+``--rename OLD NEW`` / ``--drop-column NAME`` run the metadata-only column
+evolution (SnapshotTable.rename_column/drop_column — Iceberg RENAME/DROP
+COLUMN) BEFORE compact+expire, so one maintenance cycle is the complete
+migration: the compact rewrites every file under the new physical names
+and the expiry's name-registry prune frees the retired names as soon as
+nothing retained still carries them. ``--add-constraint NAME EXPR`` /
+``--drop-constraint NAME`` manage CHECK constraints (Delta constraint
+analog; the add validates existing state first).
+
 Usage:
     cd <repo> && zip -qr /tmp/pyetl_spark.zip pyetl_spark
     spark-submit --master <cluster|local[N]> --py-files /tmp/pyetl_spark.zip \
         jobs/table_maintain.py <table_root> [--min-files 2] [--keep-last 2] \
         [--rescale N] [--alter JSON] [--clone DEST [--clone-version V]] \
         [--delete-where JSON] [--update-where JSON] [--dml-batch-id ID] \
+        [--rename OLD NEW] [--drop-column NAME] \
+        [--add-constraint NAME EXPR] [--drop-constraint NAME] \
         [--no-compact] [--no-expire] [--orphan-grace 600]
 
 Prints one summary line: buckets compacted, files before/after, manifests
@@ -121,6 +132,34 @@ def main(argv: list[str]) -> int:
         "same id is a no-op (exactly-once under retries)",
     )
     ap.add_argument(
+        "--rename",
+        nargs=2,
+        default=None,
+        metavar=("OLD", "NEW"),
+        help="rename a column (metadata-only; the compact below migrates "
+        "the files, the expiry prunes the retired name when free)",
+    )
+    ap.add_argument(
+        "--drop-column",
+        default=None,
+        metavar="NAME",
+        help="drop a payload column (metadata-only; bytes leave files at "
+        "compact and history at expiry)",
+    )
+    ap.add_argument(
+        "--add-constraint",
+        nargs=2,
+        default=None,
+        metavar=("NAME", "EXPR"),
+        help="add a CHECK constraint (validates existing state first)",
+    )
+    ap.add_argument(
+        "--drop-constraint",
+        default=None,
+        metavar="NAME",
+        help="remove a CHECK constraint",
+    )
+    ap.add_argument(
         "--verify",
         action="store_true",
         help="run the metadata fsck (SnapshotTable.verify) after "
@@ -163,6 +202,31 @@ def main(argv: list[str]) -> int:
                 dml += f"updated={st.events_in} "
         except ConcurrentWriteError:
             skipped = True  # a merge landed mid-sweep; next cycle retries
+    schema_ops = ""
+    if args.rename is not None:
+        try:
+            table.rename_column(args.rename[0], args.rename[1])
+            schema_ops += f"renamed={args.rename[0]}:{args.rename[1]} "
+        except ConcurrentWriteError:
+            skipped = True
+    if args.drop_column is not None:
+        try:
+            table.drop_column(args.drop_column)
+            schema_ops += f"dropped_column={args.drop_column} "
+        except ConcurrentWriteError:
+            skipped = True
+    if args.add_constraint is not None:
+        try:
+            table.add_constraint(args.add_constraint[0], args.add_constraint[1])
+            schema_ops += f"constraint_added={args.add_constraint[0]} "
+        except ConcurrentWriteError:
+            skipped = True
+    if args.drop_constraint is not None:
+        try:
+            table.drop_constraint(args.drop_constraint)
+            schema_ops += f"constraint_dropped={args.drop_constraint} "
+        except ConcurrentWriteError:
+            skipped = True
     if args.alter is not None:
         import json
 
@@ -203,11 +267,12 @@ def main(argv: list[str]) -> int:
             print(f"fsck: {issue}", file=sys.stderr)
         rc = 0 if rep["ok"] else 1
     print(
-        cloned + dml + f"compacted_buckets={c['compacted_buckets']} "
+        cloned + dml + schema_ops + f"compacted_buckets={c['compacted_buckets']} "
         f"files_before={c['files_before']} files_after={c['files_after']} "
         f"compact_skipped={str(skipped).lower()} "
         f"removed_manifests={e['removed_manifests']} "
         f"removed_files={e.get('removed_files', 0)} "
+        f"freed_names={e.get('freed_names', 0)} "
         f"version={table.current_version()}" + fsck
     )
     return rc

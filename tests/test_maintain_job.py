@@ -204,3 +204,56 @@ def test_maintain_dml_sweep_erases_and_updates(spark, job, tmp_path, capsys):
     assert rc == 0
     assert "deleted=0 updated=0" in capsys.readouterr().out
     assert {r["id"]: r["v"] for r in SnapshotTable(spark, root).read().collect()} == state
+
+
+def test_maintain_schema_evolution_cycle(spark, job, tmp_path, capsys):
+    # --rename + one cycle = complete migration: files rewritten under the
+    # new physical name, pre-rename manifests expired, retired name freed
+    root = str(tmp_path / "t")
+    t = _mk_table(spark, root)
+    before = {r["id"]: r["v"] for r in t.read().collect()}
+    rc = job.main([root, "--rename", "v", "amount", "--min-files", "1",
+                   "--keep-last", "1", "--verify"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "renamed=v:amount" in out and "freed_names=1" in out
+    assert "fsck_ok=true" in out
+    t2 = SnapshotTable(spark, root)
+    assert not t2.manifest().get("aliases")
+    assert {r["id"]: r["amount"] for r in t2.read().collect()} == before
+    assert t2.manifest()["props"]["stats_cols"] == ["amount"]
+
+
+def test_maintain_constraint_flags(spark, job, tmp_path, capsys):
+    root = str(tmp_path / "t")
+    _mk_table(spark, root)
+    rc = job.main([root, "--add-constraint", "v_ok", "v >= 0", "--no-compact",
+                   "--no-expire"])
+    assert rc == 0
+    assert "constraint_added=v_ok" in capsys.readouterr().out
+    t = SnapshotTable(spark, root)
+    assert t.constraints() == {"v_ok": "v >= 0"}
+    rc = job.main([root, "--drop-constraint", "v_ok", "--no-compact",
+                   "--no-expire"])
+    assert rc == 0
+    assert "constraint_dropped=v_ok" in capsys.readouterr().out
+    assert SnapshotTable(spark, root).constraints() == {}
+
+
+def test_maintain_drop_column_cycle(spark, job, tmp_path, capsys):
+    root = str(tmp_path / "t")
+    t = SnapshotTable.create(spark, root, keys=["id"], nbuckets=2)
+    t.merge(
+        spark.range(20).select(
+            F.col("id"), (F.col("id") * 2).alias("v"), (F.col("id") * 3).alias("w"),
+            F.lit("upsert").alias("op"), F.col("id").alias("seq"),
+        ),
+        batch_id="m0",
+    )
+    rc = job.main([root, "--drop-column", "w", "--min-files", "1",
+                   "--keep-last", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "dropped_column=w" in out and "freed_names=1" in out
+    t2 = SnapshotTable(spark, root)
+    assert t2.read().columns == ["id", "v"]
