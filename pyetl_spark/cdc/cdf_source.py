@@ -150,11 +150,16 @@ class ChangesPartition(InputPartition):
         a_files: list[str],
         b_files: list[str],
         keys: list[str],
+        aliases: dict | None = None,
     ):
         self.commit_version = commit_version
         self.a_files = a_files
         self.b_files = b_files
         self.keys = keys
+        # retired physical name → ENDING-version logical name (rename
+        # evolution): executors fold old-named file columns into the
+        # pinned layout without touching the manifest directory
+        self.aliases = dict(aliases or {})
 
 
 class TableChangesStreamReader(DataSourceStreamReader):
@@ -217,13 +222,23 @@ def _plan_partitions(root: str, sv: int, ev: int, pinned: set) -> list[InputPart
     if ev <= sv:
         return [ChangesPartition(-1, [], [], [])]
     parts: list[InputPartition] = []
+    # the feed anchors at the ENDING version's names (Delta CDF contract):
+    # columns renamed inside the range are mapped through the anchor's
+    # alias registry — both for the pinned-schema drift check here and for
+    # the executor-side physical-name fold in _resolved_pdf
+    m_ev = _load_manifest(root, ev)
+    aliases = dict(m_ev.get("aliases") or {})
+    dropped = set(m_ev.get("dropped") or {})
     prev_m = _load_manifest(root, sv)
     for v in _lineage(root, sv, ev)[1:]:
         m = _load_manifest(root, v)
         if m.get("schema"):
+            # columns dropped inside the range leave the feed (changes()
+            # parity), renamed ones count under their ending name
             commit_cols = {
-                f["name"] for f in json.loads(m["schema"])["fields"]
-            } - {SEQ, DELETED}
+                aliases.get(f["name"], f["name"])
+                for f in json.loads(m["schema"])["fields"]
+            } - {SEQ, DELETED} - dropped
             new_cols = commit_cols - pinned
             if new_cols:
                 raise ValueError(
@@ -261,7 +276,15 @@ def _plan_partitions(root: str, sv: int, ev: int, pinned: set) -> list[InputPart
             b_f = m["buckets"].get(b) or []
             if a_f != b_f and b_f:
                 parts.append(
-                    ChangesPartition(v, a_f + a_legacy, b_f + b_legacy, list(keys))
+                    ChangesPartition(
+                        v,
+                        a_f + a_legacy,
+                        b_f + b_legacy,
+                        # key names as of the ENDING anchor (a pre-rename
+                        # commit's key column folds into its current name)
+                        [aliases.get(k, k) for k in keys],
+                        aliases,
+                    )
                 )
         prev_m = m
     # Spark requires >= 1 partition; an all-metadata range (compaction /
@@ -281,8 +304,8 @@ def _read_partition(partition: ChangesPartition, arrow_schema) -> Iterator:
     out_cols = [f.name for f in arrow_schema][:-2]  # minus CDF cols
     payload = [c for c in out_cols if c not in keys]
 
-    a = _resolved_pdf(p.a_files, keys, out_cols)
-    b = _resolved_pdf(p.b_files, keys, out_cols)
+    a = _resolved_pdf(p.a_files, keys, out_cols, p.aliases)
+    b = _resolved_pdf(p.b_files, keys, out_cols, p.aliases)
 
     def _emit(side: pd.DataFrame, suffix: str, mask, ctype) -> pd.DataFrame:
         cols = {k: side[k] for k in keys}
@@ -326,11 +349,19 @@ def _read_partition(partition: ChangesPartition, arrow_schema) -> Iterator:
     yield from tab.to_batches()
 
 
-def _resolved_pdf(files, keys, out_cols):
+def _resolved_pdf(files, keys, out_cols, aliases=None):
     """One LWW-resolved row per key from ``files`` (max-``_seq`` wins —
     the pandas mirror of resolved_raw, covering merge-on-read appends),
     aligned to the pinned column set (older-schema files → null columns).
-    ArrowDtype-backed throughout so integer/boolean columns survive nulls."""
+    ArrowDtype-backed throughout so integer/boolean columns survive nulls.
+
+    ``aliases`` (retired physical name → anchor logical name) folds
+    pre-rename files into the pinned layout: a merge-on-read bucket can
+    hold files from both sides of a rename, in which case the permissive
+    concat surfaces BOTH physical columns and each row carries a value in
+    exactly one of them (writes use the names current at their commit) —
+    ``combine_first`` is therefore an exact coalesce, mirroring the JVM
+    read path (tableio._read_files)."""
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -342,6 +373,13 @@ def _resolved_pdf(files, keys, out_cols):
         tabs, promote_options="permissive"
     )
     df = tbl.to_pandas(types_mapper=pd.ArrowDtype)
+    for old, new in (aliases or {}).items():
+        if old in df.columns:
+            if new in df.columns:
+                df[new] = df[new].combine_first(df[old])
+            else:
+                df[new] = df[old]
+            df = df.drop(columns=[old])
     df = df.sort_values(SEQ, kind="stable").drop_duplicates(subset=keys, keep="last")
     for c in out_cols:
         if c not in df.columns:

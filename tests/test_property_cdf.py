@@ -103,6 +103,11 @@ def _run_sequence(spark, root: str, seed: int, use_format_reader: bool = False) 
     states: dict[int, dict] = {0: {}}
     parents: dict[int, int] = {}
     current = 0
+    # payload column name per version: do_rename flips it between val/val2
+    # (metadata-only, feed-silent); the oracle stores values name-free and
+    # the verification reads the name as of each feed's ENDING version
+    cname = "val"
+    names: dict[int, str] = {0: "val"}
     seq_counter = [2]  # even seqs; odd ones are reserved for stale events
     merge_counter = [0]  # contiguous per-sequence ids, exercising the HWM path
 
@@ -124,7 +129,7 @@ def _run_sequence(spark, root: str, seed: int, use_format_reader: bool = False) 
             seq = seq_counter[0]
             seq_counter[0] += 2
             events.append((k, f"v{seq}", "upsert", seq))
-        df = spark.createDataFrame(events, ["k", "val", "op", "seq"])
+        df = spark.createDataFrame(events, ["k", cname, "op", "seq"])
         merge_counter[0] += 1
         # commit strategy is part of the adversarial surface: merge-on-read
         # appends (read-time LWW resolution) interleave with copy-on-write
@@ -136,6 +141,7 @@ def _run_sequence(spark, root: str, seed: int, use_format_reader: bool = False) 
         states[stats.version] = _oracle_merge(states[current], events)
         parents[stats.version] = current
         current = stats.version
+        names[current] = cname
 
     def do_merge_into() -> None:
         """Random conditional MERGE INTO (NEW r5): matched & act='d' →
@@ -151,14 +157,14 @@ def _run_sequence(spark, root: str, seed: int, use_format_reader: bool = False) 
             seq_counter[0] += 2
             picks[k] = (f"v{seqv}", "d" if rng.random() < 0.3 else "u")
         src = spark.createDataFrame(
-            [(k, v, a) for k, (v, a) in picks.items()], ["k", "val", "act"]
+            [(k, v, a) for k, (v, a) in picks.items()], ["k", cname, "act"]
         )
         merge_counter[0] += 1
         stats = t.merge_into(
             src,
-            when_matched_update={"val": "s.val"},
+            when_matched_update={cname: f"s.{cname}"},
             when_matched_delete="s.act = 'd'",
-            when_not_matched_insert={"val": "s.val"},
+            when_not_matched_insert={cname: f"s.{cname}"},
             not_matched_condition="s.act <> 'd'",
             batch_id=f"s{seed}-mi{merge_counter[0]}",
         )
@@ -183,6 +189,7 @@ def _run_sequence(spark, root: str, seed: int, use_format_reader: bool = False) 
         states[stats.version] = new
         parents[stats.version] = current
         current = stats.version
+        names[current] = cname
 
     def do_delete_where() -> None:
         """Predicate delete (NEW r5): visible rows matching k >= K are
@@ -206,6 +213,7 @@ def _run_sequence(spark, root: str, seed: int, use_format_reader: bool = False) 
         states[stats.version] = new
         parents[stats.version] = current
         current = stats.version
+        names[current] = cname
 
     def do_update_where() -> None:
         """Predicate update (NEW r5): visible rows matching k < K get
@@ -215,7 +223,7 @@ def _run_sequence(spark, root: str, seed: int, use_format_reader: bool = False) 
         kmax = rng.choice(KEYS)
         merge_counter[0] += 1
         stats = t.update_where(
-            {"val": "concat(val, '+')"},
+            {cname: f"concat({cname}, '+')"},
             [("k", "<", kmax)],
             batch_id=f"s{seed}-uw{merge_counter[0]}",
         )
@@ -231,6 +239,7 @@ def _run_sequence(spark, root: str, seed: int, use_format_reader: bool = False) 
         states[stats.version] = new
         parents[stats.version] = current
         current = stats.version
+        names[current] = cname
 
     def do_alter() -> None:
         """Metadata-only layout-prop commit (NEW r5): state identical, the
@@ -240,13 +249,14 @@ def _run_sequence(spark, root: str, seed: int, use_format_reader: bool = False) 
             [
                 {"max_file_rows": rng.choice([4, 8, 16])},
                 {"merge_mode": rng.choice(["cow", "mor"])},
-                {"stats_cols": ["val"]},
+                {"stats_cols": [cname]},
             ]
         )
         v = t.alter_props(spec)
         states[v] = states[current]
         parents[v] = current
         current = v
+        names[v] = cname
 
     def do_compact() -> None:
         nonlocal current
@@ -256,6 +266,7 @@ def _run_sequence(spark, root: str, seed: int, use_format_reader: bool = False) 
             states[v] = states[current]
             parents[v] = current
             current = v
+            names[v] = cname
 
     def chain(v: int) -> list[int]:
         c = [v]
@@ -270,24 +281,45 @@ def _run_sequence(spark, root: str, seed: int, use_format_reader: bool = False) 
             v = rng.choice(anc)
             t.rollback(v)
             current = v
+            cname = names[v]  # a pre-rename version restores the old name
+
+    def do_rename() -> None:
+        """Metadata-only column rename (NEW r5): state identical under the
+        new name, feed silent across the edge, mixed-physical-name files
+        coalesced by every later read. A refusal (target still in retained
+        history after a rename-back, or schema-less post-rollback root) is
+        a legal no-op."""
+        nonlocal current, cname
+        new = "val2" if cname == "val" else "val"
+        try:
+            v = t.rename_column(cname, new)
+        except ValueError:
+            return
+        cname = new
+        states[v] = states[current]
+        parents[v] = current
+        current = v
+        names[v] = cname
 
     do_merge()  # every sequence has at least one commit
     for _ in range(rng.randint(3, 5)):
         r = rng.random()
         if r < 0.42:
             do_merge()
-        elif r < 0.54:
+        elif r < 0.52:
             do_merge_into()
-        elif r < 0.62:
+        elif r < 0.60:
             do_delete_where()
-        elif r < 0.70:
+        elif r < 0.68:
             do_update_where()
-        elif r < 0.79:
+        elif r < 0.76:
             do_compact()
-        elif r < 0.87:
+        elif r < 0.84:
             do_rollback()
-        elif r < 0.93:
+        elif r < 0.89:
             do_alter()
+        elif r < 0.94:
+            do_rename()
         else:
             t.expire_snapshots(keep_last=rng.randint(1, 3))
 
@@ -310,8 +342,9 @@ def _run_sequence(spark, root: str, seed: int, use_format_reader: bool = False) 
             if use_format_reader
             else t.changes(va, vb)
         )
+        col = names[vb]  # the feed anchors at the ENDING version's names
         return {
-            (r["k"], r["val"], r["_change_type"], r["_commit_version"])
+            (r["k"], r[col], r["_change_type"], r["_commit_version"])
             for r in df.collect()
         }
 
@@ -344,8 +377,8 @@ def _run_sequence(spark, root: str, seed: int, use_format_reader: bool = False) 
     # the table is then schema-less (keys-only read) and must be empty.
     read = t.read()
     got = (
-        {(r["k"], r["val"]) for r in read.select("k", "val").collect()}
-        if read is not None and "val" in read.columns
+        {(r["k"], r[cname]) for r in read.select("k", cname).collect()}
+        if read is not None and cname in read.columns
         else set()
     )
     assert got == {(k, v) for k, (v, _) in _live(states[current]).items()}, (
