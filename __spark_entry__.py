@@ -2492,6 +2492,57 @@ def q_cdc_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_cdc_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cherry-pick onto a diverged head (SnapshotTable.cherry_pick — the
+    Iceberg cherrypick_snapshot analog; completes write-audit-publish for
+    the diverged case publish()'s fast-forward refuses): build main from
+    the first half of events, stage the second half on an audit branch,
+    DIVERGE main (update_where value := value + 1000 over every visible
+    row), then cherry-pick the branch commit. The pick must transplant the
+    CHANGE, not the snapshot: picked users end at their second-half LWW
+    winner (upsert or erased), while users the pick never touched keep
+    main's diverged (+1000) values — freezing them back to the branch
+    snapshot, or letting the divergence leak into picked users, changes
+    the hash. Ledger idempotence, delete transplants and schema widening
+    are in tests/test_cherry_pick.py."""
+    import shutil
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    n = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    half = n // 2
+    root = _mkdtemp(prefix="q_cdc_cp_")
+    try:
+        table = SnapshotTable.create(
+            spark,
+            os.path.join(root, "t"),
+            keys=["user_id"],
+            nbuckets=4,
+            props={"stats_cols": ["value"], "max_file_rows": max(16, n // 200)},
+        )
+        table.merge(ev.filter(F.col("event_id") < half), "cp:0", seq_col="event_id")
+        branch = table.create_branch("audit")
+        branch.merge(
+            ev.filter(F.col("event_id") >= half), "cp:a1", seq_col="event_id"
+        )
+        picked = branch.current_version()
+        table.update_where(
+            {"value": "value + 1000"}, [("value", ">=", 0.0)], batch_id="cp:1"
+        )
+        table.cherry_pick(picked, batch_id="cp:2")
+        out = table.read().select("user_id", "event_type", "value")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_cdc_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-sidecar file skipping + batched point lookup
     (tableio._write_file_blooms / scan op "in" — the Iceberg puffin-blob
@@ -2761,6 +2812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_into": q_cdc_merge_into,            # NEW r5: conditional MERGE INTO
         "cdc_constraints": q_cdc_constraints,          # NEW r5: CHECK constraints
         "cdc_rename_drop": q_cdc_rename_drop,          # NEW r5: rename/drop columns
+        "cdc_cherry_pick": q_cdc_cherry_pick,          # NEW r5: cherry-pick commit
         "cdc_metadata": q_cdc_metadata,                # NEW r5: metadata tables
         "serve_script": q_serve_script,                # new: pooled serving seam
         "cdc_merge_table": q_cdc_merge_table,          # tableio: ledger compaction+HWM
@@ -2802,7 +2854,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rules_namesplit": q_rules_namesplit,
         "rules_extractbloc": q_rules_extractbloc,
         "rules_xmlops": q_rules_xmlops,
-        "multiplex_autre": q_multiplex_autre,
         # ---- position 51+ : outside the driver's 50-row certification
         # window (the marker sits at the EXACT cut — verified by index, a
         # prior revision had drifted two entries high). Every entry below
@@ -2817,10 +2868,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cdc_zorder_scan, cdc_bloom_scan, cdc_rescale, cdc_delete_where,
         # cdc_update_where, cdc_merge_into, cdc_constraints, cdc_metadata,
         # cdc_stream_feed, serve_script, cdc_mor_merge, cdc_wap_publish,
-        # cdc_clone, and cdc_ivm_stats (sessionize and stat_pivot, round-3
-        # green, were pushed past the cut by cdc_constraints and
-        # cdc_rename_drop — two rounds stale, the allowed bound, same as
-        # the round-3 block just below).
+        # cdc_clone, and cdc_ivm_stats (sessionize, stat_pivot and
+        # multiplex_autre, round-3 green, were pushed past the cut by
+        # cdc_constraints, cdc_rename_drop and cdc_cherry_pick — two
+        # rounds stale, the allowed bound, same as the round-3 block just
+        # below).
+        "multiplex_autre": q_multiplex_autre,
         "stat_pivot": q_stat_pivot,
         "sessionize": q_sessionize,
         "csv_roundtrip": q_csv_roundtrip,
@@ -3912,6 +3965,36 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY user_id
             HAVING NOT max_by(event_type = 'error', event_id)
+        """,
+        # cherry-pick: picked users end at their second-half LWW winner
+        # (the branch commit's change re-applied at head, winning over the
+        # divergence), untouched users keep main's diverged +1000 values
+        "cdc_cherry_pick": """
+            WITH h AS (SELECT (max(event_id) + 1) // 2 AS half FROM events),
+            first AS (
+                SELECT user_id,
+                       max_by(event_type, event_id) AS event_type,
+                       max_by(value, event_id) AS value,
+                       max_by(event_type = 'error', event_id) AS del
+                FROM events WHERE event_id < (SELECT half FROM h)
+                GROUP BY user_id
+            ),
+            second AS (
+                SELECT user_id,
+                       max_by(event_type, event_id) AS event_type,
+                       max_by(value, event_id) AS value,
+                       max_by(event_type = 'error', event_id) AS del
+                FROM events WHERE event_id >= (SELECT half FROM h)
+                GROUP BY user_id
+            )
+            SELECT coalesce(s.user_id, f.user_id) AS user_id,
+                   CASE WHEN s.user_id IS NOT NULL THEN s.event_type
+                        ELSE f.event_type END AS event_type,
+                   CASE WHEN s.user_id IS NOT NULL THEN s.value
+                        ELSE f.value + 1000 END AS value
+            FROM first f FULL JOIN second s ON f.user_id = s.user_id
+            WHERE CASE WHEN s.user_id IS NOT NULL THEN NOT s.del
+                       ELSE NOT f.del END
         """,
         # rename/drop evolution: value→amount is metadata-only mid-stream,
         # props is dropped — final state is plain LWW over all events with

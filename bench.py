@@ -106,6 +106,9 @@ BENCH_QUERIES = [
     # round 5: column rename/drop — metadata-only evolution mid-replay,
     # mixed old/new-physical-name file reads coalesced at scan time
     "cdc_rename_drop",
+    # round 5: cherry-pick — branch commit's change-feed slice replayed
+    # onto a diverged head (2 commits + branch + DML + feed + pick)
+    "cdc_cherry_pick",
 ]
 
 

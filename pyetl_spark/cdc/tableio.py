@@ -1739,6 +1739,49 @@ class SnapshotTable:
         self._swap_pointer(version)
         return version
 
+    def cherry_pick(self, version: int, batch_id: str | None = None) -> MergeStats:
+        """Re-apply ONE commit's row-level changes onto the CURRENT head —
+        the Iceberg ``cherrypick_snapshot`` analog, and the missing half of
+        the write-audit-publish story: :meth:`publish` is a fast-forward
+        pointer swap that REFUSES diverged lineages, while cherry-pick
+        transplants an audited branch commit onto a main that has moved on.
+        Works for any retained commit (branches share the manifest chain,
+        so ``version`` may come from any branch).
+
+        Semantics: the commit's one-commit change-feed slice (inserts +
+        update post-images → upserts, deletes → deletes; pure-metadata
+        commits contribute nothing) is replayed as a fresh delta sequenced
+        one past the target's ``max_seq`` through the normal :meth:`merge`.
+        The CHANGE is transplanted, not the snapshot: the picked rows win
+        LWW over everything currently stored (like a user re-running the
+        original write today), later commits win over the pick, untouched
+        keys keep their current values even where the source snapshot
+        disagreed. Inherits the batch ledger (``batch_id`` makes the pick
+        exactly-once), schema evolution (a picked column the target lacks
+        widens it; a column the target RENAMED since is refused loudly by
+        the retired-name guard — rename the feed or pick before renaming),
+        the change feed and time travel, like every merge."""
+        m_v = self.manifest(version)
+        parent = m_v.get("parent")
+        if parent is None:
+            raise ValueError(
+                f"cannot cherry-pick v{version}: it is a create/clone root "
+                "with no parent commit"
+            )
+        feed = self.changes(parent, version)
+        delta = (
+            feed.withColumn(
+                "op",
+                F.when(F.col("_change_type") == "delete", F.lit("delete")).otherwise(
+                    F.lit("upsert")
+                ),
+            )
+            .filter(F.col("_change_type") != "update_preimage")
+            .drop("_change_type", "_commit_version")
+            .withColumn("seq", F.lit(self.max_seq() + 1).cast("long"))
+        )
+        return self.merge(delta, batch_id=batch_id, operation="cherry-pick")
+
     # ----------------------------------------------- column rename / drop
 
     def _live_file_ids(self, m: dict) -> list[str]:
