@@ -125,6 +125,18 @@ def _table_feed_schema(root: str, version: int | None = None) -> StructType:
         except (FileNotFoundError, ValueError):
             break  # expired ancestor: nothing more to learn
     if not m.get("schema"):
+        if version is not None:
+            # anchored BATCH range read ending at a schema-less lineage
+            # (e.g. rollback to the empty root followed by metadata-only
+            # commits): changes() returns an envelope-only empty frame for
+            # this case, and the source must agree — no rows can exist, so
+            # the feed schema is just the CDF columns
+            return StructType(
+                [
+                    StructField("_change_type", StringType(), False),
+                    StructField("_commit_version", IntegerType(), False),
+                ]
+            )
         raise ValueError(
             "table has no schema yet (no commits) — merge at least one "
             "batch before opening a change-feed stream"

@@ -275,7 +275,7 @@ def _run_sequence(spark, root: str, seed: int, use_format_reader: bool = False) 
         return c  # v .. 0
 
     def do_rollback() -> None:
-        nonlocal current
+        nonlocal current, cname
         anc = [v for v in chain(current)[1:] if os.path.exists(t._manifest_path(v))]
         if anc:
             v = rng.choice(anc)
