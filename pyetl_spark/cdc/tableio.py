@@ -717,6 +717,7 @@ class SnapshotTable:
         files: list[str],
         schema_json: str | None = None,
         aliases: dict | None = None,
+        alias_files: dict | None = None,
     ) -> DataFrame | None:
         """Read data files. When the caller passes the manifest's stored
         schema the read is planned WITHOUT a schema-inference job (no
@@ -739,7 +740,15 @@ class SnapshotTable:
         to null. Downstream of this method the engine ONLY sees logical
         names; any rewrite (merge COW fold, compact) therefore re-writes
         data under the current names — rename migration rides the writes
-        that touch the data, like the rescale window."""
+        that touch the data, like the rescale window.
+
+        The coalesce wrapper blocks parquet row-group predicate pushdown
+        on the wrapped column, so it is applied PER RETIRED NAME only when
+        one of the requested ``files`` is still on that name's taint list
+        (manifest ``alias_files`` — the files that existed when the rename
+        committed). A read of fully-rewritten buckets therefore plans
+        exactly like a never-renamed table, even while the alias registry
+        lingers until :meth:`expire_snapshots` frees it."""
         if not files:
             return None
         reader = self.spark.read
@@ -750,11 +759,16 @@ class SnapshotTable:
             variants: dict[str, list[str]] = {}
             read_fields = list(stored.fields)
             if aliases:
+                want = {_file_identity(f) for f in files}
                 types = {f.name: f.dataType for f in stored.fields}
                 for old, new in aliases.items():
-                    if new in types and old not in types:
-                        read_fields.append(StructField(old, types[new], True))
-                        variants.setdefault(new, []).append(old)
+                    if new not in types or old in types:
+                        continue
+                    taint = (alias_files or {}).get(old)
+                    if taint is not None and not want & set(taint):
+                        continue  # none of these files can carry the name
+                    read_fields.append(StructField(old, types[new], True))
+                    variants.setdefault(new, []).append(old)
             df = reader.schema(StructType(read_fields)).parquet(*files)
             if variants:
                 df = df.select(
@@ -793,12 +807,12 @@ class SnapshotTable:
             want = {str(b) for b in buckets}
             items = [(b, fs) for b, fs in items if b in want]
         files = [f for _, fs in items for f in fs]
-        cur = self._read_files(files, schema_json=m.get("schema"), aliases=m.get("aliases"))
+        cur = self._read_files(files, schema_json=m.get("schema"), aliases=m.get("aliases"), alias_files=m.get("alias_files"))
         legacy = m.get("legacy") or [] if include_legacy else []
         lfiles = [f for sp in legacy for fs in sp["buckets"].values() for f in fs]
         if not lfiles:
             return cur
-        lg = self._read_files(lfiles, schema_json=m.get("schema"), aliases=m.get("aliases"))
+        lg = self._read_files(lfiles, schema_json=m.get("schema"), aliases=m.get("aliases"), alias_files=m.get("alias_files"))
         if buckets is not None and lg is not None:
             bcols = m.get("bucket_cols", m["keys"])
             lg = lg.filter(
@@ -957,8 +971,8 @@ class SnapshotTable:
             "files_pruned": n_clean - n_kept,
             "files_bloom_pruned": n_minmax_kept - n_kept,
         }
-        raw = self._read_files(kept, schema_json=m.get("schema"), aliases=m.get("aliases"))
-        legacy_raw = self._read_files(legacy_kept, schema_json=m.get("schema"), aliases=m.get("aliases"))
+        raw = self._read_files(kept, schema_json=m.get("schema"), aliases=m.get("aliases"), alias_files=m.get("alias_files"))
+        legacy_raw = self._read_files(legacy_kept, schema_json=m.get("schema"), aliases=m.get("aliases"), alias_files=m.get("alias_files"))
         if legacy_raw is not None:
             if buckets is not None:
                 bcols = m.get("bucket_cols", m["keys"])
@@ -966,7 +980,7 @@ class SnapshotTable:
                     _bucket_col(bcols, m["nbuckets"]).isin([int(b) for b in buckets])
                 )
             raw = legacy_raw if raw is None else raw.unionByName(legacy_raw)
-        dirty_raw = self._read_files(dirty_files, schema_json=m.get("schema"), aliases=m.get("aliases"))
+        dirty_raw = self._read_files(dirty_files, schema_json=m.get("schema"), aliases=m.get("aliases"), alias_files=m.get("alias_files"))
         if dirty_raw is not None:
             resolved = lww_dedup(dirty_raw, keys=m["keys"], seq=SEQ)
             raw = resolved if raw is None else raw.unionByName(resolved)
@@ -2337,9 +2351,9 @@ class SnapshotTable:
         clean_files += legacy_files  # legacy rows are single-version (clean)
         dirty_files = [f for b, fs in frag.items() if b in dirty for f in fs]
         if clean_files:
-            parts.append(self._read_files(clean_files, schema_json=m.get("schema"), aliases=m.get("aliases")))
+            parts.append(self._read_files(clean_files, schema_json=m.get("schema"), aliases=m.get("aliases"), alias_files=m.get("alias_files")))
         if dirty_files:
-            d = self._read_files(dirty_files, schema_json=m.get("schema"), aliases=m.get("aliases"))
+            d = self._read_files(dirty_files, schema_json=m.get("schema"), aliases=m.get("aliases"), alias_files=m.get("alias_files"))
             parts.append(lww_dedup(d, keys=m["keys"], seq=SEQ))
         df = parts[0]
         for p in parts[1:]:
@@ -3002,7 +3016,7 @@ class SnapshotTable:
                 for f in legacy[i]["buckets"][b]
             ]
             if migrating:
-                lg = self._read_files(migrating, schema_json=m.get("schema"), aliases=m.get("aliases"))
+                lg = self._read_files(migrating, schema_json=m.get("schema"), aliases=m.get("aliases"), alias_files=m.get("alias_files"))
                 if lg is not None:
                     current = (
                         lg

@@ -266,3 +266,20 @@ def test_mor_after_rename(spark, tmp_path):
     assert _state(t, "amount") == {1: 10, 2: 2}
     t.compact()
     assert _state(t, "amount") == {1: 10, 2: 2}
+
+
+def test_coalesce_dropped_once_files_rewritten(spark, tmp_path):
+    # the alias read-shim costs parquet pushdown on the renamed column, so
+    # it must vanish as soon as no requested file can still carry the old
+    # physical name — compaction rewrites them, and the plan goes back to
+    # a plain scan BEFORE expiry ever prunes the alias registry
+    t = _mk(spark, tmp_path)
+    t.merge(_delta(spark, [(i, i, "upsert", 1) for i in range(8)]), "b1")
+    t.rename_column("x", "amount")
+    plan = t.read()._jdf.queryExecution().optimizedPlan().toString()
+    assert "coalesce" in plan.lower()  # old files still on the taint list
+    t.compact(min_files=1)
+    assert t.manifest().get("aliases")  # registry not yet pruned (no expiry)
+    plan = t.read()._jdf.queryExecution().optimizedPlan().toString()
+    assert "coalesce" not in plan.lower()
+    assert _state(t, "amount") == {i: i for i in range(8)}
