@@ -51,7 +51,7 @@ Usage:
         jobs/table_maintain.py <table_root> [--min-files 2] [--keep-last 2] \
         [--rescale N] [--alter JSON] [--clone DEST [--clone-version V]] \
         [--delete-where JSON] [--update-where JSON] [--dml-batch-id ID] \
-        [--rename OLD NEW] [--drop-column NAME] \
+        [--add-column NAME TYPE] [--rename OLD NEW] [--drop-column NAME] \
         [--add-constraint NAME EXPR] [--drop-constraint NAME] \
         [--no-compact] [--no-expire] [--orphan-grace 600]
 
@@ -132,6 +132,14 @@ def main(argv: list[str]) -> int:
         "same id is a no-op (exactly-once under retries)",
     )
     ap.add_argument(
+        "--add-column",
+        nargs=2,
+        default=None,
+        metavar=("NAME", "TYPE"),
+        help="add a typed column (metadata-only; readers see nulls until "
+        "a write carries it)",
+    )
+    ap.add_argument(
         "--rename",
         nargs=2,
         default=None,
@@ -203,6 +211,12 @@ def main(argv: list[str]) -> int:
         except ConcurrentWriteError:
             skipped = True  # a merge landed mid-sweep; next cycle retries
     schema_ops = ""
+    if args.add_column is not None:
+        try:
+            table.add_column(args.add_column[0], args.add_column[1])
+            schema_ops += f"added_column={args.add_column[0]} "
+        except ConcurrentWriteError:
+            skipped = True
     if args.rename is not None:
         try:
             table.rename_column(args.rename[0], args.rename[1])

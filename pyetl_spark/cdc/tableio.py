@@ -1850,6 +1850,61 @@ class SnapshotTable:
             names |= set(rm.get("dropped") or {})
         return names
 
+    def add_column(self, name: str, dtype: str) -> int:
+        """Explicit ``ALTER TABLE ... ADD COLUMN`` (Iceberg analog) —
+        METADATA-ONLY widening. Columns also appear implicitly when a
+        merge's delta first carries them (the north-rule schema-merge
+        path); this is the declared-up-front form: readers project the
+        typed null column immediately, before any write carries it, so a
+        consumer contract can ship ahead of the producer. ``dtype`` is any
+        Spark SQL type string (``"double"``, ``"array<string>"``). The
+        same retirement guard as the implicit path applies: a name still
+        physically present in live files or retained history is refused
+        (no by-name resurrection)."""
+        from pyspark.sql.types import StructField, StructType
+
+        m = self.manifest()
+        if not m.get("schema"):
+            raise ValueError(
+                "add_column: table has no schema yet — the first merge "
+                "defines it (nothing exists to widen)"
+            )
+        stored = StructType.fromJson(json.loads(m["schema"]))
+        if name in [f.name for f in stored.fields]:
+            raise ValueError(f"column {name!r} already exists")
+        blocked = {
+            **{a: f"renamed to {t!r}" for a, t in (m.get("aliases") or {}).items()},
+            **{d: "dropped" for d in (m.get("dropped") or {})},
+        }
+        if name in blocked:
+            raise ValueError(
+                f"cannot add column {name!r}: the name is retired "
+                f"({blocked[name]}) — compact() + expire_snapshots() frees it"
+            )
+        # robust public-API type parse: analysis rejects bad type strings
+        dt = self.spark.sql(f"SELECT CAST(NULL AS {dtype})").schema[0].dataType
+        # keep the envelope (_seq/_deleted) last, like every merge writes it
+        fields = [f for f in stored.fields if f.name not in (SEQ, DELETED)]
+        tail = [f for f in stored.fields if f.name in (SEQ, DELETED)]
+        cand = StructType([*fields, StructField(name, dt, True), *tail])
+        version = self._next_version(m["version"])
+        manifest = {
+            **m,
+            "version": version,
+            "schema": cand.json(),
+            "parent": m["version"],
+            "committed_ts": time.time(),
+            "summary": {"operation": "add-column", "name": name, "type": dtype},
+        }
+        if self.current_version() != m["version"]:
+            raise ConcurrentWriteError(
+                f"table advanced to v{self.current_version()} while adding "
+                f"a column against v{m['version']}; retry"
+            )
+        self._commit_manifest(manifest)
+        self._swap_pointer(version)
+        return version
+
     def rename_column(self, old: str, new: str) -> int:
         """Rename a column — the Iceberg ``ALTER TABLE ... RENAME COLUMN``
         analog, METADATA-ONLY like Iceberg's (no data file is read or

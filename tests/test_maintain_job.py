@@ -257,3 +257,15 @@ def test_maintain_drop_column_cycle(spark, job, tmp_path, capsys):
     assert "dropped_column=w" in out and "freed_names=1" in out
     t2 = SnapshotTable(spark, root)
     assert t2.read().columns == ["id", "v"]
+
+
+def test_maintain_add_column_flag(spark, job, tmp_path, capsys):
+    root = str(tmp_path / "t")
+    _mk_table(spark, root)
+    rc = job.main([root, "--add-column", "score", "double", "--no-compact",
+                   "--no-expire"])
+    assert rc == 0
+    assert "added_column=score" in capsys.readouterr().out
+    t = SnapshotTable(spark, root)
+    assert "score" in t.read().columns
+    assert dict(t.read().dtypes)["score"] == "double"

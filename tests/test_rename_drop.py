@@ -283,3 +283,37 @@ def test_coalesce_dropped_once_files_rewritten(spark, tmp_path):
     plan = t.read()._jdf.queryExecution().optimizedPlan().toString()
     assert "coalesce" not in plan.lower()
     assert _state(t, "amount") == {i: i for i in range(8)}
+
+
+def test_add_column_explicit(spark, tmp_path):
+    # declared-up-front widening: readers see the typed null column before
+    # any write carries it; the first write that does simply fills it
+    t = _mk(spark, tmp_path)
+    t.merge(_delta(spark, [(1, 1, "upsert", 1)]), "b1")
+    t.add_column("score", "double")
+    assert t.read().columns == ["k", "x", "score"]
+    assert t.read().collect()[0]["score"] is None
+    assert dict(t.read().dtypes)["score"] == "double"
+    t.merge(
+        spark.createDataFrame([(2, 2, 0.5, "upsert", 2)],
+                              "k bigint, x bigint, score double, op string, seq long"),
+        "b2",
+    )
+    got = {r["k"]: r["score"] for r in t.read().collect()}
+    assert got == {1: None, 2: 0.5}
+    # the add is metadata-only and feed-silent
+    assert t.changes(t.current_version() - 2, t.current_version() - 1).count() == 0
+
+
+def test_add_column_refusals(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="no schema yet"):
+        t.add_column("y", "int")
+    t.merge(_delta(spark, [(1, 1, "upsert", 1)]), "b1")
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("x", "int")
+    with pytest.raises(Exception):  # bad type string fails analysis
+        t.add_column("y", "notatype")
+    t.rename_column("x", "amount")
+    with pytest.raises(ValueError, match="retired"):
+        t.add_column("x", "int")  # old physical name still in live files
